@@ -1,0 +1,233 @@
+"""Per-key Bloom filters as DataFrame operators.
+
+Reference semantics (SURVEY.md §2-§3): one filter per key value
+(rating 1..10 there), sized from the key's train-split cardinality and
+a target false-positive probability p; k seeded hashes of the element
+string mod m; probe = all k bits set; unknown keys are skipped, never
+errors (hadoop BloomFilterMapper.java:89-93).
+
+Spark-first design decisions (vs. the reference's RDD/MR pipeline):
+
+- **Hash family**: ``pmod(hash(value, lit(seed_i)), m)`` — Spark's
+  built-in murmur3 (seed 42) over (value, i) pairs, fully codegen'd
+  JVM-side. The reference's two implementations disagree bit-for-bit
+  anyway (mmh3 vs Hadoop murmur2, floor-mod vs abs-rem —
+  bloomfilters_util.py:79 vs BloomFilterMapper.java:100-104), so we
+  freeze this one canonical scheme and test its statistical behavior.
+- **Bit storage**: packed ``array<long>`` of ceil(m/64) words
+  (8× smaller than the reference's list[bool] pickle,
+  bloomfilters_builder.py:100), directly broadcastable and mergeable
+  with JVM-side bitwise OR.
+- **Build = map-side partial bitsets, OR-merged.** The reference
+  concatenates per-key index lists in the reduce (``extend_list``,
+  bloomfilters_builder.py:44-54) — O(n·k) ints shuffled per key, the
+  anti-pattern at 100 TB. Here every *input partition* folds its rows
+  into one partial bitset per key inside a single Arrow/numpy pass
+  (``mapInPandas`` — the DataFrame analogue of a map-side combiner),
+  so NO raw rows are ever shuffled: only O(partitions · keys) packed
+  bitsets move, and they are OR-merged with a JVM
+  ``aggregate``/``zip_with`` expression in two levels so no single
+  task collects an unbounded partial list.
+- **Probe = broadcast hash join** (the J1/J2 collapse): filters are a
+  tiny table (one row per key), so ``probe.join(broadcast(filters))``
+  replaces both the reference's driver-collect-and-broadcast
+  (bloomfilters_tester.py:81) and the Hadoop secondary-sort machinery
+  (tester/BloomFilterTester.java:70-97).
+
+Scale ledger (1000 executors, 100 TB input): per-row work is
+whole-stage-codegen'd hashing; shuffle bytes = n_partitions × n_keys ×
+m/8 regardless of row count; driver holds one (key, count) row per key
+(same assumption as the reference's 10 ratings — per-key filters only
+make sense for low-cardinality keys). Memory per task = n_keys × m/8
+for the fold. For m beyond a few hundred MB per key, raise
+``merge_fanout`` so level-1 merge groups stay within executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from .sizing import num_bits, num_hashes
+
+# Schema of a built filter table. `words` is the packed bitset:
+# bit i of the filter is (words[i >> 6] >> (i & 63)) & 1.
+FILTER_SCHEMA = "key string, n bigint, m bigint, k int, words array<long>"
+
+_PARTIAL_SCHEMA = "key string, words array<long>"
+
+
+def hash_indexes_col(value_col, m_col, k: int):
+    """k seeded murmur3 hashes of `value_col`, each floor-mod m.
+
+    Mirrors the reference's family of k seeded hashes
+    (bloomfilters_util.py:60-79) with Spark's built-in ``hash``:
+    seeding is done by hashing the (value, i) pair, which gives an
+    independent hash per i. pmod keeps results in [0, m) even for
+    negative hashes (the Python reference relies on %'s floor-mod the
+    same way; the Java flavor's abs-rem differs — SURVEY.md §1.4).
+    """
+    return F.array(
+        *[F.pmod(F.hash(value_col, F.lit(i)), m_col).cast("long") for i in range(k)]
+    )
+
+
+def _partition_partials(m_by_key: dict[str, int], k: int):
+    """mapInPandas body: fold a whole input partition into one partial
+    bitset per key seen — numpy over Arrow batches, no per-row Python,
+    no shuffle of raw rows."""
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[str, np.ndarray] = {}
+        for pdf in batches:
+            for key, grp in pdf.groupby("__key", sort=False):
+                m = m_by_key.get(key)
+                if m is None:
+                    continue
+                words = acc.get(key)
+                if words is None:
+                    words = acc[key] = np.zeros((m + 63) >> 6, dtype=np.int64)
+                idx = np.concatenate(grp["__indexes"].to_numpy())
+                np.bitwise_or.at(words, idx >> 6, np.int64(1) << (idx & 63))
+        if acc:
+            yield pd.DataFrame(
+                {"key": list(acc), "words": [w.tolist() for w in acc.values()]}
+            )
+
+    return fold
+
+
+def _or_merge(partials: DataFrame, extra_group: list[str] | None = None) -> DataFrame:
+    """OR-merge partial bitsets per key (plus optional salt columns)
+    with a pure-JVM aggregate: seed with the first partial, zip_with
+    bitwise-OR the rest."""
+    group = ["key", *(extra_group or [])]
+    return (
+        partials.groupBy(*group)
+        .agg(F.collect_list("words").alias("wlist"))
+        .select(
+            *group,
+            F.expr(
+                "aggregate(slice(wlist, 2, greatest(size(wlist) - 1, 0)), wlist[0],"
+                " (acc, w) -> zip_with(acc, w, (a, b) -> a | b))"
+            ).alias("words"),
+        )
+    )
+
+
+def build_bloom_filters(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    p: float,
+    *,
+    merge_fanout: int = 64,
+) -> DataFrame:
+    """Build one Bloom filter per distinct `key_col` value over the
+    string form of `value_col`. Returns FILTER_SCHEMA rows.
+
+    Stage 1 (driver): per-key counts → (n, m, k). This is the
+    reference's linecount job (util/count-number-of-keys.py:33-38)
+    folded into groupBy().count() + a one-row-per-key collect.
+    Stage 2: hash every row (codegen) and fold each input partition
+    into per-key partial bitsets (Arrow batches, numpy).
+    Stage 3: two-level JVM OR-merge (partition-id salt, then key).
+    """
+    spark = df.sparkSession
+    k = num_hashes(p)
+    keyed = df.select(
+        F.col(key_col).cast("string").alias("__key"),
+        F.col(value_col).cast("string").alias("__value"),
+    ).filter(F.col("__key").isNotNull() & F.col("__value").isNotNull())
+
+    counts = keyed.groupBy("__key").count().collect()  # one row per key: tiny by design
+    if not counts:
+        return spark.createDataFrame([], FILTER_SCHEMA)
+    m_by_key = {r["__key"]: num_bits(r["count"], p) for r in counts}
+    n_by_key = {r["__key"]: int(r["count"]) for r in counts}
+
+    sizes = spark.createDataFrame(
+        [(kk, n_by_key[kk], int(m)) for kk, m in m_by_key.items()],
+        "__key string, n bigint, m bigint",
+    )
+
+    hashed = keyed.join(F.broadcast(sizes), "__key").select(
+        "__key", hash_indexes_col(F.col("__value"), F.col("m"), k).alias("__indexes")
+    )
+
+    partials = hashed.mapInPandas(_partition_partials(m_by_key, k), _PARTIAL_SCHEMA)
+
+    # Two-level merge keeps any single collect_list bounded: level 1
+    # groups by (key, partition_id % fanout), level 2 by key alone.
+    level1 = _or_merge(
+        partials.withColumn("__salt", F.spark_partition_id() % merge_fanout),
+        ["__salt"],
+    )
+    merged = _or_merge(level1.select("key", "words"))
+
+    return merged.join(
+        F.broadcast(
+            sizes.select(
+                F.col("__key").alias("key"), "n", "m", F.lit(k).cast("int").alias("k")
+            )
+        ),
+        "key",
+    ).select("key", "n", "m", "k", "words")
+
+
+# Probe expression: all k hash positions set ⇒ membership "maybe".
+# element_at is 1-based; i>>6 selects the word, 1<<(i&63) the bit.
+_PROBE_EXPR = (
+    "forall(__indexes, i ->"
+    " (element_at(words, int(shiftright(i, 6)) + 1) & shiftleft(1L, int(i & 63))) != 0)"
+)
+
+
+def probe_bloom_filters(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    filters: DataFrame,
+    *,
+    hit_col: str = "bloom_hit",
+) -> DataFrame:
+    """Probe each row's value against its key's filter.
+
+    Inner broadcast join ⇒ rows whose key has no filter are dropped —
+    the reference's skip-unknown-keys semantics
+    (BloomFilterMapper.java:89-93, bloomfilters_util.py:75-76).
+    Returns the input columns plus an integer `hit_col` (1 = maybe
+    present, 0 = definitely absent).
+    """
+    k_row = filters.select(F.max("k").alias("k")).collect()[0]
+    k = int(k_row["k"])
+    probe = df.withColumn("__key", F.col(key_col).cast("string")).withColumn(
+        "__value", F.col(value_col).cast("string")
+    )
+    joined = probe.join(
+        F.broadcast(filters.select(F.col("key").alias("__key"), "m", "words")), "__key"
+    )
+    return (
+        joined.withColumn("__indexes", hash_indexes_col(F.col("__value"), F.col("m"), k))
+        .withColumn(hit_col, F.expr(_PROBE_EXPR).cast("int"))
+        .drop("__key", "__value", "__indexes", "m", "words")
+    )
+
+
+def fp_report(probed: DataFrame, key_col: str, hit_col: str = "bloom_hit") -> DataFrame:
+    """Per-key (false_positives, total_tests, fp_rate) over a probe of
+    values known to be absent — the tester's output shape
+    (bloomfilters_tester.py:94-112, TesterResultsWritable.java:18-20).
+    """
+    return (
+        probed.groupBy(F.col(key_col).cast("string").alias("key"))
+        .agg(
+            F.sum(hit_col).cast("long").alias("false_positives"),
+            F.count(F.lit(1)).alias("total_tests"),
+        )
+        .withColumn("fp_rate", F.col("false_positives") / F.col("total_tests"))
+    )

@@ -1,0 +1,117 @@
+"""Bloom-filter pipeline as catalog queries (SURVEY.md §2 B2).
+
+The sizing query is fully SQL-expressible (the linecount job + the
+closed-form geometry), so it gets a real hash-matched oracle. The
+probe-side queries depend on the hash family, so they get rows-only
+checks — but `bloom_no_false_negatives` encodes the reference's hard
+invariant ("there can never be false negatives", spec PDF) as its
+oracle: the expected output is literally zero misses per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..bloom import build_bloom_filters, fp_report, probe_bloom_filters
+from ..bloom.pipeline import bloom_fp_pipeline, train_test_split
+from ..registry import register
+from ..tables import load_table
+
+P = 0.01
+
+
+# --- A1 + sizing math (bloomfilters_util.py:15,27): per-key n → (m, k).
+@register(
+    "bloom_sizing",
+    f"""
+    SELECT CAST(o_orderpriority AS VARCHAR) AS key,
+           COUNT(*) AS n,
+           CAST(CEIL(-COUNT(*) * LN({P}) / (LN(2) * LN(2))) AS BIGINT) AS m,
+           CAST(CEIL(-LN({P}) / LN(2)) AS INT) AS k
+    FROM orders GROUP BY 1
+    """,
+)
+def bloom_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    filters = build_bloom_filters(orders, "o_orderpriority", "o_orderkey", P)
+    return filters.select("key", "n", "m", "k")
+
+
+# --- spec invariant: probing the train set against its own filters can
+# never miss. Oracle = the expected zeros, per key.
+@register(
+    "bloom_no_false_negatives",
+    """
+    SELECT CAST(o_orderpriority AS VARCHAR) AS key,
+           CAST(0 AS BIGINT) AS false_negatives
+    FROM orders GROUP BY 1
+    """,
+)
+def bloom_no_false_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    filters = build_bloom_filters(orders, "o_orderpriority", "o_orderkey", P)
+    probed = probe_bloom_filters(orders, "o_orderpriority", "o_orderkey", filters)
+    return probed.groupBy(F.col("o_orderpriority").alias("key")).agg(
+        F.sum(1 - F.col("bloom_hit")).cast("long").alias("false_negatives")
+    )
+
+
+# --- the full tester pipeline (rows-only: fp counts depend on the
+# frozen hash family; the statistical check lives in tests/).
+@register("bloom_fp_report")
+def bloom_fp_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return bloom_fp_pipeline(orders, "o_orderpriority", "o_orderkey", p=P)
+
+
+# --- P5: seeded randomSplit (rows-only: partition-dependent row
+# assignment; invariants — disjoint + exhaustive — are tested in tests/).
+@register("random_split_counts")
+def random_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    train, test = train_test_split(orders)
+    return train.select(F.lit("train").alias("split")).union(
+        test.select(F.lit("test").alias("split"))
+    ).groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- Bloom semi-join pruning (the 100 TB use case): filter a big fact
+# table by membership of its join key in a filter built from a
+# dimension subset — the shuffle-free pre-filter for a selective join.
+# Exact-SQL twin: the true semi-join (bloom adds only false positives;
+# at p=0.01 and this data the FP count is >0 with ~certainty, so the
+# oracle checks the *exact semi-join* via bloom_hit-validated join
+# instead — we verify the superset property + fp bound in tests/ and
+# register the final exact result here: bloom prune + exact re-join,
+# which IS SQL-equal to the plain semi-join).
+@register(
+    "bloom_semijoin_prune",
+    """
+    SELECT l.l_orderkey, COUNT(*) AS n_items
+    FROM lineitem l
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_orderkey = l.l_orderkey AND o.o_orderpriority = '1-URGENT')
+    GROUP BY l.l_orderkey
+    """,
+)
+def bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    filters = build_bloom_filters(
+        urgent.withColumn("__g", F.lit("urgent")), "__g", "o_orderkey", P
+    )
+    # Stage 1: bloom prune — codegen'd probe, no shuffle of lineitem.
+    pruned = probe_bloom_filters(
+        li.withColumn("__g", F.lit("urgent")), "__g", "l_orderkey", filters
+    ).filter(F.col("bloom_hit") == 1)
+    # Stage 2: exact semi-join on the ~p-sized survivor set removes the
+    # false positives (at scale: a much smaller shuffle than joining
+    # the raw fact table).
+    exact = pruned.join(
+        urgent.select("o_orderkey"),
+        pruned.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
+    return exact.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))

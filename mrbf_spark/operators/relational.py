@@ -1,0 +1,365 @@
+"""Relational operator catalog (SURVEY.md §2, group B1) — the
+reference's scan/project/filter/map/reduce/join inventory re-expressed
+as Catalyst plans over the TESTDATA star schema, each with a DuckDB
+oracle.
+
+Design notes per operator cite the reference operator IDs from
+SURVEY.md §2 (P=predicate, M=map, A=aggregation, J=join, S=source,
+O=order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..exprs import davg, davg_sql, dsum, dsum_sql
+from ..registry import register
+from ..tables import load_table
+
+
+# --- A1+A3+M7: grouped aggregation, TPC-H Q1 shape. The reference's
+# linecount (grouped count) and tester reduce (grouped sums + ratio)
+# generalized to the canonical pricing-summary query. Catalyst gives
+# partial aggregation (the reference hand-rolls it via reduceByKey)
+# and pushes the shipdate filter into the parquet scan.
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           {davg_sql('l_quantity')} AS avg_qty,
+           {davg_sql('l_extendedprice')} AS avg_price,
+           {davg_sql('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- A1 + M2: grouped count keyed by the half-up rounding the
+# reference hard-codes (floor(x+0.5), bloomfilters_util.py:98 — NOT
+# round(), which is half-even for doubles in both engines).
+@register(
+    "grouped_count_halfup",
+    """
+    SELECT CAST(FLOOR(value + 0.5) AS BIGINT) AS value_key, COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def grouped_count_halfup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") + 0.5).cast("long").alias("value_key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- P1+P2: projection + predicate; filter and 3-column ReadSchema
+# push down to the parquet scan (verified via explain in tests).
+@register(
+    "projection_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+    """,
+)
+def projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp")).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+# --- J1: the reference tester's hand-rolled build-side-first join
+# (secondary sort + custom partitioner, ~140 LoC of Java) is exactly a
+# broadcast hash join on the small side. Dims (nation, customer at
+# this scale) are broadcast explicitly; at 100 TB orders stays the
+# probe side and never shuffles for the dim joins.
+@register(
+    "broadcast_join_agg",
+    f"""
+    SELECT n.n_name, COUNT(*) AS n_orders,
+           {dsum_sql('o.o_totalprice')} AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def broadcast_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )
+
+
+# --- J3: semi-join — the reference's implicit keep-if-key-known
+# filter (BloomFilterMapper.java:89-93) as a first-class LEFT SEMI.
+@register(
+    "semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+# --- anti-join (extension: NOT EXISTS twin of J3): customers who
+# never placed an urgent order — nontrivial at every sf.
+@register(
+    "anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# --- O1 generalized: top-k per group via window row_number (the
+# reference's secondary sort is the degenerate k=1 of this). Unique
+# (orderkey, linenumber) tie-break keeps the result deterministic.
+@register(
+    "topk_per_group",
+    """
+    SELECT * FROM (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS INT) AS rn
+      FROM lineitem) t
+    WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --- O3 + global sort/limit (TopK physical operator in Spark —
+# no full sort at scale, each partition keeps 10 then driver merges).
+@register(
+    "order_limit",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# --- distinct aggregation (A1 extension): exact distinct per group.
+@register(
+    "distinct_count",
+    """
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --- S6: multi-source union scan (the Hadoop tester's MultipleInputs
+# text+seqfile union) as unionByName over heterogeneous projections.
+@register(
+    "union_scan",
+    """
+    SELECT p_partkey AS id, p_name AS name, 'part' AS src FROM part
+    UNION ALL
+    SELECT s_suppkey AS id, s_name AS name, 'supplier' AS src FROM supplier
+    """,
+)
+def union_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("name"), F.lit("part").alias("src")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"), F.col("s_name").alias("name"), F.lit("supplier").alias("src")
+    )
+    return p.unionByName(s)
+
+
+# --- §2.7 extension: JSON extraction (events.props) — semi-structured
+# scalar path, JVM-side get_json_object.
+@register(
+    "json_extract_agg",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k_val", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.sum("k_val").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- M7: ratio / derived metric (the tester's fp_rate generalized):
+# integer conditional sum / count, divided in double.
+@register(
+    "ratio_metric",
+    """
+    SELECT event_type,
+           CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS high_ratio
+    FROM events GROUP BY event_type
+    """,
+)
+def ratio_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    flag = F.when(F.col("value") > 100, 1).otherwise(0)
+    return ev.groupBy("event_type").agg(
+        F.sum(flag).alias("n_high"),
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(flag).cast("double") / F.count(F.lit(1))).alias("high_ratio"),
+    )
+
+
+# --- grouping-sets extension: ROLLUP (subtotals + grand total).
+@register(
+    "rollup_agg",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           {dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+# --- pivot extension: per-returnflag quantity by linestatus.
+@register(
+    "pivot_sum",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_O,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+
+
+# --- date/time extension: monthly revenue (date_trunc; cast to DATE on
+# both sides — DuckDB's date_trunc returns DATE, Spark's TIMESTAMP).
+@register(
+    "date_trunc_month",
+    f"""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def date_trunc_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.to_date(F.date_trunc("month", "o_orderdate")).alias("order_month"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )
+
+
+# --- sessionization (gap > 30 min ⇒ new session) via lag + cumsum —
+# the batch twin of streaming session windows.
+@register(
+    "sessionization",
+    """
+    SELECT user_id,
+           CAST(SUM(new_sess) + 1 AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM (
+      SELECT user_id,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)) > 1800.0
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events) t
+    GROUP BY user_id
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.col("ts").cast("double")
+    new_sess = F.when(ts_s - F.lag(ts_s).over(w) > 1800.0, 1).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            (F.sum("new_sess") + 1).alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
