@@ -1,0 +1,69 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes its full plan into the noop sink (no driver-side
+collect cost) after a warm-up of the session; value = sum of per-query
+wall seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship bloom pipeline + one representative of
+# each operator family. Kept in sync with the catalog as it grows.
+HEADLINE = [
+    "bloom_fp_report",
+    "bloom_semijoin_prune",
+    "q1_pricing_summary",
+    "broadcast_join_agg",
+    "topk_per_group",
+    "sessionization",
+    "grouped_count_halfup",
+    "json_extract_agg",
+]
+
+
+def run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from mrbf_spark.session import get_spark
+    from mrbf_spark import catalog
+
+    spark = get_spark("mrbf-bench")
+    qs = catalog.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # Warm up the JVM + parquet footers with a trivial action.
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        run_query(qs[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

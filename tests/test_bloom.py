@@ -1,0 +1,93 @@
+"""Bloom build/probe semantics: the spec's hard no-false-negative
+invariant, the statistical FP bound, skip-unknown-key behavior, and
+the half-up rounding key (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from mrbf_spark.bloom import build_bloom_filters, fp_report, probe_bloom_filters
+from mrbf_spark.bloom.pipeline import bloom_fp_pipeline, half_up_key, train_test_split
+from mrbf_spark.tables import load_table
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return load_table(spark, SF_SMOKE, "orders").cache()
+
+
+def test_no_false_negatives(spark, orders):
+    """Spec: 'there can never be false negatives' — every inserted
+    element must probe positive."""
+    filters = build_bloom_filters(orders, "o_orderpriority", "o_orderkey", 0.05)
+    probed = probe_bloom_filters(orders, "o_orderpriority", "o_orderkey", filters)
+    assert probed.filter(F.col("bloom_hit") == 0).count() == 0
+
+
+def test_fp_rate_within_binomial_bound(spark, orders):
+    """Disjoint probe set ⇒ every hit is a false positive; the overall
+    rate must be statistically consistent with p (reference report §6
+    observed ≈ p ± 15% relative at much larger n; we use a generous
+    4-sigma binomial band for the small sf0.001 sample)."""
+    p = 0.05
+    rep = bloom_fp_pipeline(orders, "o_orderpriority", "o_orderkey", p=p).collect()
+    fp = sum(r["false_positives"] for r in rep)
+    n = sum(r["total_tests"] for r in rep)
+    sigma = (n * p * (1 - p)) ** 0.5
+    assert abs(fp - n * p) < 4 * sigma, f"fp={fp}, expected {n * p:.1f} ± {4*sigma:.1f}"
+
+
+def test_unknown_keys_skipped(spark, orders):
+    """Rows whose key has no filter are dropped, not errors
+    (BloomFilterMapper.java:89-93 semantics)."""
+    filters = build_bloom_filters(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+        "o_orderpriority",
+        "o_orderkey",
+        0.05,
+    )
+    probed = probe_bloom_filters(orders, "o_orderpriority", "o_orderkey", filters)
+    keys = [r["o_orderpriority"] for r in probed.select("o_orderpriority").distinct().collect()]
+    assert keys == ["1-URGENT"]
+
+
+def test_filter_table_shape(spark, orders):
+    filters = build_bloom_filters(orders, "o_orderpriority", "o_orderkey", 0.01)
+    rows = filters.collect()
+    assert {r["key"] for r in rows} == {
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+    }
+    for r in rows:
+        assert r["k"] == 7
+        assert len(r["words"]) == (r["m"] + 63) // 64
+        # at least one bit set, never more bits than k*n
+        popcount = sum(bin(w & (2**64 - 1)).count("1") for w in r["words"])
+        assert 0 < popcount <= r["k"] * r["n"]
+
+
+def test_empty_input_yields_empty_filters(spark, orders):
+    empty = orders.filter(F.lit(False))
+    filters = build_bloom_filters(empty, "o_orderpriority", "o_orderkey", 0.01)
+    assert filters.count() == 0
+
+
+def test_half_up_key(spark):
+    df = spark.createDataFrame(
+        [(1.49,), (1.5,), (2.5,), (3.49,), (10.0,), (-0.5,)], "x double"
+    )
+    got = [r[0] for r in df.select(half_up_key("x")).collect()]
+    # floor(x+0.5): matches int(x+0.5) for non-negative x
+    # (bloomfilters_util.py:98) and Java Math.round for all x.
+    assert got == [1, 2, 3, 3, 10, 0]
+
+
+def test_random_split_disjoint_exhaustive(spark, orders):
+    train, test = train_test_split(orders)
+    n_train, n_test, n_all = train.count(), test.count(), orders.count()
+    assert n_train + n_test == n_all
+    assert train.join(test, "o_orderkey", "inner").count() == 0
+    # roughly 60/40
+    assert 0.5 < n_train / n_all < 0.7
