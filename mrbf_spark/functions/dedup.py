@@ -1,0 +1,255 @@
+"""Deduplication operators over `documents` (north-star extension):
+exact, MinHash+LSH, SimHash, and n-gram Jaccard — the staples of a
+training-data pipeline, each designed so the candidate-generation step
+is a bounded equi-join (never an O(n²) cross join) at 100 TB.
+
+Exact dedup is fully oracle-checked. The hash-family-dependent ops
+(minhash/simhash) are rows-only, but their *verification* stage
+computes exact Jaccard on the candidates, so correctness reduces to
+set algebra that tests pin down separately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..tables import load_table
+from .text import FINGERPRINT_SQL, fingerprint_col
+
+# ---------------------------------------------------------------- exact
+
+
+# Exact dedup: group by normalized-text fingerprint, keep min doc_id.
+# The groupBy is a hash shuffle on the digest — uniform keys, no skew;
+# at 100 TB this is the cheapest possible full-corpus dedup.
+@register(
+    "dedup_exact",
+    f"""
+    SELECT {FINGERPRINT_SQL.format(e='text')} AS fingerprint,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", fingerprint_col(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# Survivor set (the actual dedup output a pipeline consumes).
+@register(
+    "dedup_exact_survivors",
+    f"""
+    SELECT MIN(doc_id) AS doc_id FROM documents
+    GROUP BY {FINGERPRINT_SQL.format(e='text')}
+    """,
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(fingerprint_col(F.col("text")).alias("fingerprint"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
+# ------------------------------------------------------------- shingles
+
+# Word n-gram shingles as a JVM expression: tokens → sliding windows.
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (array<string>), pure SQL exprs."""
+    tokens = F.split(F.lower(text), " ")
+    return F.array_distinct(
+        F.transform(
+            # start positions 0..T-n inclusive (sequence() is inclusive;
+            # greatest(...,0) keeps docs shorter than n as one short shingle)
+            F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        )
+    )
+
+
+def jaccard_col(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------- minhash/LSH
+
+MINHASH_PERMS = 64
+LSH_BANDS = 16  # 16 bands × 4 rows: catches jaccard ≳ 0.5 w.h.p.
+
+
+def minhash_signature_col(shingles: Column, num_perm: int = MINHASH_PERMS) -> Column:
+    """MinHash signature: per permutation i, min over shingles of
+    murmur3(shingle, seed=i) — same seeded-family trick as the Bloom
+    hashes (bloom/core.py), all JVM-side.
+
+    NB: the per-perm lambda must come from a factory — a default-arg
+    lambda (`lambda s, i=i: ...`) makes PySpark treat it as the
+    two-parameter (element, index) form and binds i to the array
+    index column.
+    """
+
+    def perm_hash(i: int):
+        return lambda s: F.hash(s, F.lit(i))
+
+    return F.array(
+        *[F.array_min(F.transform(shingles, perm_hash(i))) for i in range(num_perm)]
+    )
+
+
+def _banded(sigs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+    """Explode a signature into (band_id, band_hash) keys — the LSH
+    bucket join key. rows/band = len(sig)/bands."""
+    rows_per_band = MINHASH_PERMS // bands
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.hash(
+                    *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select("doc_id", "shingles", F.explode(band_cols).alias("band")).select(
+        "doc_id", "shingles", "band.band_id", "band.band_hash"
+    )
+
+
+def minhash_candidates(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """MinHash+LSH near-dup pairs: shingle → signature → band →
+    bucket self-join → exact-Jaccard verify. The self-join is on
+    (band_id, band_hash) — a bounded equi-join: only docs sharing a
+    bucket ever pair, so no cross join at any scale.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥
+    threshold, deduped across bands.
+    """
+    sigs = docs.select(
+        "doc_id", shingles_col(F.col("text")).alias("shingles")
+    ).withColumn("sig", minhash_signature_col(F.col("shingles")))
+    banded = _banded(sigs)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        pairs.withColumn("jaccard", jaccard_col(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@register("dedup_minhash_lsh")  # rows-only: hash-family-dependent
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_candidates(load_table(spark, sf_dir, "documents"))
+
+
+# -------------------------------------------------------------- simhash
+
+
+def simhash_col(tokens: Column, bits: int = 64) -> Column:
+    """64-bit SimHash over a token array: per bit, the sign of the
+    sum of ±1 across token hashes — expressed as one aggregate over
+    the token array per bit position, folded into a single long.
+    Pure JVM expressions, no UDF."""
+    h = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    def bit_merge(i: int):
+        return lambda acc, x: acc + F.when(
+            F.shiftright(x, i).bitwiseAND(F.lit(1).cast("long")) == 1, 1
+        ).otherwise(-1)
+
+    word = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_sum = F.aggregate(h, F.lit(0).cast("long"), bit_merge(i))
+        word = word.bitwiseOR(
+            F.when(bit_sum > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return word
+
+
+@register("dedup_simhash")  # rows-only: hash-family-dependent
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup buckets: docs sharing any 16-bit quarter of
+    their simhash (hamming ≤ 3 over 64 bits is caught by ≥1 equal
+    quarter w.h.p. — the standard Charikar banding)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        simhash_col(F.split(F.lower(F.col("text")), " ")).alias("simhash"),
+    )
+    quarters = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftright("simhash", q * 16)
+                        .bitwiseAND(F.lit(0xFFFF).cast("long"))
+                        .alias("qh"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.q", "b.qh")
+    a, b = quarters.alias("a"), quarters.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.qh") == F.col("b.qh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ------------------------------------------------------- n-gram jaccard
+
+
+@register("dedup_ngram_jaccard")  # rows-only (pair generation via LSH)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard over LSH candidates at a lower
+    threshold — the precision pass after minhash recall."""
+    return minhash_candidates(load_table(spark, sf_dir, "documents"), threshold=0.2)

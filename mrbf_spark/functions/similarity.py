@@ -1,0 +1,231 @@
+"""Similarity search over the `embeddings` table (north-star
+extension): brute-force cosine top-k as the exact baseline, and a
+random-hyperplane LSH variant as the scale path.
+
+Oracle-parity trick: dot products and norms are fixed-point — each
+per-element double product is scaled by 1e9 and TRUNCATED toward zero
+to a BIGINT on BOTH engines, then summed exactly (order-insensitive)
+and rescaled. Measured, not guessed: DuckDB's list_dot_product runs in
+float32, its double→DECIMAL cast truncates while Spark's rounds
+HALF_UP, and raw double sums are order-dependent — fixed-point is the
+one representation both engines agree on bit-for-bit. Cost: ≤64e-9
+absolute error vs the true cosine, irrelevant for ranking and far
+smaller than float32 input noise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+TOPK = 5
+N_QUERIES = 8  # vec_id < 8 are the query vectors
+
+
+FIXED_SCALE = 1_000_000_000  # 1e9: products ≤ ~64 keep sums ≪ 2^53
+
+
+def _decimal_dot(a: Column, b: Column) -> Column:
+    """Fixed-point dot product: Σ trunc(double(a_i)·double(b_i)·1e9)
+    as exact BIGINT, rescaled to double. Spark's double→long cast
+    truncates toward zero, matching DuckDB TRUNC()."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") * y.cast("double") * F.lit(float(FIXED_SCALE))).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+        lambda acc: acc.cast("double") / F.lit(float(FIXED_SCALE)),
+    )
+
+
+_NORMS_SQL = """
+norms AS (
+  SELECT vec_id,
+         CAST(CAST(SUM(CAST(TRUNC(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000000.0 AS nrm
+  FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings)
+  GROUP BY vec_id)
+"""
+
+_DOTS_SQL = f"""
+dots AS (
+  SELECT query_id, vec_id,
+         CAST(CAST(SUM(CAST(TRUNC(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE) * 1000000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000000.0 AS dot
+  FROM (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+               UNNEST(a.embedding) AS xa, UNNEST(b.embedding) AS xb
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id)
+  GROUP BY 1, 2)
+"""
+
+
+def norms_df(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id", _decimal_dot(F.col("embedding"), F.col("embedding")).alias("nrm")
+    )
+
+
+def cosine_pairs(queries: DataFrame, corpus: DataFrame) -> DataFrame:
+    """(query_id, vec_id, cosine) for every query × corpus pair.
+    Queries are broadcast (the small side by construction); the corpus
+    is scanned once — at 100 TB this is one pass, no shuffle of the
+    corpus."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _decimal_dot(F.col("embedding"), F.col("embedding")).alias("q_nrm"),
+    )
+    c = corpus.select(
+        "vec_id",
+        "embedding",
+        _decimal_dot(F.col("embedding"), F.col("embedding")).alias("c_nrm"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    cosine = _decimal_dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt(F.col("q_nrm")) * F.sqrt(F.col("c_nrm"))
+    )
+    return pairs.select("query_id", "vec_id", cosine.alias("cosine"))
+
+
+# --- exact brute-force top-k (the correctness baseline).
+@register(
+    "ann_bruteforce_topk",
+    f"""
+    WITH {_NORMS_SQL},
+    {_DOTS_SQL},
+    scored AS (
+      SELECT d.query_id, d.vec_id,
+             d.dot / (SQRT(nq.nrm) * SQRT(nc.nrm)) AS cosine
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.query_id
+      JOIN norms nc ON nc.vec_id = d.vec_id)
+    SELECT query_id, vec_id, cosine, rnk FROM (
+      SELECT query_id, vec_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, vec_id) AS INT) AS rnk
+      FROM scored) t
+    WHERE rnk <= {TOPK}
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    from pyspark.sql import Window as W
+
+    scored = cosine_pairs(queries, emb)
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+        .select("query_id", "vec_id", "cosine", "rnk")
+    )
+
+
+# --- LSH-bucketed ANN (the scale path): random-hyperplane signatures,
+# bucket equi-join, exact re-rank within buckets. Hyperplanes are a
+# fixed seeded matrix broadcast to executors; signature computation is
+# a vectorized pandas UDF (one matmul per Arrow batch).
+N_PLANES = 6
+LSH_SEED = 42
+
+
+def _hyperplanes(dim: int) -> np.ndarray:
+    return np.random.RandomState(LSH_SEED).randn(N_PLANES, dim)
+
+
+def lsh_bucket_udf(dim: int):
+    planes = _hyperplanes(dim)
+
+    @F.pandas_udf("long")
+    def bucket(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)  # batch × dim
+        bits = (mat @ planes.T) > 0  # batch × planes
+        vals = bits @ (1 << np.arange(N_PLANES, dtype=np.int64))
+        return pd.Series(vals.astype(np.int64))
+
+    return bucket
+
+
+@register("ann_lsh_topk")  # rows-only: bucket assignment is hash-like
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    bucket = lsh_bucket_udf(dim)
+    bucketed = emb.withColumn("bucket", bucket(F.col("embedding")))
+    queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket"),
+        _decimal_dot(F.col("embedding"), F.col("embedding")).alias("q_nrm"),
+    )
+    cands = bucketed.join(F.broadcast(queries), "bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cosine = _decimal_dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt(F.col("q_nrm")) * F.sqrt(_decimal_dot(F.col("embedding"), F.col("embedding")))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        cands.select("query_id", "vec_id", cosine.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+    )
+
+
+# --- embedding near-dup pairs (cosine ≥ τ within label groups):
+# the embedding-space twin of minhash dedup. Label partitioning bounds
+# the pair space; exact decimal cosine keeps it oracle-checkable.
+NEARDUP_TAU = 0.35
+
+
+@register(
+    "embedding_neardup",
+    f"""
+    WITH {_NORMS_SQL},
+    pair_dots AS (
+      SELECT a_id AS vec_a, b_id AS vec_b,
+             CAST(CAST(SUM(CAST(TRUNC(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE) * 1000000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000000.0 AS dot
+      FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   UNNEST(a.embedding) AS xa, UNNEST(b.embedding) AS xb
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id)
+      GROUP BY 1, 2)
+    SELECT vec_a, vec_b, cosine FROM (
+      SELECT vec_a, vec_b,
+             dot / (SQRT(na.nrm) * SQRT(nb.nrm)) AS cosine
+      FROM pair_dots
+      JOIN norms na ON na.vec_id = vec_a
+      JOIN norms nb ON nb.vec_id = vec_b) t
+    WHERE cosine >= {NEARDUP_TAU}
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    withn = emb.select(
+        "vec_id", "label", "embedding", _decimal_dot(F.col("embedding"), F.col("embedding")).alias("nrm")
+    )
+    a = withn.alias("a")
+    b = withn.alias("b")
+    pairs = a.join(
+        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    cosine = _decimal_dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.sqrt(F.col("a.nrm")) * F.sqrt(F.col("b.nrm"))
+    )
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEARDUP_TAU)
+    )

@@ -1,0 +1,197 @@
+"""Text-analysis operators over the `documents` table (north-star
+extension, BASELINE.json): token counting, quality scoring, language
+ID, document fingerprinting — all in built-in JVM expressions (no
+Python in the row path), all with DuckDB oracles.
+
+Portability rules for the oracles (learned the hard way):
+- counting substring occurrences uses the replace-trick
+  (len - len(replace())) / len(needle) — literal, engine-agnostic;
+  regex character classes differ between Java regex and RE2, so
+  regexes in oracle-checked queries stick to explicit classes.
+- token split is a literal single space on both sides (Spark split's
+  pattern ' ' ≡ DuckDB string_split ' ', both keep empty tokens).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..exprs import davg_sql, dsum
+from ..registry import register
+from ..tables import load_table
+
+# Stopword marker lists per language for the n-gram-ish heuristic.
+# Counts are of ' word ' with spaces — whole-word-ish, literal.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "is"],
+    "de": ["der", "die", "und", "ist"],
+    "es": ["el", "la", "los", "es"],
+}
+
+
+def occurrences(col: Column, needle: str) -> Column:
+    """Non-overlapping occurrence count of a literal substring."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def occurrences_sql(expr: str, needle: str) -> str:
+    escaped = needle.replace("'", "''")
+    return (
+        f"CAST((LENGTH({expr}) - LENGTH(REPLACE({expr}, '{escaped}', '')))"
+        f" / {len(needle)} AS BIGINT)"
+    )
+
+
+def marker_score(col: Column, lang: str) -> Column:
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    score = F.lit(0).cast("long")
+    for w in _LANG_MARKERS[lang]:
+        score = score + occurrences(padded, f" {w} ")
+    return score
+
+
+def marker_score_sql(expr: str, lang: str) -> str:
+    padded = f"(' ' || LOWER({expr}) || ' ')"
+    return " + ".join(occurrences_sql(padded, f" {w} ") for w in _LANG_MARKERS[lang])
+
+
+def token_count_col(col: Column) -> Column:
+    return F.size(F.split(col, " ")).cast("long")
+
+
+TOKEN_COUNT_SQL = "CAST(LEN(STRING_SPLIT({e}, ' ')) AS BIGINT)"
+
+
+# --- per-document token statistics (M1 tokenize generalized).
+@register(
+    "token_stats",
+    f"""
+    SELECT doc_id,
+           {TOKEN_COUNT_SQL.format(e='text')} AS n_tokens,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           {occurrences_sql('text', '.')} AS n_periods,
+           {occurrences_sql('text', ',')} AS n_commas,
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS n_nonspace
+    FROM documents
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count_col(t).alias("n_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+        occurrences(t, ".").alias("n_periods"),
+        occurrences(t, ",").alias("n_commas"),
+        F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("long").alias("n_nonspace"),
+    )
+
+
+# --- per-language corpus statistics (A1/A3 over text features).
+@register(
+    "text_stats",
+    f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM({TOKEN_COUNT_SQL.format(e='text')}) AS BIGINT) AS total_tokens,
+           {davg_sql('n_chars')} AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..exprs import davg
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_col(F.col("text"))).alias("total_tokens"),
+        davg("n_chars").alias("avg_chars"),
+    )
+
+
+# --- quality scoring: stopword ratio, mean token length, length prior.
+# Per-row double arithmetic (deterministic across engines — same IEEE
+# expression tree on both sides).
+@register(
+    "quality_score",
+    f"""
+    SELECT doc_id,
+           CAST({marker_score_sql('text', 'en')} AS DOUBLE)
+             / {TOKEN_COUNT_SQL.format(e='text')} AS stopword_ratio,
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+             / {TOKEN_COUNT_SQL.format(e='text')} AS mean_token_len,
+           LEAST(CAST({TOKEN_COUNT_SQL.format(e='text')} AS DOUBLE) / 100.0, 1.0)
+             AS length_prior
+    FROM documents
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tok = token_count_col(t)
+    return d.select(
+        "doc_id",
+        (marker_score(t, "en").cast("double") / n_tok).alias("stopword_ratio"),
+        (
+            F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double") / n_tok
+        ).alias("mean_token_len"),
+        F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0)).alias("length_prior"),
+    )
+
+
+# --- language ID: argmax of per-language stopword-marker scores
+# (n-gram-frequency heuristic; integer scores ⇒ exact tie-break).
+@register(
+    "lang_id",
+    f"""
+    SELECT doc_id,
+           CAST({marker_score_sql('text', 'en')} AS BIGINT) AS score_en,
+           CAST({marker_score_sql('text', 'de')} AS BIGINT) AS score_de,
+           CAST({marker_score_sql('text', 'es')} AS BIGINT) AS score_es,
+           CASE WHEN {marker_score_sql('text', 'en')} >= {marker_score_sql('text', 'de')}
+                 AND {marker_score_sql('text', 'en')} >= {marker_score_sql('text', 'es')}
+                THEN 'en'
+                WHEN {marker_score_sql('text', 'de')} >= {marker_score_sql('text', 'es')}
+                THEN 'de' ELSE 'es' END AS lang_guess
+    FROM documents
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    s_en, s_de, s_es = (marker_score(t, lang) for lang in ("en", "de", "es"))
+    return d.select(
+        "doc_id",
+        s_en.alias("score_en"),
+        s_de.alias("score_de"),
+        s_es.alias("score_es"),
+        F.when((s_en >= s_de) & (s_en >= s_es), "en")
+        .when(s_de >= s_es, "de")
+        .otherwise("es")
+        .alias("lang_guess"),
+    )
+
+
+# --- document fingerprint: md5 of whitespace-normalized lowercase
+# text — the canonical exact-dedup key.
+FINGERPRINT_SQL = "MD5(LOWER(REGEXP_REPLACE({e}, '[ ]+', ' ', 'g')))"
+
+
+def fingerprint_col(col: Column) -> Column:
+    return F.md5(F.lower(F.regexp_replace(col, "[ ]+", " ")))
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id, {FINGERPRINT_SQL.format(e='text')} AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_col(F.col("text")).alias("fingerprint"))

@@ -1,0 +1,119 @@
+"""Event-time windowing over `events` — batch twins (oracle-checked)
+plus the real Structured Streaming path (SURVEY.md §2.8: the reference
+has no streaming; this is the north-star extension).
+
+The batch queries use the same F.window expressions the streaming
+query uses, so the streaming test can assert stream == batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..exprs import dsum, dsum_sql
+from ..registry import register
+from ..tables import load_table
+
+
+# --- tumbling window (5 min): Spark window() starts are epoch-aligned,
+# exactly DuckDB's time_bucket.
+@register(
+    "window_tumbling",
+    f"""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {dsum_sql('value')} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+# --- sliding window (10 min width, 5 min slide): every event lands in
+# exactly two windows; the oracle enumerates both starts explicitly.
+@register(
+    "window_sliding",
+    f"""
+    SELECT window_start, COUNT(*) AS n, {dsum_sql('value')} AS total_value
+    FROM (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', value FROM events
+    ) GROUP BY 1
+    """,
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+# --- session window (batch form of stateful sessionization; 30 min
+# gap — the same semantics tests compare against the lag/cumsum
+# sessionization query).
+@register("session_window_agg")  # rows-only: session_window not in DuckDB
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (see tables.load_table)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str, query_name: str = "stream_out"):
+    """The REAL Structured Streaming pipeline: readStream over the
+    events parquet, watermark + tumbling window, memory sink.
+
+    Returns the started StreamingQuery; callers processAllAvailable()
+    then read `SELECT * FROM {query_name}`. On a cluster the source
+    swaps for Kafka/files and the sink for a real table — the middle
+    (watermark + window + agg) is the engine surface.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # FileStreamSource requires a directory or glob, not a bare file.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(f"{sf_dir}/events.parque[t]")
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
