@@ -45,8 +45,11 @@ def main() -> None:
     spark = get_spark("mrbf-bench")
     qs = catalog.queries()
     names = [n for n in HEADLINE if n in qs]
-    # Warm up the JVM + parquet footers with a trivial action.
+    # Warm up the JVM + parquet footers, and the Arrow Python workers
+    # (they're forked lazily per core on first pandas-UDF use — a
+    # fixed startup cost, not query throughput).
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    spark.range(10_000).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name in names:

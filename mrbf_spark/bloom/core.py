@@ -159,6 +159,14 @@ def build_bloom_filters(
         "__key", hash_indexes_col(F.col("__value"), F.col("m"), k).alias("__indexes")
     )
 
+    # Partition-count guard: the map-side fold parallelizes per input
+    # partition. Small inputs (one parquet file → one partition) would
+    # serialize on a single core, so spread them; at scale the input
+    # has ≫ cores partitions and this branch never shuffles.
+    target = spark.sparkContext.defaultParallelism
+    if keyed.rdd.getNumPartitions() < target:
+        hashed = hashed.repartition(target)
+
     partials = hashed.mapInPandas(_partition_partials(m_by_key, k), _PARTIAL_SCHEMA)
 
     # Two-level merge keeps any single collect_list bounded: level 1
@@ -194,6 +202,7 @@ def probe_bloom_filters(
     filters: DataFrame,
     *,
     hit_col: str = "bloom_hit",
+    k: int | None = None,
 ) -> DataFrame:
     """Probe each row's value against its key's filter.
 
@@ -201,10 +210,12 @@ def probe_bloom_filters(
     the reference's skip-unknown-keys semantics
     (BloomFilterMapper.java:89-93, bloomfilters_util.py:75-76).
     Returns the input columns plus an integer `hit_col` (1 = maybe
-    present, 0 = definitely absent).
+    present, 0 = definitely absent). Pass `k` (from sizing.num_hashes)
+    to skip the driver-side lookup action.
     """
-    k_row = filters.select(F.max("k").alias("k")).collect()[0]
-    k = int(k_row["k"])
+    if k is None:
+        k_row = filters.select(F.max("k").alias("k")).collect()[0]
+        k = int(k_row["k"])
     probe = df.withColumn("__key", F.col(key_col).cast("string")).withColumn(
         "__value", F.col(value_col).cast("string")
     )

@@ -51,7 +51,9 @@ def bloom_fp_pipeline(
     result shape (bloomfilters_tester.py:107-112). With a unique
     value_col the measured fp_rate should be ≈ p.
     """
+    from .sizing import num_hashes
+
     train, test = train_test_split(df, seed=seed)
     filters = build_bloom_filters(train, key_col, value_col, p).cache()
-    probed = probe_bloom_filters(test, key_col, value_col, filters)
+    probed = probe_bloom_filters(test, key_col, value_col, filters, k=num_hashes(p))
     return fp_report(probed, key_col)

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..bloom import build_bloom_filters, fp_report, probe_bloom_filters
+from ..bloom.sizing import num_hashes
 from ..bloom.pipeline import bloom_fp_pipeline, train_test_split
 from ..registry import register
 from ..tables import load_table
@@ -50,7 +51,7 @@ def bloom_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bloom_no_false_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     filters = build_bloom_filters(orders, "o_orderpriority", "o_orderkey", P)
-    probed = probe_bloom_filters(orders, "o_orderpriority", "o_orderkey", filters)
+    probed = probe_bloom_filters(orders, "o_orderpriority", "o_orderkey", filters, k=num_hashes(P))
     return probed.groupBy(F.col("o_orderpriority").alias("key")).agg(
         F.sum(1 - F.col("bloom_hit")).cast("long").alias("false_negatives")
     )
@@ -104,7 +105,7 @@ def bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Stage 1: bloom prune — codegen'd probe, no shuffle of lineitem.
     pruned = probe_bloom_filters(
-        li.withColumn("__g", F.lit("urgent")), "__g", "l_orderkey", filters
+        li.withColumn("__g", F.lit("urgent")), "__g", "l_orderkey", filters, k=num_hashes(P)
     ).filter(F.col("bloom_hit") == 1)
     # Stage 2: exact semi-join on the ~p-sized survivor set removes the
     # false positives (at scale: a much smaller shuffle than joining

@@ -1,0 +1,81 @@
+"""Plan-shape regression tests: the scale properties (pushdown,
+pruning, broadcast joins, JVM-only hot paths) asserted on the actual
+physical plans — a perf bug that reintroduces a shuffle or a Python
+stage in the probe path fails here long before a benchmark notices."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from mrbf_spark.bloom import build_bloom_filters, probe_bloom_filters
+from mrbf_spark.catalog import queries
+from mrbf_spark.tables import load_table
+
+from conftest import SF_SMOKE
+
+QS = queries()
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_pushed_to_scan(spark):
+    plan = physical_plan(QS["projection_filter"](spark, SF_SMOKE))
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in scan
+    # column pruning: only the 3 projected + 1 filter column are read
+    read_schema = scan.split("ReadSchema:")[1]
+    for col in ("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"):
+        assert col in read_schema
+    assert "l_partkey" not in read_schema and "l_comment" not in read_schema
+
+
+def test_dim_joins_are_broadcast(spark):
+    plan = physical_plan(QS["broadcast_join_agg"](spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_join_is_broadcast(spark):
+    plan = physical_plan(QS["semi_join"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_q1_uses_partial_aggregation(spark):
+    # map-side combine (the reference hand-rolls this via reduceByKey;
+    # Catalyst's HashAggregate partial→final must be present)
+    plan = physical_plan(QS["q1_pricing_summary"](spark, SF_SMOKE))
+    assert "partial_" in plan
+
+
+def test_bloom_probe_path_is_jvm_only_broadcast(spark):
+    """The probe side must be: scan → hash exprs → broadcast join →
+    filter probe. No Python stage, no shuffle of the probe table."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    filters = build_bloom_filters(orders, "o_orderpriority", "o_orderkey", 0.05)
+    filters = filters.cache()
+    filters.count()
+    probed = probe_bloom_filters(
+        orders, "o_orderpriority", "o_orderkey", filters, k=5
+    ).filter(F.col("bloom_hit") == 1)
+    plan = physical_plan(probed)
+    assert "BroadcastHashJoin" in plan
+    # the cached filter build contains Python (mapInPandas); the live
+    # probe section must not — strip the cached-relation subtree first
+    live = plan.split("InMemoryTableScan")[0]
+    assert "Python" not in live
+    assert "SortMergeJoin" not in live
+
+
+def test_topk_uses_window_not_global_sort(spark):
+    plan = physical_plan(QS["topk_per_group"](spark, SF_SMOKE))
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_order_limit_uses_topk_operator(spark):
+    # global ORDER BY + LIMIT must compile to TakeOrderedAndProject
+    # (per-partition top-k + driver merge), not a full sort
+    plan = physical_plan(QS["order_limit"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
