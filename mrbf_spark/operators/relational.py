@@ -363,3 +363,107 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# --- set operations (extension; the reference's split halves are
+# complementary samples, these are the declarative set-op forms).
+@register(
+    "set_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return urgent.intersect(low)
+
+
+@register(
+    "set_except",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    # subtract = set EXCEPT (drops ALL matching rows); exceptAll would
+    # keep surplus duplicates from the left side.
+    return urgent.subtract(low)
+
+
+# --- CUBE (all grouping-set combinations; ROLLUP's big sibling).
+@register(
+    "cube_agg",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           {dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+# --- scalar math surface (§2.7): IEEE-exact ops only (sqrt is
+# correctly-rounded per IEEE-754; transcendentals like exp/ln are NOT
+# bit-specified across runtimes and stay out of row-level outputs).
+@register(
+    "scalar_math",
+    """
+    SELECT o_orderkey,
+           SQRT(o_totalprice) AS sqrt_price,
+           ABS(o_totalprice - 100000.0) AS abs_dev,
+           CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS price_bucket,
+           CAST(o_orderkey % 7 AS BIGINT) AS key_mod
+    FROM orders
+    """,
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.sqrt("o_totalprice").alias("sqrt_price"),
+        F.abs(F.col("o_totalprice") - 100000.0).alias("abs_dev"),
+        F.floor(F.col("o_totalprice") / 1000.0).cast("long").alias("price_bucket"),
+        (F.col("o_orderkey") % 7).cast("long").alias("key_mod"),
+    )
+
+
+# --- string function surface (§2.7): the portable core.
+@register(
+    "string_funcs",
+    """
+    SELECT c_custkey,
+           UPPER(c_name) AS upper_name,
+           LOWER(c_mktsegment) AS lower_seg,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           CONCAT(c_mktsegment, '#', c_name) AS tagged,
+           CAST(STRPOS(c_name, '0') AS INT) AS zero_pos,
+           TRIM(c_name) AS trimmed,
+           REVERSE(c_mktsegment) AS rev_seg
+    FROM customer
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("upper_name"),
+        F.lower("c_mktsegment").alias("lower_seg"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("c_mktsegment"), F.lit("#"), F.col("c_name")).alias("tagged"),
+        F.instr(F.col("c_name"), "0").cast("int").alias("zero_pos"),
+        F.trim(F.col("c_name")).alias("trimmed"),
+        F.reverse(F.col("c_mktsegment")).alias("rev_seg"),
+    )

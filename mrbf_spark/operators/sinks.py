@@ -1,0 +1,101 @@
+"""Source/sink operators (SURVEY.md §2.1): the reference's text/TSV
+scans (S1/S2), text sinks (S7), pickle/SequenceFile filter persistence
+(S8/S9 → parquet here), and the getmerge coalesce (S11) — each as a
+write→read round-trip whose final result is oracle-checkable against
+the original parquet tables (the round-trip must be lossless, so the
+oracle never sees the intermediate file).
+
+Round-trip scratch space lives under the repo (.tmp/, gitignored);
+paths are sf-suffixed so concurrent runs at different scale factors
+don't collide.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..bloom import build_bloom_filters
+from ..exprs import dsum, dsum_sql
+from ..registry import register
+from ..tables import load_table
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp")
+
+
+def scratch(sf_dir: str, name: str) -> str:
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return os.path.join(_SCRATCH, f"{name}_{tag}")
+
+
+# --- S1+S7+S11: TSV sink → TSV scan (the reference's native format:
+# header'd, tab-separated; coalesce(1) mirrors the getmerge step).
+# The round trip must preserve values exactly: longs and strings are
+# textually lossless, and the double column is round-tripped via
+# Spark's shortest-repr formatting which parses back to the same bits.
+@register(
+    "tsv_roundtrip_agg",
+    f"""
+    SELECT l_returnflag, COUNT(*) AS n, {dsum_sql('l_extendedprice')} AS sum_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def tsv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    path = scratch(sf_dir, "tsv_lineitem")
+    li.coalesce(1).write.mode("overwrite").options(sep="\t", header=True).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+        ]
+    )
+    back = spark.read.options(sep="\t", header=True, mode="DROPMALFORMED").schema(schema).csv(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("sum_price")
+    )
+
+
+# --- S8/S9: filter persistence. The reference pickles `(rating,
+# list[bool])` (bloomfilters_builder.py:100) / writes SequenceFiles
+# (BloomFilterBuilder.java:74-75); here the packed filter table goes to
+# parquet and comes back bit-identical. Oracle = the sizing oracle
+# (geometry survives the round trip).
+@register(
+    "filter_parquet_roundtrip",
+    """
+    SELECT CAST(o_orderpriority AS VARCHAR) AS key,
+           COUNT(*) AS n,
+           CAST(CEIL(-COUNT(*) * LN(0.01) / (LN(2) * LN(2))) AS BIGINT) AS m,
+           CAST(CEIL(-LN(0.01) / LN(2)) AS INT) AS k
+    FROM orders GROUP BY 1
+    """,
+)
+def filter_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    filters = build_bloom_filters(orders, "o_orderpriority", "o_orderkey", 0.01)
+    path = scratch(sf_dir, "filters")
+    filters.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).select("key", "n", "m", "k")
+
+
+# --- M8: output formatting — the reference's "rating\tcount" text
+# render (count-number-of-keys.py:37, TesterResultsWritable.java:45-49).
+@register(
+    "formatted_output",
+    """
+    SELECT printf('%s\t%d', o_orderpriority, COUNT(*)) AS line
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def formatted_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.format_string(
+            "%s\t%d", F.col("o_orderpriority"), F.count(F.lit(1))
+        ).alias("line")
+    ).select("line")

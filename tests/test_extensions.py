@@ -113,3 +113,41 @@ def test_streaming_equals_batch(spark):
     batch_rows = {tuple(r) for r in queries()["window_tumbling"](spark, SF_SMOKE).collect()}
     assert stream_rows == batch_rows
     assert len(stream_rows) > 0
+
+
+def test_broadcast_probe_equals_join_probe(spark):
+    """The J2 broadcast-dict probe path must agree with the broadcast-
+    join probe row for row."""
+    from mrbf_spark.bloom import build_bloom_filters, probe_bloom_filters
+    from mrbf_spark.bloom.core import probe_bloom_filters_broadcast
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    filters = build_bloom_filters(orders, "o_orderpriority", "o_orderkey", 0.05).cache()
+    filters.count()
+    a = probe_bloom_filters(orders, "o_orderpriority", "o_orderkey", filters, k=5)
+    b = probe_bloom_filters_broadcast(orders, "o_orderpriority", "o_orderkey", filters)
+    ra = {(r["o_orderkey"], r["bloom_hit"]) for r in a.select("o_orderkey", "bloom_hit").collect()}
+    rb = {(r["o_orderkey"], r["bloom_hit"]) for r in b.select("o_orderkey", "bloom_hit").collect()}
+    assert ra == rb and len(ra) > 0
+
+
+def test_stateful_streaming_user_totals(spark):
+    """applyInPandasWithState end-to-end: final per-user counts must
+    equal the batch groupBy."""
+    from mrbf_spark.streaming.stateful import streaming_user_totals
+
+    q = streaming_user_totals(spark, SF_SMOKE, query_name="t_user_totals")
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT user_id, max(n_events) AS n FROM t_user_totals GROUP BY user_id"
+        ).collect()
+    finally:
+        q.stop()
+    stream_counts = {r["user_id"]: r["n"] for r in got}
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch_counts = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert stream_counts == batch_counts
