@@ -31,6 +31,12 @@ HEADLINE = [
     "sessionization",
     "grouped_count_halfup",
     "json_extract_agg",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_bruteforce_topk",
+    "window_tumbling",
+    "token_stats",
+    "skew_salted_join",
 ]
 
 

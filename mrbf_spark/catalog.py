@@ -9,6 +9,7 @@ from .registry import ORACLES, QUERIES
 from .operators import relational as _relational  # noqa: F401
 from .operators import bloom_queries as _bloom_queries  # noqa: F401
 from .operators import sinks as _sinks  # noqa: F401
+from .operators import skew as _skew  # noqa: F401
 from .functions import text as _text  # noqa: F401
 from .functions import dedup as _dedup  # noqa: F401
 from .functions import similarity as _similarity  # noqa: F401

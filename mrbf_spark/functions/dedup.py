@@ -87,42 +87,45 @@ MINHASH_PERMS = 64
 LSH_BANDS = 16  # 16 bands × 4 rows: catches jaccard ≳ 0.5 w.h.p.
 
 
-def minhash_signature_col(shingles: Column, num_perm: int = MINHASH_PERMS) -> Column:
-    """MinHash signature: per permutation i, min over shingles of
-    murmur3(shingle, seed=i) — same seeded-family trick as the Bloom
-    hashes (bloom/core.py), all JVM-side.
+def minhash_signatures(docs_shingled: DataFrame, num_perm: int = MINHASH_PERMS) -> DataFrame:
+    """MinHash signatures as 64 columns h0..h{63}: explode shingles
+    once, take per-permutation mins with plain aggregates.
 
-    NB: the per-perm lambda must come from a factory — a default-arg
-    lambda (`lambda s, i=i: ...`) makes PySpark treat it as the
-    two-parameter (element, index) form and binds i to the array
-    index column.
+    This shape matters for both engines and scale: the per-row
+    alternative (array_min over transform, ×64) materializes 64
+    arrays per document; the explode+agg form hashes each shingle 64
+    ways in one codegen'd projection and the mins partial-aggregate
+    map-side — shuffle is 64×8 B per (doc, partition), not the
+    shingle sets.
+
+    NB: the per-perm hash must come from a plain expression, never a
+    default-arg lambda in transform() — PySpark treats `lambda s,
+    i=i:` as the two-parameter (element, index) form and binds i to
+    the array index column (silent wrong results).
     """
-
-    def perm_hash(i: int):
-        return lambda s: F.hash(s, F.lit(i))
-
-    return F.array(
-        *[F.array_min(F.transform(shingles, perm_hash(i))) for i in range(num_perm)]
+    ex = docs_shingled.select("doc_id", F.explode("shingles").alias("sh"))
+    return ex.groupBy("doc_id").agg(
+        *[F.min(F.hash("sh", F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
     )
 
 
 def _banded(sigs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
-    """Explode a signature into (band_id, band_hash) keys — the LSH
-    bucket join key. rows/band = len(sig)/bands."""
+    """(doc_id, band_id, band_hash) bucket keys from h0..h63 columns;
+    rows/band = num_perm/bands."""
     rows_per_band = MINHASH_PERMS // bands
     band_cols = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
                 F.hash(
-                    *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
                 ).alias("band_hash"),
             )
             for b in range(bands)
         ]
     )
-    return sigs.select("doc_id", "shingles", F.explode(band_cols).alias("band")).select(
-        "doc_id", "shingles", "band.band_id", "band.band_hash"
+    return sigs.select("doc_id", F.explode(band_cols).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_hash"
     )
 
 
@@ -135,10 +138,8 @@ def minhash_candidates(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥
     threshold, deduped across bands.
     """
-    sigs = docs.select(
-        "doc_id", shingles_col(F.col("text")).alias("shingles")
-    ).withColumn("sig", minhash_signature_col(F.col("shingles")))
-    banded = _banded(sigs)
+    shingled = docs.select("doc_id", shingles_col(F.col("text")).alias("shingles"))
+    banded = _banded(minhash_signatures(shingled))
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -148,16 +149,19 @@ def minhash_candidates(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sh_a = shingled.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sh_b = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
     return (
-        pairs.withColumn("jaccard", jaccard_col(F.col("sh_a"), F.col("sh_b")))
+        pairs.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard", jaccard_col(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

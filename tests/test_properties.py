@@ -1,0 +1,73 @@
+"""Property-based tests (hypothesis): the engine's scalar semantics
+pinned against their reference definitions over generated inputs."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from mrbf_spark.bloom.sizing import num_bits, num_hashes
+
+
+@given(st.floats(min_value=1e-9, max_value=0.999999))
+def test_sizing_formulas_match_reference_math(p):
+    # bloomfilters_util.py:15 — k = ceil(-ln p / ln 2)
+    assert num_hashes(p) == math.ceil(-math.log(p) / math.log(2))
+
+
+@given(st.integers(min_value=1, max_value=10**12), st.floats(min_value=1e-9, max_value=0.5))
+def test_num_bits_positive_and_monotone_in_n(n, p):
+    m = num_bits(n, p)
+    assert m >= 1
+    assert num_bits(n + 1, p) >= m  # more elements never shrink the filter
+
+
+@given(st.floats(min_value=0.0, max_value=1e6, allow_nan=False))
+def test_half_up_matches_reference_python(x):
+    # the reference's int(float(x) + 0.5) (bloomfilters_util.py:98)
+    # vs our floor(x + 0.5) — identical for the non-negative domain
+    # IMDb ratings live in; property-checked rather than assumed.
+    assert math.floor(x + 0.5) == int(x + 0.5)
+
+
+# ---- engine-level properties on small generated corpora (one Spark
+# round per example is too slow; batch the examples into one DataFrame).
+
+
+def test_bloom_no_false_negatives_random_corpus(spark):
+    """Any corpus: every inserted value probes positive (spec hard
+    invariant) — checked over a hypothesis-generated corpus batch."""
+    import pyspark.sql.functions as F
+
+    from mrbf_spark.bloom import build_bloom_filters, probe_bloom_filters
+
+    corpus = st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.text(min_size=0, max_size=40),
+        ),
+        min_size=1,
+        max_size=300,
+    ).example()
+    df = spark.createDataFrame(corpus, "k string, v string")
+    filters = build_bloom_filters(df, "k", "v", 0.05)
+    probed = probe_bloom_filters(df, "k", "v", filters, k=num_hashes(0.05))
+    assert probed.filter(F.col("bloom_hit") == 0).count() == 0
+
+
+@given(
+    st.lists(st.text(alphabet="ab ", min_size=1, max_size=30), min_size=1, max_size=8)
+)
+@settings(max_examples=10, deadline=None)
+def test_fingerprint_whitespace_invariance(texts):
+    """doc_fingerprint must be invariant to repeated spaces and case —
+    its two normalization axes (checked via the same md5 the query
+    computes, python-side to avoid a Spark round per example)."""
+    import hashlib
+    import re
+
+    for t in texts:
+        norm = lambda s: hashlib.md5(re.sub(" +", " ", s.lower()).encode()).hexdigest()
+        assert norm(t) == norm(t.upper())
+        assert norm(t) == norm(t.replace(" ", "  "))
