@@ -467,3 +467,108 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.col("c_name")).alias("trimmed"),
         F.reverse(F.col("c_mktsegment")).alias("rev_seg"),
     )
+
+
+# --- HAVING (post-aggregation predicate).
+@register(
+    "having_filter",
+    f"""
+    SELECT o_custkey, COUNT(*) AS n_orders, {dsum_sql('o_totalprice')} AS spend
+    FROM orders GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    """,
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("spend"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+# --- scalar subquery: orders above the global mean price. The mean is
+# decimal-exact (order-insensitive) so both engines agree bitwise;
+# Catalyst plans the inner aggregate as a one-row subquery broadcast
+# into the filter, i.e. two passes over orders, no join shuffle.
+@register(
+    "scalar_subquery",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+      FROM orders)
+    """,
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM __orders_sq
+        WHERE o_totalprice > (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+          FROM __orders_sq)
+        """
+    )
+
+
+# --- correlated subquery (per-group threshold): lineitems priced above
+# their order's average — decorrelates to a join on the group key.
+@register(
+    "correlated_subquery",
+    """
+    SELECT l.l_orderkey, l.l_linenumber FROM lineitem l
+    WHERE l.l_extendedprice > (
+      SELECT CAST(SUM(CAST(l2.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+      FROM lineitem l2 WHERE l2.l_orderkey = l.l_orderkey)
+    """,
+)
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__lineitem_cs")
+    return spark.sql(
+        """
+        SELECT l.l_orderkey, l.l_linenumber FROM __lineitem_cs l
+        WHERE l.l_extendedprice > (
+          SELECT CAST(SUM(CAST(l2.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+          FROM __lineitem_cs l2 WHERE l2.l_orderkey = l.l_orderkey)
+        """
+    )
+
+
+# --- TPC-H Q3 shape: 3-way join + filter + agg + top-k by revenue.
+@register(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+           CAST(o_orderdate AS DATE) AS order_date
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("order_date"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "order_date")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )

@@ -42,11 +42,13 @@ def scratch(sf_dir: str, name: str) -> str:
     """,
 )
 def tsv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.text_files import read_tsv, write_tsv
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_extendedprice"
     )
     path = scratch(sf_dir, "tsv_lineitem")
-    li.coalesce(1).write.mode("overwrite").options(sep="\t", header=True).csv(path)
+    write_tsv(li, path, single_file=True)
     schema = T.StructType(
         [
             T.StructField("l_orderkey", T.LongType()),
@@ -54,7 +56,7 @@ def tsv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("l_extendedprice", T.DoubleType()),
         ]
     )
-    back = spark.read.options(sep="\t", header=True, mode="DROPMALFORMED").schema(schema).csv(path)
+    back = read_tsv(spark, path, schema)
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("sum_price")
     )
