@@ -155,15 +155,33 @@ def lsh_bucket_udf(dim: int):
 
 @register("ann_lsh_topk")  # rows-only: bucket assignment is hash-like
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH: each query probes its own bucket plus every
+    single-bit-flip neighbor (N_PLANES+1 probes) — the standard recall
+    fix for single-table hyperplane LSH. The corpus is bucketed once;
+    only the tiny query side is replicated, so the join stays a
+    broadcast equi-join with candidate count ≈ (planes+1)/2^planes of
+    the corpus per query."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
     bucket = lsh_bucket_udf(dim)
     bucketed = emb.withColumn("bucket", bucket(F.col("embedding")))
-    queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("bucket"),
-        _decimal_dot(F.col("embedding"), F.col("embedding")).alias("q_nrm"),
+    probes = F.explode(
+        F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << b).cast("long"))
+                for b in range(N_PLANES)
+            ],
+        )
+    )
+    queries = (
+        bucketed.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            probes.alias("bucket"),
+            _decimal_dot(F.col("embedding"), F.col("embedding")).alias("q_nrm"),
+        )
     )
     cands = bucketed.join(F.broadcast(queries), "bucket").filter(
         F.col("vec_id") != F.col("query_id")
@@ -176,6 +194,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
     return (
         cands.select("query_id", "vec_id", cosine.alias("cosine"))
+        # a candidate can collide with the same query in several probe
+        # buckets — dedupe before ranking or ranks get inflated
+        .dropDuplicates(["query_id", "vec_id"])
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOPK)
     )

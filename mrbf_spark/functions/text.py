@@ -195,3 +195,27 @@ def fingerprint_col(col: Column) -> Column:
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint_col(F.col("text")).alias("fingerprint"))
+
+
+# --- BPE-ish token counting: split on word/number/punct boundaries
+# with an explicit regex (identical semantics in Java regex and RE2 —
+# no \w/\s class differences).
+_BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@register(
+    "bpe_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '{_BPE_ISH}')) AS BIGINT) AS n_bpe_tokens,
+           {TOKEN_COUNT_SQL.format(e='text')} AS n_ws_tokens
+    FROM documents
+    """,
+)
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_BPE_ISH)).cast("long").alias("n_bpe_tokens"),
+        token_count_col(F.col("text")).alias("n_ws_tokens"),
+    )

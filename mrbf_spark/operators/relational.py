@@ -572,3 +572,34 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+# --- exact discrete median (quantile without interpolation — the
+# interpolated form is engine-divergent in low bits; percentile_disc
+# picks an actual data value, so it compares exactly).
+@register(
+    "median_disc",
+    """
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.5) AS median_price,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def median_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # percentile_disc semantics: smallest value with cume_dist >= q.
+    # Expressed via window cume_dist + min — exact, engine-portable.
+    w = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.select("l_returnflag", "l_extendedprice").withColumn(
+        "cd", F.cume_dist().over(w)
+    )
+    return (
+        ranked.filter(F.col("cd") >= 0.5)
+        .groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("median_price"))
+        .join(
+            li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")),
+            "l_returnflag",
+        )
+    )
