@@ -603,3 +603,66 @@ def median_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
         )
     )
+
+
+# --- as-of join (Spark has no native one; the guide's pattern):
+# latest prior 'click' per user for each 'error' event, via tagged
+# union + running last_value — one shuffle on (user_id), no range
+# explosion. The oracle uses DuckDB's NATIVE ASOF JOIN: two genuinely
+# different implementations must agree row-for-row.
+@register(
+    "asof_join",
+    """
+    SELECT e.event_id, e.user_id, c.ts AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("error", "click")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "click").alias("is_click"),
+    )
+    # within a user, clicks sort before errors at equal ts (ASOF is
+    # inclusive: e.ts >= c.ts)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_click").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    running = tagged.withColumn(
+        "last_click_ts",
+        F.last(F.when(F.col("is_click"), F.col("ts")), ignorenulls=True).over(w),
+    )
+    return running.filter(~F.col("is_click")).select(
+        "event_id", "user_id", "last_click_ts"
+    )
+
+
+# --- left outer join with null-producing side + null-safe aggregate.
+@register(
+    "outer_join_agg",
+    """
+    SELECT c.c_custkey,
+           CAST(COALESCE(o.n_urgent, 0) AS BIGINT) AS n_urgent
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_urgent FROM orders
+               WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) o
+      ON o.o_custkey = c.c_custkey
+    """,
+)
+def outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", F.coalesce(F.col("n_urgent"), F.lit(0)).cast("long").alias("n_urgent")
+    )

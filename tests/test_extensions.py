@@ -151,3 +151,35 @@ def test_stateful_streaming_user_totals(spark):
         for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert stream_counts == batch_counts
+
+
+def test_streaming_foreachbatch_parquet_sink(spark, tmp_path):
+    """foreachBatch: the exactly-once sink pattern — each micro-batch
+    written transactionally to parquet; final table equals batch."""
+    from mrbf_spark.streaming.windows import EVENTS_RAW_SCHEMA
+
+    out_dir = str(tmp_path / "fb_out")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(SF_SMOKE + "/events.parque[t]")
+    )
+    counted = raw.groupBy("event_type").count()
+
+    def sink(batch_df, epoch_id):
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        counted.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["event_type"]: r["count"] for r in spark.read.parquet(out_dir).collect()}
+    ev = load_table(spark, SF_SMOKE, "events")
+    want = {r["event_type"]: r["count"] for r in ev.groupBy("event_type").count().collect()}
+    assert got == want
