@@ -1,0 +1,134 @@
+"""CLI entry points — the reference's four spark-submit jobs
+(§2.10: split-dataset, count-number-of-keys, bloomfilters_builder,
+bloomfilters_tester — sh-scripts/0..3) generalized to arbitrary
+parquet inputs and key/value columns.
+
+    python -m mrbf_spark split --input T.parquet --out-train A --out-test B
+    python -m mrbf_spark linecount --input A --key rating --out C
+    python -m mrbf_spark build --input A --key rating --value movieId -p 0.01 --out F
+    python -m mrbf_spark test --input B --filters F --key rating --value movieId --out R
+    python -m mrbf_spark pipeline --input T.parquet --key rating --value movieId -p 0.01
+
+`pipeline` runs the whole four-job sequence in one Spark application
+(what the reference needs four spark-submits + a getmerge for).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark(f"mrbf-{args.cmd}")
+
+
+def cmd_split(args) -> None:
+    from .bloom.pipeline import train_test_split
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    train, test = train_test_split(df, (args.train_frac, 1 - args.train_frac), args.seed)
+    train.write.mode("overwrite").parquet(args.out_train)
+    test.write.mode("overwrite").parquet(args.out_test)
+    print(f"split: {train.count()} train / {test.count()} test rows")
+
+
+def cmd_linecount(args) -> None:
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    counts = df.groupBy(F.col(args.key).alias("key")).count()
+    counts.write.mode("overwrite").parquet(args.out)
+    print(f"linecount: {counts.count()} keys")
+
+
+def cmd_build(args) -> None:
+    from .bloom import build_bloom_filters
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    filters = build_bloom_filters(df, args.key, args.value, args.p)
+    filters.write.mode("overwrite").parquet(args.out)
+    print(f"build: {filters.count()} filters (p={args.p})")
+
+
+def cmd_test(args) -> None:
+    from .bloom import fp_report, probe_bloom_filters
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    filters = spark.read.parquet(args.filters)
+    probed = probe_bloom_filters(df, args.key, args.value, filters)
+    report = fp_report(probed, args.key)
+    report.write.mode("overwrite").parquet(args.out)
+    for r in sorted(report.collect(), key=lambda r: r["key"]):
+        print(f"{r['key']}\t{r['false_positives']}\t{r['total_tests']}\t{r['fp_rate']:.8f}")
+
+
+def cmd_pipeline(args) -> None:
+    from .bloom.pipeline import bloom_fp_pipeline
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    report = bloom_fp_pipeline(df, args.key, args.value, p=args.p, seed=args.seed)
+    if args.out:
+        report.write.mode("overwrite").parquet(args.out)
+    for r in sorted(report.collect(), key=lambda r: r["key"]):
+        print(f"{r['key']}\t{r['false_positives']}\t{r['total_tests']}\t{r['fp_rate']:.8f}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="mrbf_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_split = sub.add_parser("split", help="seeded train/test split (job 0)")
+    p_split.add_argument("--input", required=True)
+    p_split.add_argument("--out-train", required=True)
+    p_split.add_argument("--out-test", required=True)
+    p_split.add_argument("--train-frac", type=float, default=0.6)
+    p_split.add_argument("--seed", type=int, default=42)
+
+    p_lc = sub.add_parser("linecount", help="per-key cardinality (job 1)")
+    p_lc.add_argument("--input", required=True)
+    p_lc.add_argument("--key", required=True)
+    p_lc.add_argument("--out", required=True)
+
+    p_build = sub.add_parser("build", help="build per-key bloom filters (job 2/3a)")
+    p_build.add_argument("--input", required=True)
+    p_build.add_argument("--key", required=True)
+    p_build.add_argument("--value", required=True)
+    p_build.add_argument("-p", type=float, default=0.01)
+    p_build.add_argument("--out", required=True)
+
+    p_test = sub.add_parser("test", help="probe + FP report (job 2b/3b)")
+    p_test.add_argument("--input", required=True)
+    p_test.add_argument("--filters", required=True)
+    p_test.add_argument("--key", required=True)
+    p_test.add_argument("--value", required=True)
+    p_test.add_argument("--out", required=True)
+
+    p_pipe = sub.add_parser("pipeline", help="all four jobs in one app")
+    p_pipe.add_argument("--input", required=True)
+    p_pipe.add_argument("--key", required=True)
+    p_pipe.add_argument("--value", required=True)
+    p_pipe.add_argument("-p", type=float, default=0.01)
+    p_pipe.add_argument("--seed", type=int, default=42)
+    p_pipe.add_argument("--out", default=None)
+
+    args = ap.parse_args(argv)
+    {
+        "split": cmd_split,
+        "linecount": cmd_linecount,
+        "build": cmd_build,
+        "test": cmd_test,
+        "pipeline": cmd_pipeline,
+    }[args.cmd](args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -299,3 +299,83 @@ def probe_bloom_filters_broadcast(
     return probe.withColumn(hit_col, probe_udf(F.col("__key"), F.col("__indexes"))).drop(
         "__key", "__m", "__indexes"
     )
+
+
+def build_bloom_filters_sql(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    p: float,
+) -> DataFrame:
+    """Pure-JVM Bloom build — zero Python anywhere: explode the k hash
+    indexes, fold bits into 64-bit words with the BIT_OR aggregate,
+    then assemble the dense word array with a sequence/map lookup.
+
+    Scale shape: the explode emits n·k (key, word_idx, bit) rows, but
+    HashAggregate's map-side partial BIT_OR collapses them to at most
+    n_keys × m/64 rows per input partition before the shuffle — the
+    same shuffle bound as the mapInPandas fold, with whole-stage
+    codegen end to end and no Python worker processes.
+
+    Produces bit-identical output to build_bloom_filters (tested).
+
+    MEASURED: at 3M rows this is ~16× slower than the mapInPandas
+    fold (35 s vs 2.2 s warm on local[32]) — per-row HashAggregate
+    work on the n·k exploded rows loses to numpy's vectorized
+    bitwise_or over Arrow batches, even though both shuffle the same
+    bytes. Kept as the no-Python-workers alternative (e.g. a
+    JVM-only deployment), NOT as the default.
+    """
+    spark = df.sparkSession
+    k = num_hashes(p)
+    keyed = df.select(
+        F.col(key_col).cast("string").alias("__key"),
+        F.col(value_col).cast("string").alias("__value"),
+    ).filter(F.col("__key").isNotNull() & F.col("__value").isNotNull())
+
+    counts = keyed.groupBy("__key").count().collect()
+    if not counts:
+        return spark.createDataFrame([], FILTER_SCHEMA)
+    sizes = spark.createDataFrame(
+        [(r["__key"], int(r["count"]), int(num_bits(r["count"], p))) for r in counts],
+        "__key string, n bigint, m bigint",
+    )
+
+    idx = (
+        keyed.join(F.broadcast(sizes), "__key")
+        .select(
+            "__key",
+            F.explode(
+                hash_indexes_col(F.col("__value"), F.col("m"), k)
+            ).alias("__idx"),
+        )
+        .select(
+            "__key",
+            # SQL-expr forms: the Python shiftleft/shiftright helpers
+            # only take literal ints for the shift amount
+            F.expr("shiftright(__idx, 6)").alias("__widx"),
+            F.expr("shiftleft(1L, int(__idx & 63))").alias("__bit"),
+        )
+    )
+    words = idx.groupBy("__key", "__widx").agg(F.bit_or("__bit").alias("__word"))
+
+    assembled = (
+        words.groupBy("__key")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__widx", "__word"))
+            ).alias("__wmap")
+        )
+        .join(F.broadcast(sizes), "__key")
+        .select(
+            F.col("__key").alias("key"),
+            "n",
+            "m",
+            F.lit(k).cast("int").alias("k"),
+            F.expr(
+                "transform(sequence(0, int((m + 63) / 64) - 1),"
+                " i -> coalesce(__wmap[bigint(i)], 0L))"
+            ).alias("words"),
+        )
+    )
+    return assembled

@@ -91,3 +91,19 @@ def test_random_split_disjoint_exhaustive(spark, orders):
     assert train.join(test, "o_orderkey", "inner").count() == 0
     # roughly 60/40
     assert 0.5 < n_train / n_all < 0.7
+
+
+def test_sql_build_bit_identical_to_default(spark, orders):
+    """The pure-JVM build variant must produce exactly the same
+    filters as the mapInPandas fold."""
+    from mrbf_spark.bloom.core import build_bloom_filters_sql
+
+    a = {
+        r["key"]: (r["n"], r["m"], r["k"], r["words"])
+        for r in build_bloom_filters(orders, "o_orderpriority", "o_orderkey", 0.05).collect()
+    }
+    b = {
+        r["key"]: (r["n"], r["m"], r["k"], r["words"])
+        for r in build_bloom_filters_sql(orders, "o_orderpriority", "o_orderkey", 0.05).collect()
+    }
+    assert a == b
