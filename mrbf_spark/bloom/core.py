@@ -195,6 +195,12 @@ _PROBE_EXPR = (
 )
 
 
+# Above this many bitset bytes the filter table stops being a sane
+# broadcast (executor memory × fan-out); the probe falls back to a
+# plain key join and Catalyst picks the shuffle strategy.
+BROADCAST_CEILING_BYTES = 512 * 1024 * 1024
+
+
 def probe_bloom_filters(
     df: DataFrame,
     key_col: str,
@@ -203,25 +209,35 @@ def probe_bloom_filters(
     *,
     hit_col: str = "bloom_hit",
     k: int | None = None,
+    broadcast: bool | str = "auto",
 ) -> DataFrame:
     """Probe each row's value against its key's filter.
 
-    Inner broadcast join ⇒ rows whose key has no filter are dropped —
-    the reference's skip-unknown-keys semantics
+    Inner join ⇒ rows whose key has no filter are dropped — the
+    reference's skip-unknown-keys semantics
     (BloomFilterMapper.java:89-93, bloomfilters_util.py:75-76).
     Returns the input columns plus an integer `hit_col` (1 = maybe
     present, 0 = definitely absent). Pass `k` (from sizing.num_hashes)
     to skip the driver-side lookup action.
+
+    broadcast: True forces the broadcast hint, False a plain join,
+    "auto" (default) broadcasts only while the total bitset size is
+    under BROADCAST_CEILING_BYTES (one extra tiny aggregate over the
+    one-row-per-key filter table).
     """
     if k is None:
         k_row = filters.select(F.max("k").alias("k")).collect()[0]
         k = int(k_row["k"])
+    if broadcast == "auto":
+        total_bits = filters.select(F.sum("m").alias("s")).collect()[0]["s"] or 0
+        broadcast = (int(total_bits) >> 3) <= BROADCAST_CEILING_BYTES
     probe = df.withColumn("__key", F.col(key_col).cast("string")).withColumn(
         "__value", F.col(value_col).cast("string")
     )
-    joined = probe.join(
-        F.broadcast(filters.select(F.col("key").alias("__key"), "m", "words")), "__key"
-    )
+    build_side = filters.select(F.col("key").alias("__key"), "m", "words")
+    if broadcast:
+        build_side = F.broadcast(build_side)
+    joined = probe.join(build_side, "__key")
     return (
         joined.withColumn("__indexes", hash_indexes_col(F.col("__value"), F.col("m"), k))
         .withColumn(hit_col, F.expr(_PROBE_EXPR).cast("int"))

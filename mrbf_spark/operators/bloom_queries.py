@@ -50,7 +50,7 @@ def bloom_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bloom_no_false_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    filters = build_bloom_filters(orders, "o_orderpriority", "o_orderkey", P)
+    filters = build_bloom_filters(orders, "o_orderpriority", "o_orderkey", P).cache()
     probed = probe_bloom_filters(orders, "o_orderpriority", "o_orderkey", filters, k=num_hashes(P))
     return probed.groupBy(F.col("o_orderpriority").alias("key")).agg(
         F.sum(1 - F.col("bloom_hit")).cast("long").alias("false_negatives")
@@ -102,7 +102,7 @@ def bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
     filters = build_bloom_filters(
         urgent.withColumn("__g", F.lit("urgent")), "__g", "o_orderkey", P
-    )
+    ).cache()
     # Stage 1: bloom prune — codegen'd probe, no shuffle of lineitem.
     pruned = probe_bloom_filters(
         li.withColumn("__g", F.lit("urgent")), "__g", "l_orderkey", filters, k=num_hashes(P)

@@ -666,3 +666,16 @@ def outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(o, c.c_custkey == o.o_custkey, "left").select(
         "c_custkey", F.coalesce(F.col("n_urgent"), F.lit(0)).cast("long").alias("n_urgent")
     )
+
+
+# --- sketch aggregates (rows-only: HLL/KLL internals are
+# engine-specific; the accuracy bound vs exact is pinned in tests).
+# At 100 TB these replace their exact twins: one pass, bounded state.
+@register("approx_aggregates")
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )

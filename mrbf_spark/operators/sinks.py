@@ -101,3 +101,26 @@ def formatted_output(spark: SparkSession, sf_dir: str) -> DataFrame:
             "%s\t%d", F.col("o_orderpriority"), F.count(F.lit(1))
         ).alias("line")
     ).select("line")
+
+
+# --- partitioned sink + partition-pruned scan: write partitioned by a
+# key, read back with a partition predicate — the scan must touch only
+# the matching directory (PartitionFilters; pinned in test_plans).
+@register(
+    "partitioned_sink_prune",
+    f"""
+    SELECT l_linestatus, COUNT(*) AS n, {dsum_sql('l_extendedprice')} AS sum_price
+    FROM lineitem WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus
+    """,
+)
+def partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    path = scratch(sf_dir, "li_partitioned")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
+    return back.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("sum_price")
+    )

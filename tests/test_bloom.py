@@ -107,3 +107,18 @@ def test_sql_build_bit_identical_to_default(spark, orders):
         for r in build_bloom_filters_sql(orders, "o_orderpriority", "o_orderkey", 0.05).collect()
     }
     assert a == b
+
+
+def test_probe_nonbroadcast_path(spark, orders, monkeypatch):
+    """Above the broadcast ceiling the probe must fall back to a plain
+    join and still produce identical results."""
+    import mrbf_spark.bloom.core as core
+
+    filters = build_bloom_filters(orders, "o_orderpriority", "o_orderkey", 0.05).cache()
+    filters.count()
+    a = probe_bloom_filters(orders, "o_orderpriority", "o_orderkey", filters, k=5, broadcast=True)
+    monkeypatch.setattr(core, "BROADCAST_CEILING_BYTES", 1)  # force fallback
+    b = probe_bloom_filters(orders, "o_orderpriority", "o_orderkey", filters, k=5, broadcast="auto")
+    ra = {(r["o_orderkey"], r["bloom_hit"]) for r in a.select("o_orderkey", "bloom_hit").collect()}
+    rb = {(r["o_orderkey"], r["bloom_hit"]) for r in b.select("o_orderkey", "bloom_hit").collect()}
+    assert ra == rb and len(ra) > 0

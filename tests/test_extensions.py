@@ -183,3 +183,33 @@ def test_streaming_foreachbatch_parquet_sink(spark, tmp_path):
     ev = load_table(spark, SF_SMOKE, "events")
     want = {r["event_type"]: r["count"] for r in ev.groupBy("event_type").count().collect()}
     assert got == want
+
+
+def test_streaming_bloom_probe_equals_batch(spark):
+    """Static bloom filter table joined into a stream: per-key hit
+    counts must equal the batch probe."""
+    from mrbf_spark.bloom import build_bloom_filters, fp_report, probe_bloom_filters
+    from mrbf_spark.streaming.bloom_stream import streaming_bloom_probe
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    # filters over purchase user_ids, keyed by event_type='purchase'
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    filters = build_bloom_filters(purchases, "event_type", "user_id", 0.05).cache()
+    filters.count()
+
+    q = streaming_bloom_probe(spark, SF_SMOKE, filters, k=5, query_name="t_bloom_stream")
+    try:
+        q.processAllAvailable()
+        got = {
+            r["key"]: (r["hits"], r["n"])
+            for r in spark.sql("SELECT * FROM t_bloom_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    probed = probe_bloom_filters(ev, "event_type", "user_id", filters, k=5)
+    want = {
+        r["key"]: (r["false_positives"], r["total_tests"])
+        for r in fp_report(probed, "event_type").collect()
+    }
+    assert got == want and "purchase" in got

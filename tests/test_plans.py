@@ -79,3 +79,10 @@ def test_order_limit_uses_topk_operator(spark):
     # (per-partition top-k + driver merge), not a full sort
     plan = physical_plan(QS["order_limit"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_partitioned_scan_prunes_directories(spark):
+    df = QS["partitioned_sink_prune"](spark, SF_SMOKE)
+    plan = physical_plan(df)
+    scan = next(l for l in plan.splitlines() if "FileScan" in l and "li_partitioned" in l)
+    assert "PartitionFilters" in scan and "l_returnflag" in scan.split("PartitionFilters:")[1].split("]")[0]
