@@ -679,3 +679,53 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --- array explode (LATERAL VIEW / UNNEST): per-vector element stats
+# without sums — min/max/size are exact across engines for float32.
+@register(
+    "array_explode_stats",
+    """
+    SELECT vec_id,
+           CAST(COUNT(*) AS BIGINT) AS dims,
+           MIN(x) AS min_val,
+           MAX(x) AS max_val
+    FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings)
+    GROUP BY vec_id
+    """,
+)
+def array_explode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("vec_id", F.explode("embedding").alias("x"))
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("dims"),
+            F.min("x").alias("min_val"),
+            F.max("x").alias("max_val"),
+        )
+    )
+
+
+# --- null semantics: COALESCE, NULLIF, null-safe equality. The
+# missing-JSON-key path produces real nulls to exercise.
+@register(
+    "null_semantics",
+    """
+    SELECT event_id,
+           COALESCE(CAST(json_extract_string(props, '$.missing') AS BIGINT), -1) AS k_or_default,
+           NULLIF(event_type, 'error') AS type_not_error,
+           (CAST(json_extract_string(props, '$.missing') AS BIGINT)
+              IS NOT DISTINCT FROM NULL) AS is_missing
+    FROM events
+    """,
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    missing = F.get_json_object("props", "$.missing").cast("long")
+    return ev.select(
+        "event_id",
+        F.coalesce(missing, F.lit(-1)).alias("k_or_default"),
+        F.nullif(F.col("event_type"), F.lit("error")).alias("type_not_error"),
+        missing.eqNullSafe(F.lit(None).cast("long")).alias("is_missing"),
+    )

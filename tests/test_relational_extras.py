@@ -29,3 +29,16 @@ def test_approx_aggregates_within_bounds(spark):
         e = exact[flag]
         assert abs(a["approx_parts"] - e["parts"]) / e["parts"] < 0.1  # HLL ~2% rsd
         assert abs(a["approx_median_price"] - e["median_price"]) / e["median_price"] < 0.2
+
+
+def test_session_window_consistent_with_lag_cumsum(spark):
+    """Two session formulations (built-in session_window vs
+    lag/cumsum) must agree on sessions-per-user."""
+    sw = queries()["session_window_agg"](spark, SF_SMOKE)
+    per_user_sw = {
+        r["user_id"]: r["n"]
+        for r in sw.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    lag = queries()["sessionization"](spark, SF_SMOKE)
+    per_user_lag = {r["user_id"]: r["n_sessions"] for r in lag.collect()}
+    assert per_user_sw == per_user_lag
