@@ -26,6 +26,8 @@ HEADLINE = [
     "bloom_fp_report",
     "bloom_semijoin_prune",
     "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
     "broadcast_join_agg",
     "topk_per_group",
     "sessionization",

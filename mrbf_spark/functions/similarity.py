@@ -202,6 +202,95 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF-bucketed ANN (the second scale path, complementing LSH):
+# coarse-quantize the corpus to K centroids learned driver-side from a
+# deterministic bounded sample (TakeOrdered by vec_id — no full
+# collect), then each query probes only its NPROBE nearest cells with
+# an exact re-rank inside them. Centroid table is O(K·dim) and
+# broadcast; the corpus is assigned in one vectorized pandas-UDF pass
+# (one matmul per Arrow batch) and the probe join is a broadcast
+# equi-join on cell id — the corpus never shuffles.
+N_CENTROIDS = 16
+NPROBE = 4
+IVF_SAMPLE = 512
+IVF_SEED = 42
+IVF_ITERS = 5
+
+
+def _kmeans_centroids(sample: np.ndarray) -> np.ndarray:
+    """Fixed-iteration Lloyd k-means on the driver sample. Seeded
+    init + fixed iteration count ⇒ fully deterministic (no
+    convergence-dependent nondeterminism). Rows are L2-normalized so
+    Euclidean assignment ≈ cosine cells (spherical k-means)."""
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rs = np.random.RandomState(IVF_SEED)
+    cent = x[rs.choice(len(x), size=min(N_CENTROIDS, len(x)), replace=False)]
+    for _ in range(IVF_ITERS):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for j in range(len(cent)):
+            members = x[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                cent[j] = c / max(np.linalg.norm(c), 1e-12)
+    return cent
+
+
+def _ivf_cell_udf(cent: np.ndarray):
+    @F.pandas_udf("int")
+    def cell(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(mat @ cent.T, axis=1).astype(np.int32))
+
+    return cell
+
+
+def _ivf_probe_udf(cent: np.ndarray):
+    @F.pandas_udf("array<int>")
+    def probes(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(mat @ cent.T), axis=1)[:, :NPROBE]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return probes
+
+
+@register("ann_ivf_topk")  # rows-only: cell assignment is model-dependent
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample_rows = emb.orderBy("vec_id").limit(IVF_SAMPLE).select("embedding").collect()
+    cent = _kmeans_centroids(
+        np.array([r["embedding"] for r in sample_rows], dtype=np.float64)
+    )
+    cell = _ivf_cell_udf(cent)
+    probes = _ivf_probe_udf(cent)
+    bucketed = emb.withColumn("cell", cell(F.col("embedding")))
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(probes(F.col("embedding"))).alias("cell"),
+            _decimal_dot(F.col("embedding"), F.col("embedding")).alias("q_nrm"),
+        )
+    )
+    cands = bucketed.join(F.broadcast(queries), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cosine = _decimal_dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt(F.col("q_nrm")) * F.sqrt(_decimal_dot(F.col("embedding"), F.col("embedding")))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        cands.select("query_id", "vec_id", cosine.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+    )
+
+
 # --- embedding near-dup pairs (cosine ≥ τ within label groups):
 # the embedding-space twin of minhash dedup. Label partitioning bounds
 # the pair space; exact decimal cosine keeps it oracle-checkable.

@@ -71,6 +71,35 @@ def test_bruteforce_topk_matches_numpy(spark):
         assert abs(r["cosine"] - truth) < 1e-6
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF probe (nprobe=4 of 16 cells) must recover most of the exact
+    top-k: mean recall ≥ 0.6 over the query set, and every hit it does
+    return carries the exact fixed-point cosine (re-rank is exact)."""
+    from mrbf_spark.catalog import queries
+
+    qs = queries()
+    exact = {}
+    for r in qs["ann_bruteforce_topk"](spark, SF_SMOKE).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = {}
+    cos_by_pair = {}
+    for r in qs["ann_ivf_topk"](spark, SF_SMOKE).collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        cos_by_pair[(r["query_id"], r["vec_id"])] = r["cosine"]
+    recalls = [
+        len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+    exact_cos = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in qs["ann_bruteforce_topk"](spark, SF_SMOKE).collect()
+    }
+    for pair, c in cos_by_pair.items():
+        if pair in exact_cos:
+            assert abs(c - exact_cos[pair]) < 1e-12
+
+
 def test_multimodal_plumbing(spark):
     """Binary payload column + Arrow feature extraction: schema,
     determinism, and batch shape."""
