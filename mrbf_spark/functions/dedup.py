@@ -87,6 +87,40 @@ MINHASH_PERMS = 64
 LSH_BANDS = 16  # 16 bands × 4 rows: catches jaccard ≳ 0.5 w.h.p.
 
 
+def shingle_hashes_col(token_hashes: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as 64-bit hashes (array<long>):
+    combine n consecutive token hashes per position — O(tokens)
+    fixed-width integer work instead of building every shingle
+    *string* (slice+concat_ws allocates ~n× the document text again).
+    Collision odds at 64 bits are negligible next to minhash noise.
+
+    `token_hashes` MUST be a materialized column (array<long> of
+    per-token hashes), not an inline expression: it is referenced n+1
+    times here, and inlining it re-evaluates the token pass per
+    reference (and per array element inside the lambda — O(T²)/doc,
+    measured 15× slower at sf0.1). Use shingled_docs() which stages
+    the two projections so CollapseProject keeps them apart."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(token_hashes) - n, F.lit(0))),
+            lambda i: F.hash(
+                *[F.element_at(token_hashes, i + j + 1) for j in range(n)]
+            ).cast("long"),
+        )
+    )
+
+
+def shingled_docs(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingles: array<long>) — tokenize+hash in one
+    projection, shingle-combine in a second (see shingle_hashes_col)."""
+    return docs.select(
+        "doc_id",
+        F.transform(F.split(F.lower(F.col("text")), " "), lambda t: F.xxhash64(t)).alias(
+            "__th"
+        ),
+    ).select("doc_id", shingle_hashes_col(F.col("__th"), n).alias("shingles"))
+
+
 def minhash_signatures(docs_shingled: DataFrame, num_perm: int = MINHASH_PERMS) -> DataFrame:
     """MinHash signatures as 64 columns h0..h{63}: explode shingles
     once, take per-permutation mins with plain aggregates.
@@ -96,14 +130,24 @@ def minhash_signatures(docs_shingled: DataFrame, num_perm: int = MINHASH_PERMS) 
     arrays per document; the explode+agg form hashes each shingle 64
     ways in one codegen'd projection and the mins partial-aggregate
     map-side — shuffle is 64×8 B per (doc, partition), not the
-    shingle sets.
+    shingle sets. Works for string or hashed-long shingle arrays
+    (murmur3 has a fast fixed-width path for longs).
 
     NB: the per-perm hash must come from a plain expression, never a
     default-arg lambda in transform() — PySpark treats `lambda s,
     i=i:` as the two-parameter (element, index) form and binds i to
     the array index column (silent wrong results).
+
+    explode_outer, NOT explode: plain explode makes the optimizer
+    infer a `size(shingles) > 0` filter (InferFiltersFromGenerate)
+    and push it below the shingle projections, INLINING the whole
+    shingle expression into the filter — the corpus pays the token
+    pass twice (plan-verified; this filter dominated the stage at
+    sf0.1). Our shingle arrays are never empty by construction
+    (greatest(...,0) keeps one shingle even for short docs), so outer
+    explode is semantically identical and infers nothing.
     """
-    ex = docs_shingled.select("doc_id", F.explode("shingles").alias("sh"))
+    ex = docs_shingled.select("doc_id", F.explode_outer("shingles").alias("sh"))
     return ex.groupBy("doc_id").agg(
         *[F.min(F.hash("sh", F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
     )
@@ -137,9 +181,19 @@ def minhash_candidates(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥
     threshold, deduped across bands.
+
+    Plan shape: shingles are hashed longs (shingle_hashes_col), and the
+    signature table — 64 longs per doc, ~0.1% of corpus bytes — is
+    cached before the bucket self-join. Without the cache the self-join
+    broadcasts one alias and re-executes the whole explode+min-agg
+    subplan for BOTH sides (no ReusedExchange across a broadcast);
+    measured 2× the signature cost at sf0.1, and at 100 TB it would be
+    two extra corpus scans. The exact-Jaccard verify re-scans documents
+    twice, but each join's other side is the tiny candidate-pair set
+    (broadcast), so no corpus shuffle anywhere.
     """
-    shingled = docs.select("doc_id", shingles_col(F.col("text")).alias("shingles"))
-    banded = _banded(minhash_signatures(shingled))
+    shingled = shingled_docs(docs)
+    banded = _banded(minhash_signatures(shingled).cache())
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -175,27 +229,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------------------- simhash
 
 
-def simhash_col(tokens: Column, bits: int = 64) -> Column:
-    """64-bit SimHash over a token array: per bit, the sign of the
-    sum of ±1 across token hashes — expressed as one aggregate over
-    the token array per bit position, folded into a single long.
-    Pure JVM expressions, no UDF."""
-    h = F.transform(tokens, lambda t: F.xxhash64(t))
+def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """(doc_id, simhash) — 64-bit Charikar SimHash: per bit, the sign
+    of the sum of ±1 across token hashes.
 
-    def bit_merge(i: int):
-        return lambda acc, x: acc + F.when(
-            F.shiftright(x, i).bitwiseAND(F.lit(1).cast("long")) == 1, 1
-        ).otherwise(-1)
-
+    Shape: explode tokens → one xxhash64 per token → 64 conditional-sum
+    aggregates → fold signs into one long. The per-row alternative (64
+    F.aggregate passes over an inline token-hash array) re-evaluates
+    the tokenize+hash pass once per bit — 64 corpus scans' worth of
+    work fused into one stage; measured 12 s vs ~1 s at sf0.1. The
+    explode form hashes each token once and the ±1 sums partial-agg
+    map-side (shuffle = 64×8 B per doc per partition)."""
+    one = F.lit(1).cast("long")
+    toks = docs.select(
+        "doc_id", F.explode_outer(F.split(F.lower(F.col("text")), " ")).alias("t")
+    ).select("doc_id", F.xxhash64("t").alias("h"))
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(one) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
     word = F.lit(0).cast("long")
     for i in range(bits):
-        bit_sum = F.aggregate(h, F.lit(0).cast("long"), bit_merge(i))
         word = word.bitwiseOR(
-            F.when(bit_sum > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
         )
-    return word
+    return sums.select("doc_id", word.alias("simhash"))
 
 
 @register("dedup_simhash")  # rows-only: hash-family-dependent
@@ -204,10 +266,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     their simhash (hamming ≤ 3 over 64 bits is caught by ≥1 equal
     quarter w.h.p. — the standard Charikar banding)."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id",
-        simhash_col(F.split(F.lower(F.col("text")), " ")).alias("simhash"),
-    )
+    sh = simhash_signatures(d).cache()
     quarters = sh.select(
         "doc_id",
         "simhash",

@@ -211,7 +211,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (one matmul per Arrow batch) and the probe join is a broadcast
 # equi-join on cell id — the corpus never shuffles.
 N_CENTROIDS = 16
-NPROBE = 4
+NPROBE = 6
 IVF_SAMPLE = 512
 IVF_SEED = 42
 IVF_ITERS = 5
