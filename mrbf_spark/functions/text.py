@@ -203,6 +203,60 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
+# --- composite curation pipeline: the end-to-end shape a training-
+# data build actually runs — exact dedup → language filter → quality
+# gate → per-source token accounting — composed from the operators
+# above into ONE Catalyst plan (one fingerprint shuffle + one final
+# agg; the survivor semi-join carries only doc_ids). Fully
+# SQL-expressible, so the whole composite is oracle-checked.
+@register(
+    "curation_pipeline",
+    f"""
+    WITH survivors AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents
+      GROUP BY {FINGERPRINT_SQL.format(e='text')}
+    ),
+    kept AS (
+      SELECT d.source, {TOKEN_COUNT_SQL.format(e='text')} AS n_tokens
+      FROM documents d JOIN survivors s ON d.doc_id = s.doc_id
+      WHERE d.lang = 'en'
+        AND {TOKEN_COUNT_SQL.format(e='text')} >= 5
+        AND CAST(LENGTH(REPLACE(d.text, ' ', '')) AS DOUBLE)
+              / {TOKEN_COUNT_SQL.format(e='text')} <= 15.0
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM kept GROUP BY source
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    survivors = (
+        d.groupBy(fingerprint_col(t).alias("fingerprint"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    n_tok = token_count_col(t)
+    kept = (
+        d.join(survivors, "doc_id", "left_semi")
+        .filter(
+            (F.col("lang") == "en")
+            & (n_tok >= 5)
+            & (
+                F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double") / n_tok
+                <= 15.0
+            )
+        )
+        .select("source", n_tok.alias("n_tokens"))
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
 @register(
     "bpe_token_count",
     f"""
