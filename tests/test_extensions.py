@@ -124,6 +124,31 @@ def test_decode_image_is_stubbed():
         decode_image(b"\x89PNG...")
 
 
+def test_streaming_dedup_drops_replayed_events(spark, tmp_path):
+    """Feed the events table TWICE (a replayed ingest); the streaming
+    dedup must emit each event_id exactly once, matching the batch
+    distinct count."""
+    import shutil
+
+    from mrbf_spark.streaming.dedup_stream import streaming_dedup_events
+
+    src = tmp_path / "events_dup"
+    src.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "part-0.parquet")
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "part-1.parquet")
+
+    q = streaming_dedup_events(spark, str(src), query_name="t_dedup_stream")
+    try:
+        q.processAllAvailable()
+        out = spark.sql(
+            "SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM t_dedup_stream"
+        ).collect()[0]
+    finally:
+        q.stop()
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    assert out["n"] == out["d"] == n_events
+
+
 def test_streaming_equals_batch(spark):
     """The REAL Structured Streaming path (readStream → watermark →
     tumbling window → memory sink) must produce exactly the batch

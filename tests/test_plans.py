@@ -81,6 +81,36 @@ def test_order_limit_uses_topk_operator(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_q6_predicates_reach_the_scan(spark):
+    # all three conjuncts push into the parquet scan, and only the 4
+    # referenced columns are read (lift the 100-char metadata truncation
+    # so the whole PushedFilters list is visible)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = physical_plan(QS["q6_forecast_revenue"](spark, SF_SMOKE))
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    pushed = scan.split("PushedFilters:")[1]
+    for frag in ("l_shipdate", "l_discount", "LessThan(l_quantity,24.0)"):
+        assert frag in pushed, frag
+    read_schema = scan.split("ReadSchema:")[1]
+    assert "l_orderkey" not in read_schema and "l_returnflag" not in read_schema
+
+
+def test_q5_fact_never_shuffles_before_agg(spark):
+    # all five dim joins broadcast: the only Exchange is the final
+    # per-nation aggregation (plus AQE's view of it)
+    plan = physical_plan(QS["q5_local_supplier_volume"](spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_q10_uses_topk_operator(spark):
+    plan = physical_plan(QS["q10_returned_items"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_partitioned_scan_prunes_directories(spark):
     df = QS["partitioned_sink_prune"](spark, SF_SMOKE)
     plan = physical_plan(df)
