@@ -103,6 +103,38 @@ def formatted_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("line")
 
 
+# --- JSONL sink → JSONL scan: the training-data interchange staple
+# (one JSON object per line). String escaping is lossless for
+# arbitrary document text; longs round-trip textually. Schema'd read
+# (never inferSchema at scale — it double-scans the input).
+@register(
+    "jsonl_roundtrip_agg",
+    """
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def jsonl_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    path = scratch(sf_dir, "jsonl_documents")
+    docs.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
 # --- partitioned sink + partition-pruned scan: write partitioned by a
 # key, read back with a partition predicate — the scan must touch only
 # the matching directory (PartitionFilters; pinned in test_plans).
