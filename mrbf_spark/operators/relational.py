@@ -969,3 +969,81 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+# --- windowed frame aggregate: per-user trailing mean over the last 4
+# events (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW). Frame sums go
+# through decimal so both engines aggregate the frame exactly.
+@register(
+    "moving_avg",
+    """
+    SELECT event_id, user_id,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER w AS DOUBLE)
+                  / COUNT(*) OVER w AS DOUBLE) AS trailing_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+)
+def moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast("decimal(38,4)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        )
+        .cast("double")
+        .alias("trailing_avg"),
+    )
+
+
+# --- bucketed range join (interval containment): events × hourly
+# maintenance windows [hour, hour+7min). A naive range join is a
+# nested-loop (O(events × windows)); the scale path equi-joins on the
+# shared hour bucket and applies the residual bound — the fact table
+# shuffles never, the windows are a broadcast dim. Windows here align
+# to one bucket each; intervals spanning buckets would explode the
+# interval into its covered buckets first (same plan shape).
+@register(
+    "range_join_bucketed",
+    """
+    SELECT w.win_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN (SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01',
+                                        TIMESTAMP '2024-01-31',
+                                        INTERVAL 1 HOUR)) AS win_start) w
+      ON e.ts >= w.win_start AND e.ts < w.win_start + INTERVAL 7 MINUTES
+    GROUP BY w.win_start
+    """,
+)
+def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    windows = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("timestamp"),
+                F.lit("2024-01-31").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("win_start")
+    )
+    bucketed = ev.withColumn("__bucket", F.date_trunc("hour", "ts"))
+    return (
+        bucketed.join(
+            F.broadcast(windows), F.col("__bucket") == F.col("win_start")
+        )
+        .filter(F.col("ts") < F.col("win_start") + F.expr("INTERVAL 7 MINUTES"))
+        .groupBy("win_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("total_value"),
+        )
+    )
