@@ -971,6 +971,29 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- multiple DISTINCT aggregates in one pass: Catalyst compiles this
+# to an Expand (one row replica per distinct set) + two-level agg —
+# one shuffle, no self-join, the standard scale shape for multi-
+# distinct reporting.
+@register(
+    "multi_distinct_agg",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT CAST(FLOOR(value + 0.5) AS BIGINT)) AS n_value_keys,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def multi_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.floor(F.col("value") + 0.5).cast("long")).alias("n_value_keys"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 # --- windowed frame aggregate: per-user trailing mean over the last 4
 # events (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW). Frame sums go
 # through decimal so both engines aggregate the frame exactly.
