@@ -103,6 +103,81 @@ def formatted_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("line")
 
 
+# --- bucketed tables + co-located join: both sides written
+# bucketBy(orderkey) + sortBy, so the join needs NO Exchange on
+# either side (plan-pinned in test_plans) — the repeated-join
+# workhorse at 100 TB: pay the bucketing shuffle once at write time,
+# join shuffle-free forever after. (The SMJ's in-partition Sort
+# remains — Spark 3+ only trusts bucketed-scan ordering behind
+# spark.sql.legacy.bucketedTableScan.outputOrdering, and sorting
+# already-per-bucket-sorted files is a cheap linear pass; the
+# eliminated shuffle is what matters at scale.) Local-mode in-memory
+# catalog backs saveAsTable with native parquet bucketing (no Hive).
+N_BUCKETS = 8
+
+
+@register(
+    "bucketed_join_agg",
+    f"""
+    SELECT o.o_orderpriority, COUNT(*) AS n_items,
+           {dsum_sql('l.l_extendedprice')} AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    li_tbl, o_tbl = f"li_bucketed_{tag}", f"o_bucketed_{tag}"
+    # A fresh session's in-memory catalog forgets tables but their
+    # warehouse directories survive — drop both layers before writing.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace(
+        "file:", ""
+    )
+    for tbl in (li_tbl, o_tbl):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
+    # repartition on the bucket key first → exactly one file per
+    # bucket, which is what lets the read side trust sortBy's order
+    # and elide the per-partition Sort under the join (with multiple
+    # files per bucket Spark must re-sort).
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .repartition(N_BUCKETS, "l_orderkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .repartition(N_BUCKETS, "o_orderkey")
+    )
+    (
+        li.write.bucketBy(N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable(li_tbl)
+    )
+    (
+        o.write.bucketBy(N_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable(o_tbl)
+    )
+    # MERGE hint: at small SFs Catalyst would broadcast the dim and
+    # never exercise the bucket layout; the point of this query is the
+    # co-located sort-merge path (at 100 TB neither side broadcasts).
+    lib, ob = spark.table(li_tbl).hint("merge"), spark.table(o_tbl)
+    return (
+        lib.join(ob, lib.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice").alias("total_price"),
+        )
+    )
+
+
 # --- JSONL sink → JSONL scan: the training-data interchange staple
 # (one JSON object per line). String escaping is lossless for
 # arbitrary document text; longs round-trip textually. Schema'd read

@@ -111,6 +111,20 @@ def test_q10_uses_topk_operator(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_bucketed_join_has_no_shuffle(spark):
+    # both sides bucketed on the join key: the SMJ consumes the bucket
+    # layout directly — NO Exchange below the join (the in-partition
+    # Sort remains: Spark 3+ does not report bucketed-scan output
+    # ordering without a legacy flag, and a sort of per-bucket-sorted
+    # files is a cheap linear pass; the shuffle is the scale cost)
+    df = QS["bucketed_join_agg"](spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" in plan
+    below = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in below
+    assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan
+
+
 def test_partitioned_scan_prunes_directories(spark):
     df = QS["partitioned_sink_prune"](spark, SF_SMOKE)
     plan = physical_plan(df)
