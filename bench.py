@@ -35,6 +35,7 @@ HEADLINE = [
     "json_extract_agg",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "curation_pipeline",
     "ann_bruteforce_topk",
     "window_tumbling",
     "token_stats",
