@@ -55,5 +55,7 @@ def bloom_fp_pipeline(
 
     train, test = train_test_split(df, seed=seed)
     filters = build_bloom_filters(train, key_col, value_col, p).cache()
-    probed = probe_bloom_filters(test, key_col, value_col, filters, k=num_hashes(p))
+    probed = probe_bloom_filters(
+        test, key_col, value_col, filters, k=num_hashes(p), broadcast=True
+    )
     return fp_report(probed, key_col)

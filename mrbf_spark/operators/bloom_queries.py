@@ -51,7 +51,9 @@ def bloom_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bloom_no_false_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     filters = build_bloom_filters(orders, "o_orderpriority", "o_orderkey", P).cache()
-    probed = probe_bloom_filters(orders, "o_orderpriority", "o_orderkey", filters, k=num_hashes(P))
+    probed = probe_bloom_filters(
+        orders, "o_orderpriority", "o_orderkey", filters, k=num_hashes(P), broadcast=True
+    )
     return probed.groupBy(F.col("o_orderpriority").alias("key")).agg(
         F.sum(1 - F.col("bloom_hit")).cast("long").alias("false_negatives")
     )
@@ -104,8 +106,16 @@ def bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         urgent.withColumn("__g", F.lit("urgent")), "__g", "o_orderkey", P
     ).cache()
     # Stage 1: bloom prune — codegen'd probe, no shuffle of lineitem.
+    # broadcast=True (not "auto"): per-key filters are small by this
+    # operator's definition, and the auto size-check costs an extra
+    # driver action per query.
     pruned = probe_bloom_filters(
-        li.withColumn("__g", F.lit("urgent")), "__g", "l_orderkey", filters, k=num_hashes(P)
+        li.withColumn("__g", F.lit("urgent")),
+        "__g",
+        "l_orderkey",
+        filters,
+        k=num_hashes(P),
+        broadcast=True,
     ).filter(F.col("bloom_hit") == 1)
     # Stage 2: exact semi-join on the ~p-sized survivor set removes the
     # false positives (at scale: a much smaller shuffle than joining
