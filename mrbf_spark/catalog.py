@@ -14,6 +14,7 @@ from .functions import text as _text  # noqa: F401
 from .functions import dedup as _dedup  # noqa: F401
 from .functions import similarity as _similarity  # noqa: F401
 from .functions import multimodal as _multimodal  # noqa: F401
+from .functions import sampling as _sampling  # noqa: F401
 from .streaming import windows as _windows  # noqa: F401
 
 

@@ -124,6 +124,26 @@ def test_decode_image_is_stubbed():
         decode_image(b"\x89PNG...")
 
 
+def test_stratified_sample_rates_and_subset(spark):
+    """sampleBy: every sampled row comes from the source table, the
+    en stratum (fraction 1.0) is complete, and each stratum's rate is
+    within a binomial-plausible band of its fraction."""
+    from mrbf_spark.functions.sampling import SAMPLE_FRACTIONS, SAMPLE_SEED
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    sampled = d.sampleBy("lang", SAMPLE_FRACTIONS, seed=SAMPLE_SEED)
+    assert sampled.join(d, "doc_id", "left_anti").count() == 0
+    totals = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got.get("en") == totals["en"]
+    for lang, frac in SAMPLE_FRACTIONS.items():
+        if frac in (0.0, 1.0) or lang not in totals:
+            continue
+        n, k = totals[lang], got.get(lang, 0)
+        sd = (n * frac * (1 - frac)) ** 0.5
+        assert abs(k - n * frac) <= 4 * sd + 1, (lang, k, n)
+
+
 def test_streaming_dedup_drops_replayed_events(spark, tmp_path):
     """Feed the events table TWICE (a replayed ingest); the streaming
     dedup must emit each event_id exactly once, matching the batch
