@@ -111,6 +111,51 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_BYTES = 64
+FRAME_STRIDE = 2  # keep every 2nd frame
+MAX_FRAMES = 4
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: payload → strided fixed-size frame sample —
+    the video-frame-sampling batch shape (decode → pick every k-th
+    frame → per-frame bytes + digest). Frame extraction is pure byte
+    slicing (deterministic); a real codec would replace the slicing,
+    not the plumbing."""
+    import hashlib
+
+    for pdf in batches:
+        out_doc, out_idx, out_bytes, out_digest = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = max(len(payload) // FRAME_BYTES, 0)
+            for k, frame_idx in enumerate(range(0, n_frames, FRAME_STRIDE)):
+                if k >= MAX_FRAMES:
+                    break
+                frame = payload[frame_idx * FRAME_BYTES : (frame_idx + 1) * FRAME_BYTES]
+                out_doc.append(doc_id)
+                out_idx.append(frame_idx)
+                out_bytes.append(len(frame))
+                out_digest.append(hashlib.sha256(frame).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "frame_idx": pd.Series(out_idx, dtype="int32"),
+                "n_bytes": pd.Series(out_bytes, dtype="int64"),
+                "digest": pd.Series(out_digest, dtype="object"),
+            }
+        )
+
+
+# --- strided frame sampling through the Arrow batch path (rows-only:
+# byte-slicing "frames"; determinism + shape pinned in tests).
+@register("multimodal_frame_sample")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = binary_payloads(spark, sf_dir)
+    return p.select("doc_id", "payload").mapInPandas(
+        _frame_batches, schema="doc_id long, frame_idx int, n_bytes long, digest string"
+    )
+
+
 # --- per-source corpus stats over the multimodal table (bytes are
 # metadata aggregation — the group-by a media pipeline runs first).
 @register(

@@ -119,6 +119,27 @@ def test_multimodal_plumbing(spark):
         assert r["n_bytes"] > 0
 
 
+def test_frame_sampling_shape_and_determinism(spark):
+    """Strided frame sample: ≤MAX_FRAMES frames/doc, stride-2 indices,
+    full frames only, and bit-identical across runs/partitionings."""
+    from mrbf_spark.catalog import queries
+    from mrbf_spark.functions.multimodal import FRAME_BYTES, FRAME_STRIDE, MAX_FRAMES
+
+    rows = queries()["multimodal_frame_sample"](spark, SF_SMOKE).collect()
+    assert rows, "no frames sampled"
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+        assert r["n_bytes"] == FRAME_BYTES  # only full frames
+        assert r["frame_idx"] % FRAME_STRIDE == 0
+    assert max(len(v) for v in per_doc.values()) <= MAX_FRAMES
+    again = {
+        (r["doc_id"], r["frame_idx"]): r["digest"]
+        for r in queries()["multimodal_frame_sample"](spark, SF_SMOKE).collect()
+    }
+    assert {(r["doc_id"], r["frame_idx"]): r["digest"] for r in rows} == again
+
+
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
