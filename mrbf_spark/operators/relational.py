@@ -994,6 +994,53 @@ def multi_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- explicit GROUPING SETS (beyond rollup/cube): two independent
+# one-column summaries + grand total in ONE scan via Expand — vs three
+# separate scans of a 100 TB fact.
+@register(
+    "grouping_sets_agg",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+        .select("l_returnflag", "l_linestatus", "n", "g_flag", "g_status")
+    )
+
+
+# --- exact interpolated median (continuous percentile): both engines
+# compute linear interpolation between the two middle order statistics
+# — identical IEEE operands ⇒ hash-matchable. Complements the
+# cume_dist discrete median (`median_disc`) and the sketch
+# (`approx_aggregates`).
+@register(
+    "median_cont",
+    """
+    SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def median_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty")
+    )
+
+
 # --- windowed frame aggregate: per-user trailing mean over the last 4
 # events (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW). Frame sums go
 # through decimal so both engines aggregate the frame exactly.
