@@ -994,6 +994,37 @@ def multi_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ranking-function family over one per-group window: rank,
+# dense_rank, ntile, percent_rank share a single sort — one window
+# spec, one shuffle. percent_rank's (rank-1)/(n-1) divides identical
+# integer operands on both engines, so doubles hash-match.
+@register(
+    "rank_funcs",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           PERCENT_RANK() OVER w AS prnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("prnk"),
+    )
+
+
 # --- explicit GROUPING SETS (beyond rollup/cube): two independent
 # one-column summaries + grand total in ONE scan via Expand — vs three
 # separate scans of a 100 TB fact.
