@@ -399,6 +399,50 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urgent.subtract(low)
 
 
+# --- bag-semantics set ops: EXCEPT ALL keeps left-side surplus
+# duplicates (multiset difference), INTERSECT ALL keeps min
+# multiplicities — counted per key, so the whole comparison is one
+# aggregated row per custkey (deterministic, hash-matchable).
+@register(
+    "bag_set_ops",
+    """
+    WITH ea AS (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'),
+    ia AS (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+    SELECT o_custkey,
+           (SELECT COUNT(*) FROM ea e WHERE e.o_custkey = k.o_custkey) AS n_except_all,
+           (SELECT COUNT(*) FROM ia i WHERE i.o_custkey = k.o_custkey) AS n_intersect_all
+    FROM (SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderpriority = '1-URGENT') k
+    """,
+)
+def bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    ea = urgent.exceptAll(low).groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_except_all")
+    )
+    ia = urgent.intersectAll(low).groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_intersect_all")
+    )
+    keys = urgent.distinct()
+    return (
+        keys.join(ea, "o_custkey", "left")
+        .join(ia, "o_custkey", "left")
+        .select(
+            "o_custkey",
+            F.coalesce("n_except_all", F.lit(0)).cast("long").alias("n_except_all"),
+            F.coalesce("n_intersect_all", F.lit(0)).cast("long").alias("n_intersect_all"),
+        )
+    )
+
+
 # --- CUBE (all grouping-set combinations; ROLLUP's big sibling).
 @register(
     "cube_agg",
