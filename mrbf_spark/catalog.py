@@ -5,17 +5,20 @@ from __future__ import annotations
 
 from .registry import ORACLES, QUERIES
 
-# Import for registration side effects.
-from .operators import relational as _relational  # noqa: F401
-from .operators import bloom_queries as _bloom_queries  # noqa: F401
-from .operators import sinks as _sinks  # noqa: F401
-from .operators import skew as _skew  # noqa: F401
+# Import for registration side effects. ORDER MATTERS: the driver's
+# CORRECTNESS run walks registration order (and covered only the first
+# 50 in r1), so the north-star LLM-pipeline families register FIRST —
+# defensive even now that the whole catalog is ≤ 48 entries.
 from .functions import text as _text  # noqa: F401
 from .functions import dedup as _dedup  # noqa: F401
 from .functions import similarity as _similarity  # noqa: F401
 from .functions import multimodal as _multimodal  # noqa: F401
 from .functions import sampling as _sampling  # noqa: F401
 from .streaming import windows as _windows  # noqa: F401
+from .operators import sinks as _sinks  # noqa: F401
+from .operators import skew as _skew  # noqa: F401
+from .operators import bloom_queries as _bloom_queries  # noqa: F401
+from .operators import relational as _relational  # noqa: F401
 
 
 def queries():

@@ -43,13 +43,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Survivor set (the actual dedup output a pipeline consumes).
-@register(
-    "dedup_exact_survivors",
-    f"""
-    SELECT MIN(doc_id) AS doc_id FROM documents
-    GROUP BY {FINGERPRINT_SQL.format(e='text')}
-    """,
-)
+# Unregistered builder: the registered `dedup_exact` already carries
+# the survivor ids as keep_id (this is its doc_id projection), and
+# `curation_pipeline` exercises the semi-join consumption path.
 def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
@@ -92,7 +88,11 @@ def shingle_hashes_col(token_hashes: Column, n: int = 3) -> Column:
     combine n consecutive token hashes per position — O(tokens)
     fixed-width integer work instead of building every shingle
     *string* (slice+concat_ws allocates ~n× the document text again).
-    Collision odds at 64 bits are negligible next to minhash noise.
+    Collision odds at 64 bits are negligible next to minhash noise:
+    the combiner is xxhash64 over the n token hashes (a true 64-bit
+    space — F.hash is 32-bit murmur3, whose ~2^32 space would collide
+    thousands of times across a 50k-doc corpus's ~5M shingles and
+    slightly inflate estimated Jaccard in the verify stage).
 
     `token_hashes` MUST be a materialized column (array<long> of
     per-token hashes), not an inline expression: it is referenced n+1
@@ -103,9 +103,9 @@ def shingle_hashes_col(token_hashes: Column, n: int = 3) -> Column:
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(token_hashes) - n, F.lit(0))),
-            lambda i: F.hash(
+            lambda i: F.xxhash64(
                 *[F.element_at(token_hashes, i + j + 1) for j in range(n)]
-            ).cast("long"),
+            ),
         )
     )
 
@@ -223,7 +223,12 @@ def minhash_candidates(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 
 @register("dedup_minhash_lsh")  # rows-only: hash-family-dependent
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_candidates(load_table(spark, sf_dir, "documents"))
+    """MinHash+LSH candidates verified by exact word-3-gram Jaccard, at
+    the LOWER 0.2 threshold: the output carries the exact jaccard per
+    pair, so it subsumes both the r1 `dedup_minhash_lsh` (≥ 0.5 —
+    filter the jaccard column) and the r1 `dedup_ngram_jaccard`
+    precision pass (≥ 0.2) in one registration."""
+    return minhash_candidates(load_table(spark, sf_dir, "documents"), threshold=0.2)
 
 
 # -------------------------------------------------------------- simhash
@@ -311,8 +316,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------- n-gram jaccard
 
 
-@register("dedup_ngram_jaccard")  # rows-only (pair generation via LSH)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard over LSH candidates at a lower
-    threshold — the precision pass after minhash recall."""
+    threshold — the precision pass after minhash recall. Unregistered
+    builder: identical to the registered `dedup_minhash_lsh` (which
+    runs at threshold 0.2 and carries exact jaccard per pair)."""
     return minhash_candidates(load_table(spark, sf_dir, "documents"), threshold=0.2)

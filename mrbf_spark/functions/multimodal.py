@@ -1,17 +1,21 @@
-"""Multimodal-column plumbing (north-star extension): treat media as
-opaque `binary` payloads with typed metadata, decode/feature-extract
-via Arrow-batched mapInPandas.
+"""Multimodal-column operators (north-star extension): treat media as
+opaque `binary` payloads with typed metadata; decode / feature-extract
+/ frame-sample via Arrow-batched mapInPandas.
 
-The container has no image/audio libraries, so the actual decode is
-STUBBED (clearly marked NotImplementedError behind an import-try); the
-Spark-side plumbing — binary columns, schema, batch shapes,
-partitioning — is real and tested. The deterministic fake featureizer
-(byte histogram stats) stands in for the decoder so the pipeline shape
-is exercised end-to-end.
+The decode step is REAL for two container-friendly formats — binary
+PPM (P6) and uncompressed 24-bit BMP — implemented in pure numpy (no
+imaging library needed; both are public, trivially-parsed formats).
+Other formats (PNG/JPEG/audio/video) dispatch to PIL when available
+and raise a clearly-marked NotImplementedError otherwise; the
+surrounding Spark plumbing — binary columns, schema, Arrow batch
+shapes, partitioning — is format-agnostic.
 
 TESTDATA has no binary table, so payloads are derived on the fly from
-documents.text (utf-8 bytes) — which also makes the metadata query
-fully oracle-checkable against DuckDB's blob functions.
+documents.text: raw utf-8 bytes for the metadata/frame queries (fully
+oracle-checkable against DuckDB's blob functions), and deterministic
+P6 images whose pixel bytes ARE the text bytes (padded) for the decode
+query — so the decoded pixel features are real decoder output with a
+numpy ground truth pinned in tests.
 """
 
 from __future__ import annotations
@@ -27,43 +31,108 @@ from ..registry import register
 from ..tables import load_table
 
 FEATURE_DIM = 8
+PPM_WIDTH = 16  # fixed width; height grows with the payload
 
 
-def decode_image(payload: bytes):
-    """Real decoder — requires an imaging library not present in this
-    environment. The engine's contract: plug a decoder in here; the
-    surrounding Spark plumbing is agnostic to it."""
+# ------------------------------------------------------------ decoders
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → uint8 array (h, w, 3). Pure numpy: header is
+    'P6' + whitespace-separated width/height/maxval (with '#' comment
+    lines), then raw RGB bytes."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # Tokenize the header: skip comments, collect 3 ints after the magic.
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raw pixels
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    pix = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return pix.reshape(h, w, 3)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP → uint8 array (h, w, 3) in RGB order.
+    Pure numpy: little-endian header offsets per the public BMP spec
+    (pixel-array offset at byte 10, width/height at 18/22, bpp at 28);
+    rows are bottom-up and padded to 4-byte multiples; pixels are BGR."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    if bpp != 24:
+        raise ValueError(f"only 24bpp BMP supported, got {bpp}")
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * abs(h), offset=off)
+    img = rows.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+    if h > 0:  # positive height ⇒ bottom-up storage
+        img = img[::-1]
+    return img[:, :, ::-1]  # BGR → RGB
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatch on magic bytes: PPM/BMP decode in pure numpy here;
+    anything else needs an imaging library (PIL if present)."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     try:
-        import PIL.Image  # noqa: F401
+        import io
+
+        import PIL.Image
+
+        return np.asarray(PIL.Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError as exc:
         raise NotImplementedError(
-            "image decode requires an imaging library (e.g. Pillow) that is "
-            "not baked into this environment; use the deterministic "
-            "byte-feature path (fake_features) for plumbing tests"
+            "payload is neither PPM (P6) nor 24-bit BMP, and no imaging "
+            "library (e.g. Pillow) is baked into this environment"
         ) from exc
-    raise NotImplementedError("decoder wiring is environment-specific")
 
 
-def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body: binary payload → fixed-size feature vector.
-    Deterministic fake 'decode': quantile sketch of the byte values —
-    the exact batch shape a real decoder (image → pixels → embedding)
-    would use."""
-    qs = np.linspace(0.0, 1.0, FEATURE_DIM)
-    for pdf in batches:
-        feats = []
-        for payload in pdf["payload"]:
-            arr = np.frombuffer(payload, dtype=np.uint8)
-            feats.append(
-                np.quantile(arr, qs).astype(np.float32) if arr.size else np.zeros(FEATURE_DIM, np.float32)
-            )
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "n_bytes": pdf["payload"].map(len).astype("int64"),
-                "feature": [f.tolist() for f in feats],
-            }
-        )
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) → binary PPM bytes (the test/ingest twin of
+    decode_ppm)."""
+    h, w = pixels.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def image_features(img: np.ndarray) -> np.ndarray:
+    """Decoded pixels → FEATURE_DIM float32 vector: (h, w, mean R/G/B,
+    gray mean/std/max) — the deterministic stand-in for an embedding
+    model, computed from REAL decoded pixel values."""
+    gray = img.astype(np.float64).mean(axis=2)
+    return np.array(
+        [
+            img.shape[0],
+            img.shape[1],
+            img[:, :, 0].mean(),
+            img[:, :, 1].mean(),
+            img[:, :, 2].mean(),
+            gray.mean(),
+            gray.std(),
+            gray.max(),
+        ],
+        dtype=np.float32,
+    )
+
+
+# ---------------------------------------------------- payload builders
 
 
 def binary_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,35 +149,48 @@ def binary_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- metadata over binary columns: fully oracle-checked (byte length +
-# content digest both computable on blobs in DuckDB).
-@register(
-    "multimodal_meta",
-    """
-    SELECT doc_id,
-           CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
-           SHA256(text) AS digest
-    FROM documents
-    """,
-)
-def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = binary_payloads(spark, sf_dir)
-    return p.select(
-        "doc_id",
-        F.octet_length(F.col("payload")).cast("long").alias("n_bytes"),
-        F.lower(F.sha2(F.col("payload"), 256)).alias("digest"),
-    )
+def _ppm_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: text → deterministic P6 payload whose pixel
+    bytes are the utf-8 text bytes padded with zeros to h·w·3 (the
+    ingest step a real pipeline does outside Spark; here it makes the
+    decode path exercisable from TESTDATA alone)."""
+    row_bytes = PPM_WIDTH * 3
+    for pdf in batches:
+        payloads = []
+        for text in pdf["text"]:
+            raw = text.encode("utf-8")
+            h = max((len(raw) + row_bytes - 1) // row_bytes, 1)
+            pix = np.zeros(h * row_bytes, dtype=np.uint8)
+            pix[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+            payloads.append(encode_ppm(pix.reshape(h, PPM_WIDTH, 3)))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
-# --- feature extraction through the Arrow batch path (rows-only:
-# the fake decoder is engine-internal; its determinism and shape are
-# pinned by tests).
-@register("multimodal_features")
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = binary_payloads(spark, sf_dir)
-    return p.select("doc_id", "payload").mapInPandas(
-        _feature_batches, schema=f"doc_id long, n_bytes long, feature array<float>"
-    )
+def image_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload) where payload is a REAL (if synthetic) P6
+    image derived deterministically from the document text."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_ppm_encode_batches, schema="doc_id long, payload binary")
+
+
+# ------------------------------------------------------- batch kernels
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: binary image payload → REAL decode (PPM/BMP in
+    numpy) → fixed-size pixel-feature vector. Exactly the batch shape a
+    learned featureizer would use (decode → pixels → embed)."""
+    for pdf in batches:
+        feats = [
+            image_features(decode_image(payload)) for payload in pdf["payload"]
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "feature": [f.tolist() for f in feats],
+            }
+        )
 
 
 FRAME_BYTES = 64
@@ -146,9 +228,40 @@ def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-# --- strided frame sampling through the Arrow batch path (rows-only:
-# byte-slicing "frames"; determinism + shape pinned in tests).
-@register("multimodal_frame_sample")
+# ----------------------------------------------------- builder queries
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payload metadata: byte length + content digest (blob
+    functions both engines share)."""
+    p = binary_payloads(spark, sf_dir)
+    return p.select(
+        "doc_id",
+        F.octet_length(F.col("payload")).cast("long").alias("n_bytes"),
+        F.lower(F.sha2(F.col("payload"), 256)).alias("digest"),
+    )
+
+
+def multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus stats over the multimodal table — the group-by
+    a media pipeline runs first."""
+    p = binary_payloads(spark, sf_dir)
+    return p.groupBy(F.col("meta.source").alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.octet_length("payload").cast("long")).alias("total_bytes"),
+        F.countDistinct(F.lower(F.sha2(F.col("payload"), 256))).alias("distinct_payloads"),
+    )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode path: P6 payloads → numpy decode → pixel features
+    through Arrow-batched mapInPandas."""
+    p = image_payloads(spark, sf_dir)
+    return p.mapInPandas(
+        _feature_batches, schema="doc_id long, n_bytes long, feature array<float>"
+    )
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = binary_payloads(spark, sf_dir)
     return p.select("doc_id", "payload").mapInPandas(
@@ -156,23 +269,72 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- per-source corpus stats over the multimodal table (bytes are
-# metadata aggregation — the group-by a media pipeline runs first).
+# -------------------------------------------------- catalog (2 merged)
+
+
+# --- metadata + per-source stats in one registration (both fully
+# oracle-checked on blob functions; merged to keep the catalog inside
+# the driver's 50-query correctness window — VERDICT r1 #1).
 @register(
-    "multimodal_stats",
+    "multimodal_meta_stats",
     """
-    SELECT meta_source AS source,
-           COUNT(*) AS n_docs,
-           CAST(SUM(CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT)) AS BIGINT) AS total_bytes,
-           COUNT(DISTINCT SHA256(text)) AS distinct_payloads
-    FROM (SELECT source AS meta_source, text FROM documents)
-    GROUP BY 1
+    SELECT 'meta' AS part,
+           CAST(doc_id AS VARCHAR) AS id,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n1,
+           CAST(NULL AS BIGINT) AS n2,
+           CAST(NULL AS BIGINT) AS n3,
+           SHA256(text) AS s
+    FROM documents
+    UNION ALL
+    SELECT 'stats' AS part,
+           source AS id,
+           CAST(SUM(CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT)) AS BIGINT) AS n1,
+           COUNT(*) AS n2,
+           COUNT(DISTINCT SHA256(text)) AS n3,
+           CAST(NULL AS VARCHAR) AS s
+    FROM documents GROUP BY source
     """,
 )
-def multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = binary_payloads(spark, sf_dir)
-    return p.groupBy(F.col("meta.source").alias("source")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.octet_length("payload").cast("long")).alias("total_bytes"),
-        F.countDistinct(F.lower(F.sha2(F.col("payload"), 256))).alias("distinct_payloads"),
+def multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    meta = multimodal_meta(spark, sf_dir).select(
+        F.lit("meta").alias("part"),
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("n_bytes").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        F.lit(None).cast("long").alias("n3"),
+        F.col("digest").alias("s"),
     )
+    stats = multimodal_stats(spark, sf_dir).select(
+        F.lit("stats").alias("part"),
+        F.col("source").alias("id"),
+        F.col("total_bytes").alias("n1"),
+        F.col("n_docs").alias("n2"),
+        F.col("distinct_payloads").alias("n3"),
+        F.lit(None).cast("string").alias("s"),
+    )
+    return meta.unionByName(stats)
+
+
+# --- both decode-shaped paths in one rows-only registration: real
+# pixel decode + featureize, and strided frame sampling. (Rows-only:
+# the feature/frame values are engine-internal; determinism, pixel
+# ground truth, and batch shapes are pinned in tests.)
+@register("multimodal_decode")
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = multimodal_features(spark, sf_dir).select(
+        F.lit("features").alias("part"),
+        "doc_id",
+        F.lit(0).cast("int").alias("idx"),
+        "n_bytes",
+        F.lit(None).cast("string").alias("digest"),
+        "feature",
+    )
+    frames = multimodal_frame_sample(spark, sf_dir).select(
+        F.lit("frames").alias("part"),
+        "doc_id",
+        F.col("frame_idx").alias("idx"),
+        "n_bytes",
+        "digest",
+        F.lit(None).cast("array<float>").alias("feature"),
+    )
+    return feats.unionByName(frames)

@@ -65,7 +65,16 @@ def token_count_col(col: Column) -> Column:
 TOKEN_COUNT_SQL = "CAST(LEN(STRING_SPLIT({e}, ' ')) AS BIGINT)"
 
 
-# --- per-document token statistics (M1 tokenize generalized).
+# BPE-ish token regex: word/number/punct boundaries with explicit
+# classes (identical semantics in Java regex and RE2 — no \w/\s class
+# differences).
+_BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+# --- per-document token statistics (M1 tokenize generalized), merged
+# with the BPE-ish subword count — both are per-row projections over
+# the same scan, so one query covers both operators (catalog kept ≤ the
+# driver's 50-query correctness window; VERDICT r1 §next-round #1).
 @register(
     "token_stats",
     f"""
@@ -74,7 +83,8 @@ TOKEN_COUNT_SQL = "CAST(LEN(STRING_SPLIT({e}, ' ')) AS BIGINT)"
            CAST(LENGTH(text) AS BIGINT) AS n_chars,
            {occurrences_sql('text', '.')} AS n_periods,
            {occurrences_sql('text', ',')} AS n_commas,
-           CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS n_nonspace
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS n_nonspace,
+           CAST(LEN(regexp_extract_all(text, '{_BPE_ISH}')) AS BIGINT) AS n_bpe_tokens
     FROM documents
     """,
 )
@@ -88,6 +98,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         occurrences(t, ".").alias("n_periods"),
         occurrences(t, ",").alias("n_commas"),
         F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("long").alias("n_nonspace"),
+        F.regexp_count(t, F.lit(_BPE_ISH)).cast("long").alias("n_bpe_tokens"),
     )
 
 
@@ -113,11 +124,18 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- quality scoring: stopword ratio, mean token length, length prior.
-# Per-row double arithmetic (deterministic across engines — same IEEE
+# --- quality scoring + language ID in one per-row projection over the
+# same documents scan (merged: both were standalone queries in r1; one
+# registration keeps the catalog inside the driver's correctness
+# window while still exercising both operators).
+#
+# Quality: stopword ratio, mean token length, length prior — per-row
+# double arithmetic (deterministic across engines — same IEEE
 # expression tree on both sides).
+# Language ID: argmax of per-language stopword-marker scores (n-gram
+# frequency heuristic; integer scores ⇒ exact tie-break).
 @register(
-    "quality_score",
+    "quality_lang",
     f"""
     SELECT doc_id,
            CAST({marker_score_sql('text', 'en')} AS DOUBLE)
@@ -125,30 +143,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
              / {TOKEN_COUNT_SQL.format(e='text')} AS mean_token_len,
            LEAST(CAST({TOKEN_COUNT_SQL.format(e='text')} AS DOUBLE) / 100.0, 1.0)
-             AS length_prior
-    FROM documents
-    """,
-)
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    n_tok = token_count_col(t)
-    return d.select(
-        "doc_id",
-        (marker_score(t, "en").cast("double") / n_tok).alias("stopword_ratio"),
-        (
-            F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double") / n_tok
-        ).alias("mean_token_len"),
-        F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0)).alias("length_prior"),
-    )
-
-
-# --- language ID: argmax of per-language stopword-marker scores
-# (n-gram-frequency heuristic; integer scores ⇒ exact tie-break).
-@register(
-    "lang_id",
-    f"""
-    SELECT doc_id,
+             AS length_prior,
            CAST({marker_score_sql('text', 'en')} AS BIGINT) AS score_en,
            CAST({marker_score_sql('text', 'de')} AS BIGINT) AS score_de,
            CAST({marker_score_sql('text', 'es')} AS BIGINT) AS score_es,
@@ -160,12 +155,18 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
 )
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     t = F.col("text")
+    n_tok = token_count_col(t)
     s_en, s_de, s_es = (marker_score(t, lang) for lang in ("en", "de", "es"))
     return d.select(
         "doc_id",
+        (marker_score(t, "en").cast("double") / n_tok).alias("stopword_ratio"),
+        (
+            F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double") / n_tok
+        ).alias("mean_token_len"),
+        F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0)).alias("length_prior"),
         s_en.alias("score_en"),
         s_de.alias("score_de"),
         s_es.alias("score_es"),
@@ -173,6 +174,22 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(s_de >= s_es, "de")
         .otherwise("es")
         .alias("lang_guess"),
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-only projection (unregistered builder; the registered
+    catalog entry is the merged `quality_lang`)."""
+    return quality_lang(spark, sf_dir).select(
+        "doc_id", "stopword_ratio", "mean_token_len", "length_prior"
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID-only projection (unregistered builder; see
+    `quality_lang`)."""
+    return quality_lang(spark, sf_dir).select(
+        "doc_id", "score_en", "score_de", "score_es", "lang_guess"
     )
 
 
@@ -195,12 +212,6 @@ def fingerprint_col(col: Column) -> Column:
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint_col(F.col("text")).alias("fingerprint"))
-
-
-# --- BPE-ish token counting: split on word/number/punct boundaries
-# with an explicit regex (identical semantics in Java regex and RE2 —
-# no \w/\s class differences).
-_BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
 # --- composite curation pipeline: the end-to-end shape a training-
@@ -257,16 +268,9 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "bpe_token_count",
-    f"""
-    SELECT doc_id,
-           CAST(LEN(regexp_extract_all(text, '{_BPE_ISH}')) AS BIGINT) AS n_bpe_tokens,
-           {TOKEN_COUNT_SQL.format(e='text')} AS n_ws_tokens
-    FROM documents
-    """,
-)
 def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish vs whitespace token counts (unregistered builder; the
+    registered catalog entry is the merged `token_stats`)."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",

@@ -22,16 +22,7 @@ P = 0.01
 
 
 # --- A1 + sizing math (bloomfilters_util.py:15,27): per-key n → (m, k).
-@register(
-    "bloom_sizing",
-    f"""
-    SELECT CAST(o_orderpriority AS VARCHAR) AS key,
-           COUNT(*) AS n,
-           CAST(CEIL(-COUNT(*) * LN({P}) / (LN(2) * LN(2))) AS BIGINT) AS m,
-           CAST(CEIL(-LN({P}) / LN(2)) AS INT) AS k
-    FROM orders GROUP BY 1
-    """,
-)
+# (Unregistered builder; see `bloom_build_invariants`.)
 def bloom_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     filters = build_bloom_filters(orders, "o_orderpriority", "o_orderkey", P)
@@ -39,15 +30,7 @@ def bloom_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- spec invariant: probing the train set against its own filters can
-# never miss. Oracle = the expected zeros, per key.
-@register(
-    "bloom_no_false_negatives",
-    """
-    SELECT CAST(o_orderpriority AS VARCHAR) AS key,
-           CAST(0 AS BIGINT) AS false_negatives
-    FROM orders GROUP BY 1
-    """,
-)
+# never miss. (Unregistered builder; see `bloom_build_invariants`.)
 def bloom_no_false_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     filters = build_bloom_filters(orders, "o_orderpriority", "o_orderkey", P).cache()
@@ -59,23 +42,70 @@ def bloom_no_false_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- the full tester pipeline (rows-only: fp counts depend on the
-# frozen hash family; the statistical check lives in tests/).
-@register("bloom_fp_report")
+# --- sizing geometry + the no-false-negatives spec invariant in ONE
+# registration (merged — VERDICT r1 #1): build once, emit per-key
+# (n, m, k) alongside the measured false-negative count from probing
+# the train set against its own filters. Oracle = closed-form sizing
+# (bloomfilters_util.py:15,27) + literal zero (the spec's "there can
+# never be false negatives").
+@register(
+    "bloom_build_invariants",
+    f"""
+    SELECT CAST(o_orderpriority AS VARCHAR) AS key,
+           COUNT(*) AS n,
+           CAST(CEIL(-COUNT(*) * LN({P}) / (LN(2) * LN(2))) AS BIGINT) AS m,
+           CAST(CEIL(-LN({P}) / LN(2)) AS INT) AS k,
+           CAST(0 AS BIGINT) AS false_negatives
+    FROM orders GROUP BY 1
+    """,
+)
+def bloom_build_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    filters = build_bloom_filters(orders, "o_orderpriority", "o_orderkey", P).cache()
+    probed = probe_bloom_filters(
+        orders, "o_orderpriority", "o_orderkey", filters, k=num_hashes(P), broadcast=True
+    )
+    fn = probed.groupBy(F.col("o_orderpriority").alias("key")).agg(
+        F.sum(1 - F.col("bloom_hit")).cast("long").alias("false_negatives")
+    )
+    return filters.select("key", "n", "m", "k").join(fn, "key")
+
+
 def bloom_fp_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return bloom_fp_pipeline(orders, "o_orderpriority", "o_orderkey", p=P)
 
 
-# --- P5: seeded randomSplit (rows-only: partition-dependent row
-# assignment; invariants — disjoint + exhaustive — are tested in tests/).
-@register("random_split_counts")
 def random_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     train, test = train_test_split(orders)
     return train.select(F.lit("train").alias("split")).union(
         test.select(F.lit("test").alias("split"))
     ).groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- the full tester pipeline + the P5 split census in ONE rows-only
+# registration (both depend on the frozen hash family / partition-
+# dependent RNG; statistical checks live in tests/). The fp branch is
+# the reference's four-job sequence; the split branch counts the seeded
+# 60/40 halves it starts from.
+@register("bloom_split_fp_report")
+def bloom_split_fp_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = bloom_fp_report_q(spark, sf_dir).select(
+        F.lit("fp_report").alias("part"),
+        "key",
+        F.col("false_positives").alias("n1"),
+        F.col("total_tests").alias("n2"),
+        F.col("fp_rate").alias("rate"),
+    )
+    split = random_split_counts(spark, sf_dir).select(
+        F.lit("split").alias("part"),
+        F.col("split").alias("key"),
+        F.col("n").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        F.lit(None).cast("double").alias("rate"),
+    )
+    return fp.unionByName(split)
 
 
 # --- Bloom semi-join pruning (the 100 TB use case): filter a big fact

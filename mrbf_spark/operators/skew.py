@@ -44,14 +44,7 @@ def salted_agg(
 
 
 # --- salted grouped count+sum, oracle = the plain groupBy (semantic
-# no-op proof).
-@register(
-    "skew_salted_agg",
-    f"""
-    SELECT l_returnflag, COUNT(*) AS n, {dsum_sql('l_quantity')} AS sum_qty
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
+# no-op proof). (Unregistered builder; see `skew_ops`.)
 def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     partials = salted_agg(
@@ -77,15 +70,6 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast bytes by n_salts for nothing; measured 2.4× slower than
 # SHJ at sf0.1), and hash beats sort-merge here because neither side
 # needs the sort.
-@register(
-    "skew_salted_join",
-    f"""
-    SELECT o.o_orderpriority, COUNT(*) AS n_items,
-           {dsum_sql('l.l_extendedprice')} AS total_price
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    GROUP BY o.o_orderpriority
-    """,
-)
 def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
@@ -112,3 +96,35 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dsum("l_extendedprice").alias("total_price"),
     )
+
+
+# --- both salted escape hatches in ONE registration; the oracle is the
+# UNSALTED SQL union (the salting must be a pure execution-strategy
+# change with zero semantic effect, and the hash-match proves it).
+@register(
+    "skew_ops",
+    f"""
+    SELECT 'salted_agg' AS part, l_returnflag AS key,
+           COUNT(*) AS n, {dsum_sql('l_quantity')} AS val
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'salted_join' AS part, o.o_orderpriority AS key,
+           COUNT(*) AS n, {dsum_sql('l.l_extendedprice')} AS val
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def skew_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = skew_salted_agg(spark, sf_dir).select(
+        F.lit("salted_agg").alias("part"),
+        F.col("l_returnflag").alias("key"),
+        "n",
+        F.col("sum_qty").alias("val"),
+    )
+    join = skew_salted_join(spark, sf_dir).select(
+        F.lit("salted_join").alias("part"),
+        F.col("o_orderpriority").alias("key"),
+        F.col("n_items").alias("n"),
+        F.col("total_price").alias("val"),
+    )
+    return agg.unionByName(join)

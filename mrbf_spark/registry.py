@@ -18,6 +18,24 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
+BUILDER_SQL: dict[str, str] = {}
+
+
+def builder(name: str, oracle: str | None = None):
+    """Decorator for an UNREGISTERED builder query: not part of the
+    driver-checked catalog (kept ≤ 50 entries — the driver's
+    correctness window), but its oracle SQL is retained in BUILDER_SQL
+    so consolidated catalog entries can compose it into their own
+    oracles (and tests can still exercise the builder directly)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if oracle is not None:
+            BUILDER_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
 def register(name: str, oracle: str | None = None):
     """Decorator: add a query (and optional DuckDB oracle) to the
     catalog. oracle=None ⇒ rows-only check (non-SQL-expressible)."""

@@ -16,17 +16,8 @@ from ..tables import load_table
 
 
 # --- tumbling window (5 min): Spark window() starts are epoch-aligned,
-# exactly DuckDB's time_bucket.
-@register(
-    "window_tumbling",
-    f"""
-    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
-           event_type,
-           COUNT(*) AS n,
-           {dsum_sql('value')} AS total_value
-    FROM events GROUP BY 1, 2
-    """,
-)
+# exactly DuckDB's time_bucket. (Unregistered builder; the registered
+# entry is the merged `stream_windows`.)
 def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
@@ -38,17 +29,7 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- sliding window (10 min width, 5 min slide): every event lands in
 # exactly two windows; the oracle enumerates both starts explicitly.
-@register(
-    "window_sliding",
-    f"""
-    SELECT window_start, COUNT(*) AS n, {dsum_sql('value')} AS total_value
-    FROM (
-      SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, value FROM events
-      UNION ALL
-      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', value FROM events
-    ) GROUP BY 1
-    """,
-)
+# (Unregistered builder; see `stream_windows`.)
 def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
@@ -58,10 +39,71 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- both fixed-window shapes in one registration (merged to keep the
+# catalog inside the driver's 50-query correctness window; each branch
+# keeps its own plan — one scan + one partial-agg shuffle apiece).
+@register(
+    "stream_windows",
+    f"""
+    SELECT 'tumbling' AS part,
+           time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           event_type, COUNT(*) AS n, {dsum_sql('value')} AS total_value
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding' AS part, window_start,
+           CAST(NULL AS VARCHAR) AS event_type,
+           COUNT(*) AS n, {dsum_sql('value')} AS total_value
+    FROM (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', value FROM events
+    ) GROUP BY 2
+    """,
+)
+def stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tumbling = window_tumbling(spark, sf_dir).select(
+        F.lit("tumbling").alias("part"), "window_start", "event_type", "n", "total_value"
+    )
+    sliding = window_sliding(spark, sf_dir).select(
+        F.lit("sliding").alias("part"),
+        "window_start",
+        F.lit(None).cast("string").alias("event_type"),
+        "n",
+        "total_value",
+    )
+    return tumbling.unionByName(sliding)
+
+
 # --- session window (batch form of stateful sessionization; 30 min
-# gap — the same semantics tests compare against the lag/cumsum
-# sessionization query).
-@register("session_window_agg")  # rows-only: session_window not in DuckDB
+# gap). Oracle (upgraded from rows-only, VERDICT r1 #8): the lag/cumsum
+# batch twin — provably equal on static input. Spark's session_window
+# opens a NEW session when the gap is ≥ the duration (windows [t,
+# t+gap) and [t+gap, …) don't overlap), hence `>=` in the oracle's
+# new-session predicate (the standalone `sessionization` query uses
+# strict `>` with its own matching oracle — both conventions are
+# exact because event timestamps here are microsecond-grained).
+# session_end = last event + gap, per Spark's definition.
+@register(
+    "session_window_agg",
+    """
+    WITH marks AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts)) >= 1800.0
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marks)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTES AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sess_id
+    """,
+)
 def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (

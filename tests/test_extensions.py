@@ -76,6 +76,7 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     top-k: mean recall ≥ 0.6 over the query set, and every hit it does
     return carries the exact fixed-point cosine (re-rank is exact)."""
     from mrbf_spark.catalog import queries
+    from mrbf_spark.functions.similarity import ann_ivf_topk
 
     qs = queries()
     exact = {}
@@ -83,7 +84,7 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
         exact.setdefault(r["query_id"], set()).add(r["vec_id"])
     got = {}
     cos_by_pair = {}
-    for r in qs["ann_ivf_topk"](spark, SF_SMOKE).collect():
+    for r in ann_ivf_topk(spark, SF_SMOKE).collect():
         got.setdefault(r["query_id"], set()).add(r["vec_id"])
         cos_by_pair[(r["query_id"], r["vec_id"])] = r["cosine"]
     recalls = [
@@ -108,9 +109,9 @@ def test_multimodal_plumbing(spark):
     assert isinstance(row["payload"], (bytes, bytearray))
     assert row["mime"] == "text/plain"
 
-    from mrbf_spark.catalog import queries
+    from mrbf_spark.functions.multimodal import multimodal_features
 
-    feats = queries()["multimodal_features"](spark, SF_SMOKE)
+    feats = multimodal_features(spark, SF_SMOKE)
     a = feats.orderBy("doc_id").limit(3).collect()
     b = feats.orderBy("doc_id").limit(3).collect()
     assert a == b  # deterministic fake decode
@@ -122,10 +123,14 @@ def test_multimodal_plumbing(spark):
 def test_frame_sampling_shape_and_determinism(spark):
     """Strided frame sample: ≤MAX_FRAMES frames/doc, stride-2 indices,
     full frames only, and bit-identical across runs/partitionings."""
-    from mrbf_spark.catalog import queries
-    from mrbf_spark.functions.multimodal import FRAME_BYTES, FRAME_STRIDE, MAX_FRAMES
+    from mrbf_spark.functions.multimodal import (
+        FRAME_BYTES,
+        FRAME_STRIDE,
+        MAX_FRAMES,
+        multimodal_frame_sample,
+    )
 
-    rows = queries()["multimodal_frame_sample"](spark, SF_SMOKE).collect()
+    rows = multimodal_frame_sample(spark, SF_SMOKE).collect()
     assert rows, "no frames sampled"
     per_doc: dict[int, list] = {}
     for r in rows:
@@ -135,14 +140,101 @@ def test_frame_sampling_shape_and_determinism(spark):
     assert max(len(v) for v in per_doc.values()) <= MAX_FRAMES
     again = {
         (r["doc_id"], r["frame_idx"]): r["digest"]
-        for r in queries()["multimodal_frame_sample"](spark, SF_SMOKE).collect()
+        for r in multimodal_frame_sample(spark, SF_SMOKE).collect()
     }
     assert {(r["doc_id"], r["frame_idx"]): r["digest"] for r in rows} == again
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_unsupported_format_raises():
+    """Formats beyond PPM/BMP need an imaging library this container
+    lacks — the error must be the declared NotImplementedError."""
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+
+
+def test_decode_ppm_pixel_exact():
+    """REAL decode: a crafted 2x2 P6 image (with a header comment)
+    round-trips to the exact pixel array."""
+    import numpy as np
+
+    from mrbf_spark.functions.multimodal import decode_ppm, encode_ppm
+
+    pix = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8
+    )
+    assert (decode_ppm(encode_ppm(pix)) == pix).all()
+    commented = b"P6\n# a comment\n2 2\n255\n" + pix.tobytes()
+    assert (decode_image(commented) == pix).all()
+
+
+def test_decode_bmp_pixel_exact():
+    """REAL decode: a hand-built 2x2 24bpp BMP (bottom-up rows, BGR,
+    4-byte row padding) decodes to the exact RGB array."""
+    import struct
+
+    import numpy as np
+
+    from mrbf_spark.functions.multimodal import decode_bmp
+
+    pix = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8
+    )
+    w = h = 2
+    stride = (w * 3 + 3) & ~3
+    rows = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = b"".join(bytes([b, g, r]) for r, g, b in pix[y])
+        rows += row + b"\x00" * (stride - len(row))
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    )
+    assert (decode_bmp(header + rows) == pix).all()
+    assert (decode_image(header + rows) == pix).all()
+
+
+def test_feature_batches_decode_ground_truth(spark):
+    """The registered decode path: PPM payloads built from document
+    text must decode back to the padded text bytes, and the feature
+    vector must equal the numpy ground truth computed off-Spark."""
+    import numpy as np
+
+    from mrbf_spark.functions.multimodal import (
+        PPM_WIDTH,
+        decode_ppm,
+        image_features,
+        image_payloads,
+        multimodal_features,
+    )
+    from mrbf_spark.tables import load_table
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_SMOKE, "documents").limit(5).collect()
+    }
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in image_payloads(spark, SF_SMOKE).limit(50).collect()
+        if r["doc_id"] in texts
+    }
+    feats = {
+        r["doc_id"]: r["feature"]
+        for r in multimodal_features(spark, SF_SMOKE).limit(50).collect()
+        if r["doc_id"] in texts
+    }
+    assert payloads and feats
+    row_bytes = PPM_WIDTH * 3
+    for doc_id, payload in payloads.items():
+        raw = texts[doc_id].encode("utf-8")
+        img = decode_ppm(payload)
+        flat = img.reshape(-1)
+        assert img.shape[1] == PPM_WIDTH
+        assert len(flat) >= len(raw) and (flat[: len(raw)] == np.frombuffer(raw, np.uint8)).all()
+        assert not flat[len(raw):].any()  # zero padding
+        want = image_features(img)
+        got = np.array(feats[doc_id], dtype=np.float32)
+        assert np.array_equal(got, want), doc_id
 
 
 def test_stratified_sample_rates_and_subset(spark):
@@ -194,8 +286,10 @@ def test_streaming_equals_batch(spark):
     """The REAL Structured Streaming path (readStream → watermark →
     tumbling window → memory sink) must produce exactly the batch
     twin's result."""
-    from mrbf_spark.catalog import queries
-    from mrbf_spark.streaming.windows import streaming_tumbling_counts
+    from mrbf_spark.streaming.windows import (
+        streaming_tumbling_counts,
+        window_tumbling,
+    )
 
     q = streaming_tumbling_counts(spark, SF_SMOKE, query_name="t_stream_eq")
     try:
@@ -205,7 +299,7 @@ def test_streaming_equals_batch(spark):
         }
     finally:
         q.stop()
-    batch_rows = {tuple(r) for r in queries()["window_tumbling"](spark, SF_SMOKE).collect()}
+    batch_rows = {tuple(r) for r in window_tumbling(spark, SF_SMOKE).collect()}
     assert stream_rows == batch_rows
     assert len(stream_rows) > 0
 
