@@ -157,6 +157,15 @@ def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- O1 generalized: top-k per group via window row_number (the
 # reference's secondary sort is the degenerate k=1 of this). Unique
 # (orderkey, linenumber) tie-break keeps the result deterministic.
+#
+# Scale note: the `rn <= 3` filter triggers Spark's WindowGroupLimit
+# rewrite (3.5+): a PARTIAL per-partition top-k runs below the window
+# Exchange, so shuffle input is bounded at partitions x groups x k
+# rows no matter the fact-table size — the per-group analogue of
+# TakeOrderedAndProject, entirely JVM-side. Pinned by
+# test_topk_prunes_locally_before_window_shuffle; an Arrow
+# mapInPandas pre-prune was measured 2x SLOWER at sf0.1 (adds a
+# Python round trip to do what the JVM already does).
 @register(
     "topk_per_group",
     """

@@ -80,6 +80,25 @@ def test_topk_uses_window_not_global_sort(spark):
     assert "RunningWindowFunction" in plan or "Window" in plan
 
 
+def test_topk_prunes_locally_before_window_shuffle(spark):
+    """The fact scan must NOT feed the window's Exchange directly:
+    Spark's WindowGroupLimit rewrite puts a Partial per-partition
+    top-k below the Exchange, so shuffle input is bounded at
+    partitions x groups x k rows regardless of table size. If a
+    regression (e.g. losing the rank filter shape) drops the rewrite,
+    this fails long before a benchmark notices."""
+    plan = physical_plan(QS["topk_per_group"](spark, SF_SMOKE))
+    lines = plan.splitlines()
+    exchange_at = next(i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l)
+    partial_at = next(
+        i for i, l in enumerate(lines) if "WindowGroupLimit" in l and "Partial" in l
+    )
+    scan_at = next(i for i, l in enumerate(lines) if "FileScan parquet" in l)
+    # tree prints root-first: scan is deepest, partial prune above it,
+    # exchange above that
+    assert exchange_at < partial_at < scan_at
+
+
 def test_order_limit_uses_topk_operator(spark):
     # global ORDER BY + LIMIT must compile to TakeOrderedAndProject
     # (per-partition top-k + driver merge), not a full sort
