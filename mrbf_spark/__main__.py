@@ -8,9 +8,13 @@ parquet inputs and key/value columns.
     python -m mrbf_spark build --input A --key rating --value movieId -p 0.01 --out F
     python -m mrbf_spark test --input B --filters F --key rating --value movieId --out R
     python -m mrbf_spark pipeline --input T.parquet --key rating --value movieId -p 0.01
+    python -m mrbf_spark pipeline --input T.parquet --key rating --value movieId -p 0.01,0.05,0.1
 
 `pipeline` runs the whole four-job sequence in one Spark application
-(what the reference needs four spark-submits + a getmerge for).
+(what the reference needs four spark-submits + a getmerge for); with a
+comma list of p values it sweeps them in one app (the reference's
+sh-scripts/{2,3}{a,b}.sh loops) and prints the report's §6-style
+accuracy table.
 """
 
 from __future__ import annotations
@@ -70,15 +74,41 @@ def cmd_test(args) -> None:
 
 
 def cmd_pipeline(args) -> None:
-    from .bloom.pipeline import bloom_fp_pipeline
+    from .bloom.pipeline import bloom_fp_pipeline, bloom_fp_sweep
 
     spark = _spark(args)
     df = spark.read.parquet(args.input)
-    report = bloom_fp_pipeline(df, args.key, args.value, p=args.p, seed=args.seed)
+    ps = [float(x) for x in str(args.p).split(",") if x]
+    if len(ps) == 1:
+        report = bloom_fp_pipeline(df, args.key, args.value, p=ps[0], seed=args.seed)
+        if args.out:
+            report.write.mode("overwrite").parquet(args.out)
+        for r in sorted(report.collect(), key=lambda r: r["key"]):
+            print(
+                f"{r['key']}\t{r['false_positives']}\t{r['total_tests']}\t{r['fp_rate']:.8f}"
+            )
+        return
+    # p-sweep: the reference's sh-scripts/{2,3}{a,b}.sh loops in one
+    # app; print the report's §6 accuracy-table shape (key rows, one
+    # fp_rate column per p, plus the avg row).
+    report = bloom_fp_sweep(df, args.key, args.value, ps, seed=args.seed)
     if args.out:
         report.write.mode("overwrite").parquet(args.out)
-    for r in sorted(report.collect(), key=lambda r: r["key"]):
-        print(f"{r['key']}\t{r['false_positives']}\t{r['total_tests']}\t{r['fp_rate']:.8f}")
+    rows = report.collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r["key"], {})[r["p"]] = r
+    header = ["key"] + [f"p={p:g}" for p in ps]
+    print("\t".join(header))
+    for key in sorted(by_key):
+        cells = [str(key)] + [f"{by_key[key][p]['fp_rate']:.8f}" for p in ps]
+        print("\t".join(cells))
+    avgs = []
+    for p in ps:
+        fp = sum(r["false_positives"] for r in rows if r["p"] == p)
+        n = sum(r["total_tests"] for r in rows if r["p"] == p)
+        avgs.append(f"{(fp / n if n else 0.0):.8f}")
+    print("\t".join(["avg"] + avgs))
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -115,7 +145,12 @@ def main(argv: list[str] | None = None) -> int:
     p_pipe.add_argument("--input", required=True)
     p_pipe.add_argument("--key", required=True)
     p_pipe.add_argument("--value", required=True)
-    p_pipe.add_argument("-p", type=float, default=0.01)
+    p_pipe.add_argument(
+        "-p",
+        default="0.01",
+        help="false-positive rate, or comma list for a sweep "
+        "(e.g. 0.01,0.05,0.1 — the reference's sh-scripts/{2,3} loops)",
+    )
     p_pipe.add_argument("--seed", type=int, default=42)
     p_pipe.add_argument("--out", default=None)
 

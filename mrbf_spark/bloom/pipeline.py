@@ -59,3 +59,39 @@ def bloom_fp_pipeline(
         test, key_col, value_col, filters, k=num_hashes(p), broadcast=True
     )
     return fp_report(probed, key_col)
+
+
+def bloom_fp_sweep(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ps: list[float],
+    seed: int = SPLIT_SEED,
+) -> DataFrame:
+    """The reference's p-sweep (sh-scripts/{2,3}{a,b}.sh loop p over
+    {0.01, 0.05, 0.1}, one spark-submit pair each) as ONE application:
+    split once, build+probe per p over the same cached halves, union
+    the per-key reports tagged by p.
+
+    Output: (key, p, false_positives, total_tests, fp_rate) — the long
+    form of the report's §6 accuracy table. The split is shared across
+    p (the reference reuses its HDFS split output the same way), so a
+    sweep costs one split + |ps| build/probe passes, not |ps| splits.
+    """
+    from .sizing import num_hashes
+
+    train, test = train_test_split(df, seed=seed)
+    train, test = train.cache(), test.cache()
+    reports = []
+    for p in ps:
+        filters = build_bloom_filters(train, key_col, value_col, p)
+        probed = probe_bloom_filters(
+            test, key_col, value_col, filters, k=num_hashes(p), broadcast=True
+        )
+        reports.append(
+            fp_report(probed, key_col).withColumn("p", F.lit(float(p)))
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.select("key", "p", "false_positives", "total_tests", "fp_rate")

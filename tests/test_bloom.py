@@ -40,6 +40,46 @@ def test_fp_rate_within_binomial_bound(spark, orders):
     assert abs(fp - n * p) < 4 * sigma, f"fp={fp}, expected {n * p:.1f} ± {4*sigma:.1f}"
 
 
+def test_p_sweep_rates_track_each_p(spark, orders):
+    """One-app p-sweep (sh-scripts/{2,3}{a,b}.sh loops): each swept p
+    must show a measured aggregate fp_rate inside its own 4-sigma
+    binomial band — i.e. the per-p filters are really built at that p,
+    not sharing geometry."""
+    from mrbf_spark.bloom.pipeline import bloom_fp_sweep
+
+    ps = [0.01, 0.05, 0.1]
+    rows = bloom_fp_sweep(orders, "o_orderpriority", "o_orderkey", ps).collect()
+    assert {r["p"] for r in rows} == set(ps)
+    for p in ps:
+        fp = sum(r["false_positives"] for r in rows if r["p"] == p)
+        n = sum(r["total_tests"] for r in rows if r["p"] == p)
+        sigma = (n * p * (1 - p)) ** 0.5
+        assert abs(fp - n * p) < 4 * sigma, f"p={p}: fp={fp}, n={n}"
+
+
+def test_cli_p_sweep_prints_accuracy_table(spark, orders, tmp_path, capsys):
+    """`pipeline -p 0.01,0.1` prints the report's §6 table shape: a
+    key row per bloom key with one fp_rate column per p, plus avg."""
+    from mrbf_spark.__main__ import main
+
+    inp = str(tmp_path / "orders.parquet")
+    orders.write.parquet(inp)
+    main(
+        [
+            "pipeline",
+            "--input", inp,
+            "--key", "o_orderpriority",
+            "--value", "o_orderkey",
+            "-p", "0.01,0.1",
+        ]
+    )
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t") == ["key", "p=0.01", "p=0.1"]
+    assert out[-1].startswith("avg\t")
+    # 5 order priorities + header + avg
+    assert len(out) == 7
+
+
 def test_unknown_keys_skipped(spark, orders):
     """Rows whose key has no filter are dropped, not errors
     (BloomFilterMapper.java:89-93 semantics)."""
