@@ -1,12 +1,18 @@
-"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR
+"""Per-round benchmark: ALL catalog queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+`queries` carries a per-query wall time for every registered catalog
+entry (so round-over-round regressions are visible per operator), plus
+the r01 headline names that were consolidated into merged entries —
+kept as importable builders so the bench key set only ever grows.
+`value` stays the 17-query headline total (same key set as r01) for a
+comparable top-line number.
+
 Each query executes its full plan into the noop sink (no driver-side
-collect cost) after a warm-up of the session; value = sum of per-query
-wall seconds.
+collect cost) after a warm-up of the session.
 """
 
 from __future__ import annotations
@@ -21,7 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: the flagship bloom pipeline + one representative of
-# each operator family. Kept in sync with the catalog as it grows.
+# each operator family — the same 17 keys as BENCH_r01, so `value` is
+# comparable round over round.
 HEADLINE = [
     "bloom_fp_report",
     "bloom_semijoin_prune",
@@ -43,6 +50,22 @@ HEADLINE = [
 ]
 
 
+def legacy_builders() -> dict:
+    """r01 bench names whose catalog entries were consolidated away —
+    still importable builders, timed so BENCH keys stay a superset."""
+    from mrbf_spark.operators import bloom_queries, relational, skew
+    from mrbf_spark.streaming import windows
+
+    return {
+        "bloom_fp_report": bloom_queries.bloom_fp_report_q,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "json_extract_agg": relational.json_extract_agg,
+        "window_tumbling": windows.window_tumbling,
+        "skew_salted_join": skew.skew_salted_join,
+    }
+
+
 def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -52,14 +75,17 @@ def main() -> None:
     from mrbf_spark import catalog
 
     spark = get_spark("mrbf-bench")
-    qs = catalog.queries()
-    names = [n for n in HEADLINE if n in qs]
+    qs = dict(catalog.queries())
+    for name, fn in legacy_builders().items():
+        if fn is not None and name not in qs:
+            qs[name] = fn
+    names = list(qs)
     # Warm up the JVM + parquet footers, and the Arrow Python workers
     # (they're forked lazily per core on first pandas-UDF use — a
     # fixed startup cost, not query throughput).
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
     spark.range(10_000).mapInPandas(lambda it: it, "id long").count()
-    # Steady-state warm-up: run every headline plan once at sf0.001.
+    # Steady-state warm-up: run every plan once at sf0.001.
     # WholeStageCodegen compiles each generated class on first use and
     # caches by source text, so an identical plan shape at the tiny SF
     # pre-compiles the sf0.1 run — timings below then measure
@@ -70,26 +96,33 @@ def main() -> None:
         for name in names:
             try:
                 run_query(qs[name](spark, warm_dir))
-            except Exception:
-                pass
+            except Exception as e:
+                # a silent warm-up miss would leave that query's timed
+                # run paying JIT cost — make it attributable
+                print(
+                    f"warmup failed for {name}: {type(e).__name__}",
+                    file=sys.stderr,
+                )
 
-    # Min of 2 runs per query: the host VM shows multi-second
-    # noisy-neighbor stalls that land on random queries (GC-log
-    # verified: JVM pauses ≤131 ms, so the stalls are outside the
-    # engine). The min measures achievable steady-state throughput.
+    # Min of 2 INTERLEAVED rounds per query: the host VM shows
+    # multi-second noisy-neighbor stalls in bursts (GC-log verified:
+    # JVM pauses ≤131 ms, so the stalls are outside the engine).
+    # Back-to-back repeats land both runs inside one burst; a full
+    # round between repeats makes the two draws independent, so the
+    # min measures achievable steady-state throughput.
     timings: dict[str, float] = {}
-    for name in names:
-        best = float("inf")
-        for _ in range(2):
+    for _ in range(2):
+        for name in names:
             t0 = time.time()
             run_query(qs[name](spark, SF_DIR))
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            dt = time.time() - t0
+            timings[name] = round(min(timings.get(name, float("inf")), dt), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    headline = [n for n in HEADLINE if n in timings]
     out = {
         "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(timings[n] for n in headline), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -322,3 +322,159 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     builder: identical to the registered `dedup_minhash_lsh` (which
     runs at threshold 0.2 and carries exact jaccard per pair)."""
     return minhash_candidates(load_table(spark, sf_dir, "documents"), threshold=0.2)
+
+
+# ------------------------------------------------- connected components
+
+# Duplicate-cluster assignment: pairs aren't what a pipeline consumes —
+# survivor selection needs the transitive closure (A≈B, B≈C ⇒ one
+# cluster even when A≉C). Edges here are fully deterministic and
+# SQL-portable (no Spark-private hash families), so the whole component
+# computation is oracle-checked against a DuckDB recursive CTE:
+#   exact edges:  same normalized-text fingerprint;
+#   near edges:   exact word-3-gram Jaccard ≥ CLUSTER_TAU over
+#                 candidates sharing a RARE shingle (global frequency
+#                 2..RARE_MAX) — the classic inverted-index blocking:
+#                 pair fan-out per shingle is ≤ C(RARE_MAX, 2), and
+#                 common shingles generate no pairs at all, so the
+#                 candidate set stays bounded at corpus scale.
+CLUSTER_TAU = 0.5
+RARE_MAX = 10
+_CC_MAX_ITERS = 25
+
+
+def _cluster_edges(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) undirected dedup edges, doc_a < doc_b."""
+    shingled = docs.select(
+        "doc_id", shingles_col(F.col("text"), 3).alias("shingles")
+    ).cache()
+    inv = shingled.select("doc_id", F.explode("shingles").alias("s"))
+    rare = (
+        inv.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter((F.col("__n") >= 2) & (F.col("__n") <= RARE_MAX))
+        .select("s")
+    )
+    rare_inv = inv.join(rare, "s")
+    a, b = rare_inv.alias("a"), rare_inv.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh_a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    near = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .filter(jaccard_col(F.col("sh_a"), F.col("sh_b")) >= CLUSTER_TAU)
+        .select("doc_a", "doc_b")
+    )
+    fp = docs.select("doc_id", fingerprint_col(F.col("text")).alias("f"))
+    fa, fb = fp.alias("fa"), fp.alias("fb")
+    exact = fa.join(
+        fb, (F.col("fa.f") == F.col("fb.f")) & (F.col("fa.doc_id") < F.col("fb.doc_id"))
+    ).select(F.col("fa.doc_id").alias("doc_a"), F.col("fb.doc_id").alias("doc_b"))
+    return near.unionByName(exact).dropDuplicates(["doc_a", "doc_b"])
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in generate_series(1, greatest(len(t)-2, 1))])
+                    AS shingles
+           FROM toks),
+    inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    rare AS (SELECT s FROM inv GROUP BY s HAVING COUNT(*) BETWEEN 2 AND {RARE_MAX}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM inv a JOIN rare r ON a.s = r.s JOIN inv b ON b.s = r.s
+             WHERE a.doc_id < b.doc_id),
+    near AS (SELECT c.doc_a, c.doc_b
+             FROM cand c
+             JOIN sh sa ON sa.doc_id = c.doc_a
+             JOIN sh sb ON sb.doc_id = c.doc_b
+             WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                     / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+                   >= {CLUSTER_TAU}),
+    fp AS (SELECT doc_id, {FINGERPRINT_SQL.format(e='text')} AS f FROM documents),
+    exact_e AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id),
+    edges AS (SELECT doc_a, doc_b FROM near UNION SELECT doc_a, doc_b FROM exact_e),
+    esym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+             UNION ALL SELECT doc_b, doc_a FROM edges),
+    reach(dst, lbl) AS (SELECT doc_id, doc_id FROM documents
+                        UNION
+                        SELECT e.dst, reach.lbl
+                        FROM reach JOIN esym e ON e.src = reach.dst)
+    SELECT dst AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY dst
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicate-cluster id (= min doc_id of the connected
+    component) over exact + rare-shingle-Jaccard edges.
+
+    Spark side is iterative min-label propagation — the standard
+    distributed connected-components loop (GraphX/GraphFrames CC
+    shape), with two scale properties worth the loop's driver actions:
+    - only EDGE-INCIDENT docs iterate: docs with no dedup edge keep
+      cluster_id = doc_id and join back in one final left join, so the
+      per-iteration shuffle is over the (far smaller) candidate node
+      set, not the corpus;
+    - convergence is detected by the monotone sum of labels (labels
+      only ever decrease; equal sum ⇒ fixpoint), one cheap scalar agg
+      per iteration instead of a change-count join;
+    - localCheckpoint each iteration truncates the growing lineage
+      (without it, iteration i replays all i-1 predecessor joins).
+    Iterations = component diameter (dedup clusters are shallow: a
+    handful), bounded by _CC_MAX_ITERS as a runaway guard.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return assign_clusters(docs, _cluster_edges(docs))
+
+
+def assign_clusters(docs: DataFrame, edges: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) for every doc, cluster_id = min doc_id of
+    its connected component over `edges` (doc_a, doc_b). See
+    dedup_clusters for the iteration's scale properties."""
+    esym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .cache()
+    )
+    labels = (
+        esym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(_CC_MAX_ITERS):
+        prop = labels.join(esym, labels["doc_id"] == esym["src"]).select(
+            esym["dst"].alias("doc_id"), "cluster_id"
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return (
+        docs.select("doc_id")
+        .join(labels.withColumnRenamed("cluster_id", "__c"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("__c"), F.col("doc_id")).alias("cluster_id")
+        )
+    )

@@ -268,6 +268,88 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- intra-document repetition signals (the Gopher/C4-style
+# repetition-removal rule family): distinct-token ratio and the mass
+# fraction of the most frequent token / bigram. Highly repetitive docs
+# (boilerplate, generated spam) score near 1.0 on the frac columns and
+# near 0 on distinct_ratio — the standard pre-training quality gate
+# complementing `quality_lang`'s stopword/length heuristics.
+#
+# Shape: explode tokens (and bigrams) → (doc_id, term) partial-count —
+# map-side combine keeps the shuffle at one row per distinct term per
+# doc per partition; no Python, no window. The per-row alternative
+# (aggregate() over an inline token array per statistic) re-evaluates
+# the tokenize pass per statistic — same trap shingle_hashes_col
+# documents.
+@register(
+    "repetition_stats",
+    """
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    tc AS (SELECT doc_id, tok, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+    uni AS (SELECT doc_id,
+                   CAST(SUM(n) AS BIGINT) AS n_tokens,
+                   COUNT(*) AS n_distinct,
+                   CAST(MAX(n) AS BIGINT) AS top_token_n
+            FROM tc GROUP BY 1),
+    bgl AS (SELECT doc_id,
+                   [array_to_string(t[i:i+1], ' ')
+                    for i in generate_series(1, greatest(len(t)-1, 1))] AS bgs
+            FROM toks),
+    bg AS (SELECT doc_id, unnest(bgs) AS b FROM bgl),
+    bc AS (SELECT doc_id, b, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+    bstat AS (SELECT doc_id,
+                     CAST(MAX(n) AS BIGINT) AS top_bigram_n,
+                     CAST(SUM(n) AS BIGINT) AS n_bigrams
+              FROM bc GROUP BY 1)
+    SELECT u.doc_id, u.n_tokens, u.n_distinct,
+           CAST(u.n_distinct AS DOUBLE) / u.n_tokens AS distinct_ratio,
+           CAST(u.top_token_n AS DOUBLE) / u.n_tokens AS top_token_frac,
+           CAST(b.top_bigram_n AS DOUBLE) / b.n_bigrams AS top_bigram_frac
+    FROM uni u JOIN bstat b USING (doc_id)
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats_df(load_table(spark, sf_dir, "documents"))
+
+
+def repetition_stats_df(d: DataFrame) -> DataFrame:
+    tokens = F.split(F.lower(F.col("text")), " ")
+    tok = d.select("doc_id", F.explode(tokens).alias("tok"))
+    uni = (
+        tok.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("n").alias("top_token_n"),
+        )
+    )
+    # bigrams WITH multiplicity (no array_distinct — the stat is a
+    # mass fraction); a 1-token doc degenerates to its single token,
+    # mirroring the oracle's greatest(len-1, 1)
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(tokens) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, 2)),
+    )
+    bstat = (
+        d.select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_bigram_n"), F.sum("n").alias("n_bigrams"))
+    )
+    return uni.join(bstat, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias("distinct_ratio"),
+        (F.col("top_token_n").cast("double") / F.col("n_tokens")).alias("top_token_frac"),
+        (F.col("top_bigram_n").cast("double") / F.col("n_bigrams")).alias("top_bigram_frac"),
+    )
+
+
 def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish vs whitespace token counts (unregistered builder; the
     registered catalog entry is the merged `token_stats`)."""

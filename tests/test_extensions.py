@@ -402,3 +402,47 @@ def test_streaming_bloom_probe_equals_batch(spark):
         for r in fp_report(probed, "event_type").collect()
     }
     assert got == want and "purchase" in got
+
+
+def test_connected_components_transitive(spark):
+    """A-B and B-C edges (no A-C edge) must land all three in one
+    cluster labeled min(doc_id); isolated docs keep their own id."""
+    from mrbf_spark.functions.dedup import assign_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(2, 3), (1, 2), (4, 5)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in assign_clusters(docs, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_cluster_edges_rare_shingle_blocking(spark):
+    """Near-identical docs pair (rare shared shingles + jaccard ≥ τ);
+    docs sharing only a corpus-common shingle generate no candidate."""
+    from mrbf_spark.functions.dedup import _cluster_edges, RARE_MAX
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base.replace("kappa", "lambda")
+    # >RARE_MAX docs all sharing the shingle "common words here ..." —
+    # that shingle is not rare, so it must not generate pairs
+    common = [(100 + i, f"common words here tail{i} filler{i}") for i in range(RARE_MAX + 2)]
+    docs = spark.createDataFrame(
+        [(1, base), (2, near)] + common, "doc_id long, text string"
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in _cluster_edges(docs).collect()}
+    assert (1, 2) in pairs
+    assert not any(a >= 100 and b >= 100 for a, b in pairs)
+
+
+def test_repetition_stats_exact(spark):
+    """Hand-computed repetition signals on a 6-token doc:
+    'a a a b b c' → top token 'a' 3/6, top bigram 'a a' 2/5."""
+    from mrbf_spark.functions.text import repetition_stats_df
+
+    docs = spark.createDataFrame([(1, "a a a b b c")], "doc_id long, text string")
+    r = repetition_stats_df(docs).collect()[0]
+    assert r["n_tokens"] == 6 and r["n_distinct"] == 3
+    assert r["distinct_ratio"] == pytest.approx(0.5)
+    assert r["top_token_frac"] == pytest.approx(3 / 6)
+    assert r["top_bigram_frac"] == pytest.approx(2 / 5)
