@@ -1490,7 +1490,10 @@ def median_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- temporal join family: as-of (running last_value vs DuckDB's
-# native ASOF JOIN) + bucketed interval-containment range join.
+# native ASOF JOIN) + bucketed interval-containment range join +
+# interval attribution join (batch twin of the watermarked
+# stream-stream join in streaming/join_stream.py — the stream==batch
+# test pins that the streaming path emits these exact pairs).
 @register(
     "temporal_joins",
     f"""
@@ -1501,6 +1504,12 @@ def median_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'range' AS part, {_NULL_L}, {_NULL_L}, win_start AS ts,
            n_events AS n, total_value AS v
     FROM ({BUILDER_SQL['range_join_bucketed']})
+    UNION ALL
+    SELECT 'interval', c.event_id, p.event_id, p.ts, {_NULL_L}, p.value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND p.ts >= c.ts
+     AND p.ts < c.ts + INTERVAL 30 MINUTE
     """,
 )
 def temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1514,7 +1523,14 @@ def temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("win_start").alias("ts"), F.col("n_events").alias("n"),
         F.col("total_value").alias("v"),
     )
-    return a.unionByName(r)
+    from ..streaming.join_stream import clicks_to_purchases
+
+    i = clicks_to_purchases(spark, sf_dir).select(
+        F.lit("interval").alias("part"), F.col("click_id").alias("k1"),
+        F.col("purchase_id").alias("k2"), F.col("purchase_ts").alias("ts"),
+        _nl().alias("n"), F.col("purchase_value").alias("v"),
+    )
+    return a.unionByName(r).unionByName(i)
 
 
 # --- the TPC-H shape suite (Q3/Q5/Q6/Q7/Q10/Q14/Q18) in one

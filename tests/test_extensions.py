@@ -446,3 +446,34 @@ def test_repetition_stats_exact(spark):
     assert r["distinct_ratio"] == pytest.approx(0.5)
     assert r["top_token_frac"] == pytest.approx(3 / 6)
     assert r["top_bigram_frac"] == pytest.approx(2 / 5)
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """Stream-stream interval join (watermarked click→purchase
+    attribution) must produce exactly the batch twin's pairs, and the
+    horizon must actually bound the match window."""
+    from mrbf_spark.streaming.join_stream import (
+        clicks_to_purchases,
+        streaming_clicks_to_purchases,
+    )
+
+    q = streaming_clicks_to_purchases(
+        spark, f"{SF_SMOKE}/events.parque[t]", query_name="t_attrib_eq"
+    )
+    try:
+        q.processAllAvailable()
+        stream_rows = {
+            tuple(r) for r in spark.sql("SELECT * FROM t_attrib_eq").collect()
+        }
+    finally:
+        q.stop()
+    batch = clicks_to_purchases(spark, SF_SMOKE).select(
+        "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value"
+    )
+    batch_rows = {tuple(r) for r in batch.collect()}
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
+    # horizon bound holds on every emitted pair
+    for r in batch.collect():
+        delta = (r["purchase_ts"] - r["click_ts"]).total_seconds()
+        assert 0 <= delta < 1800

@@ -172,3 +172,15 @@ def test_embedding_neardup_joins_on_label_and_bucket(spark):
         l for l in plan.splitlines() if "Join" in l and "label" in l
     )
     assert "bucket" in join_line, join_line
+
+
+def test_cluster_edges_join_is_bounded_equi(spark):
+    """dedup_clusters candidate generation must stay an equi-join on
+    the rare-shingle key — a nested-loop/cartesian here is the
+    O(corpus²) failure mode the rare-frequency cut exists to prevent."""
+    from mrbf_spark.functions.dedup import _cluster_edges
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = physical_plan(_cluster_edges(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
