@@ -63,6 +63,9 @@ def legacy_builders() -> dict:
         "json_extract_agg": relational.json_extract_agg,
         "window_tumbling": windows.window_tumbling,
         "skew_salted_join": skew.skew_salted_join,
+        # consolidated into `topk_order_limit` in r2; keys kept
+        "topk_per_group": relational.topk_per_group,
+        "order_limit": relational.order_limit,
     }
 
 

@@ -166,7 +166,7 @@ def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # test_topk_prunes_locally_before_window_shuffle; an Arrow
 # mapInPandas pre-prune was measured 2x SLOWER at sf0.1 (adds a
 # Python round trip to do what the JVM already does).
-@register(
+@builder(
     "topk_per_group",
     """
     SELECT * FROM (
@@ -191,7 +191,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- O3 + global sort/limit (TopK physical operator in Spark —
 # no full sort at scale, each partition keeps 10 then driver merges).
-@register(
+@builder(
     "order_limit",
     """
     SELECT o_orderkey, o_totalprice FROM orders
@@ -205,6 +205,51 @@ def order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(10)
     )
+
+
+# --- O1+O3 merged catalog entry: per-group top-k (WindowGroupLimit
+# bounded shuffle) and global order+limit (TakeOrderedAndProject) are
+# the two top-k physical strategies; one part-tagged registration
+# keeps both driver-checked inside the 50-query window (the freed slot
+# goes to `decontaminate`). Plan shapes stay pinned per-builder in
+# test_plans.py.
+@register(
+    "topk_order_limit",
+    """
+    SELECT 'topk' AS part, l_returnflag AS flag, l_orderkey AS id,
+           CAST(l_linenumber AS INT) AS ln, l_extendedprice AS price, rn
+    FROM (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS INT) AS rn
+      FROM lineitem) t
+    WHERE rn <= 3
+    UNION ALL
+    SELECT 'order_limit' AS part, CAST(NULL AS VARCHAR) AS flag,
+           o_orderkey AS id, CAST(NULL AS INT) AS ln,
+           o_totalprice AS price, CAST(NULL AS INT) AS rn
+    FROM (SELECT o_orderkey, o_totalprice FROM orders
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10) o
+    """,
+)
+def topk_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    topk = topk_per_group(spark, sf_dir).select(
+        F.lit("topk").alias("part"),
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_orderkey").alias("id"),
+        F.col("l_linenumber").cast("int").alias("ln"),
+        F.col("l_extendedprice").alias("price"),
+        "rn",
+    )
+    ol = order_limit(spark, sf_dir).select(
+        F.lit("order_limit").alias("part"),
+        F.lit(None).cast("string").alias("flag"),
+        F.col("o_orderkey").alias("id"),
+        F.lit(None).cast("int").alias("ln"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(None).cast("int").alias("rn"),
+    )
+    return topk.unionByName(ol)
 
 
 # --- distinct aggregation (A1 extension): exact distinct per group.

@@ -1,0 +1,87 @@
+"""Decontamination operator: n-gram semantics, bloom-prune + exact-
+verify equivalence to the plain intersection, and threshold flagging."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mrbf_spark.functions.decontam import (
+    NGRAM_N,
+    decontaminate_docs,
+    doc_ngrams,
+)
+
+from conftest import SF_SMOKE
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_extraction_semantics(spark):
+    rows = _docs(
+        spark,
+        [
+            (1, "a b c d"),  # 2 trigrams
+            (2, "a b"),  # too short -> none
+            (3, "x x x x"),  # duplicate grams collapse to 1 distinct
+        ],
+    )
+    got = {
+        (r["doc_id"], r["g"])
+        for r in doc_ngrams(rows, NGRAM_N).collect()
+    }
+    assert got == {(1, "a b c"), (1, "b c d"), (3, "x x x")}
+
+
+def test_exact_intersection_and_flag(spark):
+    corpus = _docs(
+        spark,
+        [
+            (10, "the quick brown fox jumps"),  # shares 'the quick brown'
+            (11, "entirely disjoint text here now"),
+        ],
+    )
+    eval_docs = _docs(spark, [(99, "the quick brown cat")])
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate_docs(corpus, eval_docs, threshold=0.3).collect()
+    }
+    # doc 10: 3 distinct trigrams, 1 contaminated ('the quick brown')
+    assert out[10]["n_grams"] == 3 and out[10]["n_contaminated"] == 1
+    assert abs(out[10]["contamination_rate"] - 1 / 3) < 1e-12
+    assert out[10]["flagged"] == 1
+    assert out[11]["n_contaminated"] == 0 and out[11]["flagged"] == 0
+
+
+def test_bloom_path_equals_plain_intersection(spark):
+    """The registered bloom-prune + exact-verify pipeline must equal
+    the naive join intersection on real data (FP-free by construction,
+    independent of the bloom hash family / p)."""
+    from mrbf_spark.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    eval_docs = d.filter(F.col("doc_id") % 11 == 0)
+    corpus = d.filter(F.col("doc_id") % 11 != 0).limit(60)
+    got = decontaminate_docs(corpus, eval_docs, p=0.2).toPandas()
+
+    cg = doc_ngrams(corpus)
+    eg = doc_ngrams(eval_docs).select("g").distinct()
+    naive = (
+        cg.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+        .join(
+            cg.join(eg, "g", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_contaminated")),
+            "doc_id",
+            "left",
+        )
+        .fillna(0, ["n_contaminated"])
+        .toPandas()
+    )
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    n = naive.sort_values("doc_id").reset_index(drop=True)
+    assert list(g["doc_id"]) == list(n["doc_id"])
+    assert list(g["n_grams"]) == list(n["n_grams"])
+    assert list(g["n_contaminated"]) == list(n["n_contaminated"])

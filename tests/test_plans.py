@@ -11,10 +11,12 @@ import pytest
 from mrbf_spark.bloom import build_bloom_filters, probe_bloom_filters
 from mrbf_spark.catalog import queries
 from mrbf_spark.operators.relational import (
+    order_limit,
     q5_local_supplier_volume,
     q6_forecast_revenue,
     q10_returned_items,
     semi_join,
+    topk_per_group,
 )
 from mrbf_spark.tables import load_table
 
@@ -76,7 +78,7 @@ def test_bloom_probe_path_is_jvm_only_broadcast(spark):
 
 
 def test_topk_uses_window_not_global_sort(spark):
-    plan = physical_plan(QS["topk_per_group"](spark, SF_SMOKE))
+    plan = physical_plan(topk_per_group(spark, SF_SMOKE))
     assert "RunningWindowFunction" in plan or "Window" in plan
 
 
@@ -87,7 +89,7 @@ def test_topk_prunes_locally_before_window_shuffle(spark):
     partitions x groups x k rows regardless of table size. If a
     regression (e.g. losing the rank filter shape) drops the rewrite,
     this fails long before a benchmark notices."""
-    plan = physical_plan(QS["topk_per_group"](spark, SF_SMOKE))
+    plan = physical_plan(topk_per_group(spark, SF_SMOKE))
     lines = plan.splitlines()
     exchange_at = next(i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l)
     partial_at = next(
@@ -102,7 +104,7 @@ def test_topk_prunes_locally_before_window_shuffle(spark):
 def test_order_limit_uses_topk_operator(spark):
     # global ORDER BY + LIMIT must compile to TakeOrderedAndProject
     # (per-partition top-k + driver merge), not a full sort
-    plan = physical_plan(QS["order_limit"](spark, SF_SMOKE))
+    plan = physical_plan(order_limit(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
 
 
