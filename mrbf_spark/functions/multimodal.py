@@ -2,11 +2,12 @@
 opaque `binary` payloads with typed metadata; decode / feature-extract
 / frame-sample via Arrow-batched mapInPandas.
 
-The decode step is REAL for two container-friendly formats — binary
-PPM (P6) and uncompressed 24-bit BMP — implemented in pure numpy (no
-imaging library needed; both are public, trivially-parsed formats).
-Other formats (PNG/JPEG/audio/video) dispatch to PIL when available
-and raise a clearly-marked NotImplementedError otherwise; the
+The decode step is REAL for three container-friendly formats — binary
+PPM (P6), uncompressed 24-bit BMP, and RIFF/WAVE PCM16 audio —
+implemented in pure numpy (no media library needed; all public,
+trivially-parsed formats).
+Other formats (PNG/JPEG/compressed audio/video) dispatch to PIL when
+available and raise a clearly-marked NotImplementedError otherwise; the
 surrounding Spark plumbing — binary columns, schema, Arrow batch
 shapes, partitioning — is format-agnostic.
 
@@ -105,6 +106,84 @@ def decode_image(payload: bytes) -> np.ndarray:
         ) from exc
 
 
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM16 → (sample_rate, int16 samples (n, channels)).
+    Pure numpy: walk the RIFF chunk list (public container format —
+    4-byte id + little-endian u32 size per chunk), read 'fmt ' for
+    format/channels/rate, 'data' for the samples."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, bits = 12, None, None, None
+    samples = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = int.from_bytes(body[0:2], "little")
+            if fmt != 1:
+                raise ValueError(f"only PCM (fmt=1) supported, got {fmt}")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if bits != 16:
+                raise ValueError(f"only 16-bit PCM supported, got {bits}")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, samples.reshape(-1, channels)
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """int16 (n, channels) + rate → RIFF/WAVE PCM bytes (the
+    test/ingest twin of decode_wav)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    channels = samples.shape[1]
+    data = samples.astype("<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * channels * 2).to_bytes(4, "little")
+        + (channels * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + len(fmt).to_bytes(4, "little")
+        + fmt
+        + b"data"
+        + len(data).to_bytes(4, "little")
+        + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def audio_features(rate: int, samples: np.ndarray) -> np.ndarray:
+    """Decoded PCM → fixed float32 vector: (n_samples, rate,
+    duration_s, rms, zero_crossings, peak) — the deterministic
+    stand-in for an audio embedding model, computed from REAL decoded
+    sample values (mono mixdown)."""
+    mono = samples.astype(np.float64).mean(axis=1)
+    zc = int(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+    return np.array(
+        [
+            samples.shape[0],
+            rate,
+            samples.shape[0] / rate,
+            float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0,
+            zc,
+            float(np.abs(mono).max()) if len(mono) else 0.0,
+        ],
+        dtype=np.float32,
+    )
+
+
 def encode_ppm(pixels: np.ndarray) -> bytes:
     """uint8 (h, w, 3) → binary PPM bytes (the test/ingest twin of
     decode_ppm)."""
@@ -173,6 +252,29 @@ def image_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(_ppm_encode_batches, schema="doc_id long, payload binary")
 
 
+AUDIO_RATE = 8000
+
+
+def _wav_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: text → deterministic mono PCM16 WAV whose
+    samples are the utf-8 byte values recentred to signed 16-bit (the
+    ingest step a real pipeline does outside Spark)."""
+    for pdf in batches:
+        payloads = []
+        for text in pdf["text"]:
+            raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+            samples = ((raw.astype(np.int32) - 64) * 256).astype(np.int16)
+            payloads.append(encode_wav(samples, AUDIO_RATE))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def audio_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload) where payload is a REAL (if synthetic) WAV
+    clip derived deterministically from the document text."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_wav_encode_batches, schema="doc_id long, payload binary")
+
+
 # ------------------------------------------------------- batch kernels
 
 
@@ -184,6 +286,22 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         feats = [
             image_features(decode_image(payload)) for payload in pdf["payload"]
         ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "feature": [f.tolist() for f in feats],
+            }
+        )
+
+
+def _audio_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: binary WAV payload → REAL RIFF/PCM decode →
+    fixed-size audio-feature vector (same batch shape as the image
+    featureizer; a learned audio embedder would replace
+    audio_features, not the plumbing)."""
+    for pdf in batches:
+        feats = [audio_features(*decode_wav(p)) for p in pdf["payload"]]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -262,6 +380,15 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode path: WAV payloads → numpy RIFF/PCM decode →
+    sample-level features through Arrow-batched mapInPandas."""
+    p = audio_payloads(spark, sf_dir)
+    return p.mapInPandas(
+        _audio_feature_batches, schema="doc_id long, n_bytes long, feature array<float>"
+    )
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = binary_payloads(spark, sf_dir)
     return p.select("doc_id", "payload").mapInPandas(
@@ -329,6 +456,14 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("digest"),
         "feature",
     )
+    audio = multimodal_audio_features(spark, sf_dir).select(
+        F.lit("audio").alias("part"),
+        "doc_id",
+        F.lit(0).cast("int").alias("idx"),
+        "n_bytes",
+        F.lit(None).cast("string").alias("digest"),
+        "feature",
+    )
     frames = multimodal_frame_sample(spark, sf_dir).select(
         F.lit("frames").alias("part"),
         "doc_id",
@@ -337,4 +472,4 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "digest",
         F.lit(None).cast("array<float>").alias("feature"),
     )
-    return feats.unionByName(frames)
+    return feats.unionByName(audio).unionByName(frames)
