@@ -114,12 +114,15 @@ def main() -> None:
     # round between repeats makes the two draws independent, so the
     # min measures achievable steady-state throughput.
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for rnd in range(2):
         for name in names:
             t0 = time.time()
             run_query(qs[name](spark, SF_DIR))
             dt = time.time() - t0
             timings[name] = round(min(timings.get(name, float("inf")), dt), 3)
+            # per-query progress on stderr: makes a slow/hung query
+            # attributable from a partial log (stdout stays one JSON line)
+            print(f"bench r{rnd} {name} {dt:.2f}s", file=sys.stderr, flush=True)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     headline = [n for n in HEADLINE if n in timings]
