@@ -446,6 +446,18 @@ def multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pixel decode + featureize, and strided frame sampling. (Rows-only:
 # the feature/frame values are engine-internal; determinism, pixel
 # ground truth, and batch shapes are pinned in tests.)
+#
+# The registered entry projects the feature vector through a scalar JSON
+# string: the driver's canonicalizer sorts cell values and an
+# array<float> cell is unhashable in pandas (r2 VERDICT #2). The array
+# form stays available via multimodal_features/multimodal_audio_features
+# for library callers and tests. Round to 5 decimals first so the string
+# is stable across float-formatting quirks.
+def _feature_json(col: str):
+    rounded = F.transform(F.col(col), lambda x: F.round(x.cast("double"), 5))
+    return F.to_json(rounded)
+
+
 @register("multimodal_decode")
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = multimodal_features(spark, sf_dir).select(
@@ -454,7 +466,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("int").alias("idx"),
         "n_bytes",
         F.lit(None).cast("string").alias("digest"),
-        "feature",
+        _feature_json("feature").alias("feature_json"),
     )
     audio = multimodal_audio_features(spark, sf_dir).select(
         F.lit("audio").alias("part"),
@@ -462,7 +474,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("int").alias("idx"),
         "n_bytes",
         F.lit(None).cast("string").alias("digest"),
-        "feature",
+        _feature_json("feature").alias("feature_json"),
     )
     frames = multimodal_frame_sample(spark, sf_dir).select(
         F.lit("frames").alias("part"),
@@ -470,6 +482,6 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").alias("idx"),
         "n_bytes",
         "digest",
-        F.lit(None).cast("array<float>").alias("feature"),
+        F.lit(None).cast("string").alias("feature_json"),
     )
     return feats.unionByName(audio).unionByName(frames)

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..bloom.core import hash_indexes_col, _PROBE_EXPR
-from .windows import EVENTS_RAW_SCHEMA
+from ..tables import load_events_stream
 
 
 def streaming_bloom_probe(
@@ -29,12 +29,7 @@ def streaming_bloom_probe(
     """readStream(events) → broadcast-join the static filter table →
     per-key hit/miss counts → memory sink. Returns the started query.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .load(f"{sf_dir}/events.parque[t]")
-    )
+    raw = load_events_stream(spark, f"{sf_dir}/events.parque[t]")
     probe = raw.withColumn("__key", F.col(key_col).cast("string")).withColumn(
         "__value", F.col(value_col).cast("string")
     )

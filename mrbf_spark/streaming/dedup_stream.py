@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession, functions as F
 
-from .windows import EVENTS_RAW_SCHEMA
+from ..tables import load_events_stream
 
 
 def streaming_dedup_events(
@@ -30,13 +30,7 @@ def streaming_dedup_events(
     dropDuplicatesWithinWatermark on event_id → memory sink (append).
     Returns the started StreamingQuery; callers processAllAvailable()
     then read `SELECT * FROM {query_name}`."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .load(src_dir)
-    )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = load_events_stream(spark, src_dir)
     deduped = ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )

@@ -22,8 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..tables import load_table
-from .windows import EVENTS_RAW_SCHEMA
+from ..tables import load_events_stream, load_table
 
 JOIN_HORIZON = "30 minutes"
 _WATERMARK = "10 minutes"
@@ -57,15 +56,8 @@ def streaming_clicks_to_purchases(
     sides → interval inner join → memory sink (append). Returns the
     started StreamingQuery; callers processAllAvailable() then read
     `SELECT * FROM {query_name}`."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
     def stream():
-        raw = (
-            spark.readStream.schema(EVENTS_RAW_SCHEMA)
-            .format("parquet")
-            .load(src_dir)
-        )
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return load_events_stream(spark, src_dir)
 
     clicks = (
         stream()

@@ -18,7 +18,7 @@ from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
-from .windows import EVENTS_RAW_SCHEMA
+from ..tables import load_events_stream
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -46,12 +46,7 @@ def _update_user_totals(
 def streaming_user_totals(spark: SparkSession, sf_dir: str, query_name: str = "user_totals"):
     """readStream → applyInPandasWithState → memory sink (update mode).
     Returns the started StreamingQuery."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .load(f"{sf_dir}/events.parque[t]")
-    )
+    raw = load_events_stream(spark, f"{sf_dir}/events.parque[t]")
     ev = raw.select("user_id", "value")
     out = ev.groupBy("user_id").applyInPandasWithState(
         _update_user_totals,

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..exprs import dsum, dsum_sql
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_events_stream, load_table
 
 
 # --- tumbling window (5 min): Spark window() starts are epoch-aligned,
@@ -118,18 +118,6 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (see tables.load_table)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str, query_name: str = "stream_out"):
     """The REAL Structured Streaming pipeline: readStream over the
     events parquet, watermark + tumbling window, memory sink.
@@ -139,14 +127,8 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str, query_name: str 
     swaps for Kafka/files and the sink for a real table — the middle
     (watermark + window + agg) is the engine surface.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # FileStreamSource requires a directory or glob, not a bare file.
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .load(f"{sf_dir}/events.parque[t]")
-    )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = load_events_stream(spark, f"{sf_dir}/events.parque[t]")
     agg = (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")

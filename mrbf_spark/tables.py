@@ -33,16 +33,87 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects (timestamps are µs). Read the raw int64 nanos and
-        # truncate to µs — exactly what DuckDB's reader does, so the
-        # oracle sees identical values.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        from pyspark.sql import functions as F
-
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load events with a session-TZ ``timestamp`` column regardless of
+    how the data vintage stored ``ts``.
+
+    Known vintages of the driver testdata:
+      * parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) — Spark reads it
+        as TIMESTAMP_NTZ; cast to TIMESTAMP (session TZ is UTC, so the
+        wall-clock values match DuckDB's naive-micros read bit-for-bit).
+      * parquet TIMESTAMP(NANOS) — Spark's reader rejects nanos outright;
+        re-read with ``nanosAsLong`` (scoped to this branch only — it is
+        a session-global conf, so we never set it unless the data really
+        is nanos) and truncate int64 nanos to µs, matching DuckDB.
+      * already-µs TIMESTAMP (isAdjustedToUTC=true) — pass through.
+    """
+    from pyspark.sql import functions as F
+
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # Schema inference failed — the nanos vintage. The conf stays on
+        # for the session because lazy execution re-resolves the scan;
+        # harmless here since this branch only fires when the data IS nanos.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+
+    ts_type = dict(df.dtypes).get("ts", "")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type.startswith("timestamp") and ts_type != "timestamp":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def load_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """``readStream`` over an events parquet path/glob with the same
+    vintage-adaptive ``ts`` normalization as the batch loader.
+
+    FileStreamSource needs an explicit schema, and the right raw type for
+    ``ts`` depends on the data vintage — so probe the batch footer first
+    (cheap, driver-side schema read only) and declare the matching raw
+    schema, then normalize to a session-TZ ``timestamp``.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    try:
+        probe = spark.read.parquet(path)
+        ts_type = dict(probe.dtypes).get("ts", "")
+    except Exception:
+        # Nanos vintage: batch schema inference rejects TIMESTAMP(NANOS).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ts_type = "bigint"
+
+    if ts_type == "bigint":
+        raw_ts: T.DataType = T.LongType()
+    elif ts_type == "timestamp":
+        raw_ts = T.TimestampType()
+    else:  # timestamp_ntz — current testdata vintage
+        raw_ts = T.TimestampNTZType()
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", raw_ts),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    raw = spark.readStream.schema(schema).format("parquet").load(path)
+    if ts_type == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type != "timestamp":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -401,15 +401,10 @@ def test_stateful_streaming_user_totals(spark):
 def test_streaming_foreachbatch_parquet_sink(spark, tmp_path):
     """foreachBatch: the exactly-once sink pattern — each micro-batch
     written transactionally to parquet; final table equals batch."""
-    from mrbf_spark.streaming.windows import EVENTS_RAW_SCHEMA
+    from mrbf_spark.tables import load_events_stream
 
     out_dir = str(tmp_path / "fb_out")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .load(SF_SMOKE + "/events.parque[t]")
-    )
+    raw = load_events_stream(spark, SF_SMOKE + "/events.parque[t]")
     counted = raw.groupBy("event_type").count()
 
     def sink(batch_df, epoch_id):

@@ -1,0 +1,44 @@
+"""Loader vintage guard: the driver's testdata has changed the physical
+parquet type of ``events.ts`` between rounds (TIMESTAMP(NANOS) in r1,
+TIMESTAMP(MICROS, isAdjustedToUTC=false) in r2). ``load_table`` must
+normalize every vintage to a session-TZ ``timestamp`` column whose values
+match DuckDB's read of the same file — these tests fail loudly in-suite
+the next time the data vintage moves, instead of failing in the driver.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from mrbf_spark.tables import load_table
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+def test_events_ts_is_session_timestamp(spark):
+    for sf_dir in (SF_SMOKE, SF_ORACLE):
+        df = load_table(spark, sf_dir, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", (
+            f"events.ts must load as TIMESTAMP (got {dict(df.dtypes)['ts']}) "
+            f"in {sf_dir} — data vintage changed again; fix _load_events"
+        )
+
+
+def test_events_ts_values_match_duckdb(spark):
+    df = load_table(spark, SF_SMOKE, "events")
+    spark_rows = {r.event_id: r.ts for r in df.orderBy("event_id").limit(50).collect()}
+    oracle_rows = duckdb.sql(
+        f"select event_id, ts from '{SF_SMOKE}/events.parquet' order by event_id limit 50"
+    ).fetchall()
+    assert len(oracle_rows) == 50
+    for eid, ts in oracle_rows:
+        assert spark_rows[eid] == ts, (eid, spark_rows[eid], ts)
+
+
+def test_micros_vintage_does_not_set_nanos_conf(spark):
+    # nanosAsLong is session-global; the micros branch must never set it
+    # (ADVICE r2). Unset it, load, and confirm it stayed unset.
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    load_table(spark, SF_SMOKE, "events").count()
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) is None
