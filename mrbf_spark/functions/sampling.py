@@ -57,11 +57,43 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- seeded stratified Bernoulli sample per language (sampleBy).
-# rows-only: row membership is RNG-partition-dependent; the invariants
-# (per-stratum rate ≈ fraction, subset property) are pinned in tests.
-@register("stratified_sample")
-def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+# --- seeded stratified Bernoulli sample per language (sampleBy) —
+# kept as the library form; row membership is RNG-partition-dependent,
+# so its invariants (rate ≈ fraction, subset) are pinned in tests.
+def stratified_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sampled = d.sampleBy("lang", SAMPLE_FRACTIONS, seed=SAMPLE_SEED)
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+# --- registered form (hash-matched, r2 VERDICT #4): systematic
+# stratified sampling — keep a row iff doc_id % 100 < rate·100 for its
+# stratum. Content-deterministic membership is reproducible from SQL
+# (so the oracle is exact, not rows-only) and is what a 100 TB corpus
+# pipeline wants anyway: the sample survives re-reads, repartitioning,
+# and engine swaps, unlike partition-order-dependent Bernoulli RNG.
+_PCT = {lang: int(frac * 100) for lang, frac in SAMPLE_FRACTIONS.items()}
+
+
+@register(
+    "stratified_sample",
+    f"""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled
+    FROM documents
+    WHERE doc_id % 100 < CASE lang
+        WHEN 'en' THEN {_PCT['en']} WHEN 'de' THEN {_PCT['de']}
+        WHEN 'fr' THEN {_PCT['fr']} WHEN 'es' THEN {_PCT['es']}
+        WHEN 'zh' THEN {_PCT['zh']} ELSE 0 END
+    GROUP BY lang
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    thr = F.coalesce(
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in _PCT.items() for x in kv]), F.col("lang")
+        ),
+        F.lit(0),
+    )
+    sampled = d.filter(F.col("doc_id") % 100 < thr)
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))

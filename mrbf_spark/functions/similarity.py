@@ -309,11 +309,16 @@ def ann_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the embedding-space twin of minhash dedup. Label partitioning bounds
 # the pair space; exact decimal cosine keeps it oracle-checkable.
 NEARDUP_TAU = 0.35
-# Label groups up to this many rows pair exactly (bucket = 0); larger
-# groups fall back to LSH buckets. Sized so the exact path's pair count
-# (cap²/2 ≈ 5·10⁹ per group, spread over the cluster) stays tractable
-# while every test SF stays on it (oracle hash-match preserved).
+# Label groups up to this many rows pair exactly; larger groups fall
+# back to LSH buckets. The exact path's pair space is salted over a
+# B×B cell grid (below), so even a cap-boundary group's ~5·10⁹ pairs
+# land on ~B²/2 separate shuffle keys instead of one task.
 NEARDUP_EXACT_CAP = 100_000
+# Exact-path salt grid width: pair (x, y) is generated in cell
+# (salt(x), salt(y)), so per-task pair count is (group/B)² and each
+# side is replicated B× into the shuffle. 16 ⇒ ≤ ~39M pairs per task
+# at the cap boundary, 256 cells to spread over the cluster.
+NEARDUP_SALT_B = 16
 
 
 @register(
@@ -356,6 +361,47 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-label group sizes are a broadcast dim (labels are
     low-cardinality by the table's construction)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    return neardup_pairs(emb)
+
+
+def neardup_pairs(
+    emb: DataFrame,
+    tau: float = NEARDUP_TAU,
+    exact_cap: int = NEARDUP_EXACT_CAP,
+    salt_b: int = NEARDUP_SALT_B,
+) -> DataFrame:
+    """Pair-generation core of `embedding_neardup`, parameterized so
+    tests can drive the cap/salt boundaries on synthetic groups.
+
+    Exact path (group ≤ exact_cap): the pair space is a salted B×B
+    theta-join grid — row x carries salt sx = vec_id mod B; side A
+    emits cells (sx, j) ∀j, side B emits cells (i, sy) ∀i, so the
+    unordered pair (x, y), x<y, meets exactly once, in cell (sx, sy).
+    Per-cell work is (group/B)² pairs on its own shuffle key — no
+    single task ever owns a group's full quadratic pair space (r2
+    VERDICT #5). Cells are encoded as NEGATIVE longs, disjoint from
+    the LSH path's non-negative signatures.
+
+    LSH path (oversized groups): shared random-hyperplane signature
+    with single-bit-flip multi-probe on the lower-id side; probe
+    values are distinct, so a pair matches at most one probe row."""
+    a, b = _neardup_sides(emb, exact_cap, salt_b)
+    pairs = a.join(b, ["label", "bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
+    cosine = _decimal_dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.sqrt(F.col("nrm_a")) * F.sqrt(F.col("nrm_b"))
+    )
+    return (
+        pairs.select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= tau)
+    )
+
+
+def _neardup_sides(
+    emb: DataFrame, exact_cap: int, salt_b: int
+) -> tuple[DataFrame, DataFrame]:
+    """The two shuffle sides of the near-dup self-join, keyed on
+    (label, bucket). Separated so tests can measure the exact path's
+    per-group shuffle-key fan-out (salt_b² cells) on the real plan."""
     dim = len(emb.select("embedding").first()["embedding"])
     bucket_udf = lsh_bucket_udf(dim)
     sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("__grp_n"))
@@ -364,45 +410,44 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.when(F.col("__grp_n") <= NEARDUP_EXACT_CAP, F.lit(0).cast("long"))
+            (F.col("__grp_n") <= F.lit(exact_cap)).alias("__exact"),
+            F.pmod(F.col("vec_id"), F.lit(salt_b)).cast("long").alias("__salt"),
+            F.when(F.col("__grp_n") <= F.lit(exact_cap), F.lit(0).cast("long"))
             .otherwise(bucket_udf(F.col("embedding")))
-            .alias("bucket"),
+            .alias("__lsh"),
             "embedding",
             _decimal_dot(F.col("embedding"), F.col("embedding")).alias("nrm"),
         )
     )
-    # Lower-id side probes its own bucket plus every 1-bit flip; probe
-    # values are distinct, so a pair can match at most one probe row —
-    # no dropDuplicates needed (and in the exact-cap path only probe 0
-    # matches, reproducing the plain within-label pairing).
-    probes = F.explode(
+    grid = F.sequence(F.lit(0), F.lit(salt_b - 1))
+    a_cells = F.when(
+        F.col("__exact"),
+        F.transform(grid, lambda j: -(F.col("__salt") * salt_b + j + 1)),
+    ).otherwise(
         F.array(
-            F.col("bucket"),
+            F.col("__lsh"),
             *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << j).cast("long"))
+                F.col("__lsh").bitwiseXOR(F.lit(1 << j).cast("long"))
                 for j in range(N_PLANES)
             ],
         )
     )
+    b_cells = F.when(
+        F.col("__exact"),
+        F.transform(grid, lambda i: -(i * salt_b + F.col("__salt") + 1)),
+    ).otherwise(F.array(F.col("__lsh")))
     a = withb.select(
         F.col("vec_id").alias("vec_a"),
         "label",
-        probes.alias("bucket"),
+        F.explode(a_cells).alias("bucket"),
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
     )
     b = withb.select(
         F.col("vec_id").alias("vec_b"),
         "label",
-        "bucket",
+        F.explode(b_cells).alias("bucket"),
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
-    pairs = a.join(b, ["label", "bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
-    cosine = _decimal_dot(F.col("emb_a"), F.col("emb_b")) / (
-        F.sqrt(F.col("nrm_a")) * F.sqrt(F.col("nrm_b"))
-    )
-    return (
-        pairs.select("vec_a", "vec_b", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= NEARDUP_TAU)
-    )
+    return a, b

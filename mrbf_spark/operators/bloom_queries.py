@@ -1,11 +1,13 @@
 """Bloom-filter pipeline as catalog queries (SURVEY.md §2 B2).
 
 The sizing query is fully SQL-expressible (the linecount job + the
-closed-form geometry), so it gets a real hash-matched oracle. The
-probe-side queries depend on the hash family, so they get rows-only
-checks — but `bloom_no_false_negatives` encodes the reference's hard
-invariant ("there can never be false negatives", spec PDF) as its
-oracle: the expected output is literally zero misses per key.
+closed-form geometry), so it gets a real hash-matched oracle.
+`bloom_no_false_negatives` encodes the reference's hard invariant
+("there can never be false negatives", spec PDF) as its oracle: the
+expected output is literally zero misses per key. The split/fp entry
+combines a deterministic (SQL-reproducible) split with bounded-boolean
+fp reporting so it hash-matches too; the statistical fp_rate ≈ p
+checks stay in tests/test_bloom.py over the seeded random split.
 """
 
 from __future__ import annotations
@@ -14,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..bloom import build_bloom_filters, fp_report, probe_bloom_filters
 from ..bloom.sizing import num_hashes
-from ..bloom.pipeline import bloom_fp_pipeline, train_test_split
+from ..bloom.pipeline import bloom_fp_pipeline, deterministic_split
 from ..registry import register
 from ..tables import load_table
 
@@ -76,34 +78,51 @@ def bloom_fp_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_fp_pipeline(orders, "o_orderpriority", "o_orderkey", p=P)
 
 
-def random_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    train, test = train_test_split(orders)
-    return train.select(F.lit("train").alias("split")).union(
-        test.select(F.lit("test").alias("split"))
-    ).groupBy("split").agg(F.count(F.lit(1)).alias("n"))
-
-
-# --- the full tester pipeline + the P5 split census in ONE rows-only
-# registration (both depend on the frozen hash family / partition-
-# dependent RNG; statistical checks live in tests/). The fp branch is
-# the reference's four-job sequence; the split branch counts the seeded
-# 60/40 halves it starts from.
-@register("bloom_split_fp_report")
+# --- the full tester pipeline + the P5 split census in ONE
+# registration, now fully hash-matched (r2 VERDICT #4). Two changes
+# versus the rows-only form make every output cell SQL-predictable:
+# (1) the split is the deterministic `o_orderkey % 10 < 6` twin
+# (reproducible from SQL; the reference-faithful seeded randomSplit
+# stays in train_test_split for the CLI + statistical tests), so the
+# split census and per-key total_tests are exact; (2) the
+# hash-dependent fp_rate is reported as a bounded boolean (≤ 10×
+# nominal p — ≥10σ slack at every SF, so TRUE is deterministic while a
+# broken hash family / sizing regression still flips it).
+@register(
+    "bloom_split_fp_report",
+    f"""
+    SELECT 'split' AS part, 'train' AS key,
+           CAST(COUNT(*) AS BIGINT) AS n1, TRUE AS ok
+    FROM orders WHERE o_orderkey % 10 < 6
+    UNION ALL
+    SELECT 'split' AS part, 'test' AS key,
+           CAST(COUNT(*) AS BIGINT) AS n1, TRUE AS ok
+    FROM orders WHERE o_orderkey % 10 >= 6
+    UNION ALL
+    SELECT 'fp_report' AS part, CAST(o_orderpriority AS VARCHAR) AS key,
+           CAST(COUNT(*) AS BIGINT) AS n1, TRUE AS ok
+    FROM orders WHERE o_orderkey % 10 >= 6 GROUP BY o_orderpriority
+    """,
+)
 def bloom_split_fp_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fp = bloom_fp_report_q(spark, sf_dir).select(
+    orders = load_table(spark, sf_dir, "orders")
+    train, test = deterministic_split(orders)
+    filters = build_bloom_filters(train, "o_orderpriority", "o_orderkey", P).cache()
+    probed = probe_bloom_filters(
+        test, "o_orderpriority", "o_orderkey", filters, k=num_hashes(P), broadcast=True
+    )
+    fp = fp_report(probed, "o_orderpriority").select(
         F.lit("fp_report").alias("part"),
         "key",
-        F.col("false_positives").alias("n1"),
-        F.col("total_tests").alias("n2"),
-        F.col("fp_rate").alias("rate"),
+        F.col("total_tests").alias("n1"),
+        (F.col("fp_rate") <= F.lit(10 * P)).alias("ok"),
     )
-    split = random_split_counts(spark, sf_dir).select(
-        F.lit("split").alias("part"),
-        F.col("split").alias("key"),
-        F.col("n").alias("n1"),
-        F.lit(None).cast("long").alias("n2"),
-        F.lit(None).cast("double").alias("rate"),
+    split = (
+        train.select(F.lit("train").alias("key"))
+        .union(test.select(F.lit("test").alias("key")))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n1"))
+        .select(F.lit("split").alias("part"), "key", "n1", F.lit(True).alias("ok"))
     )
     return fp.unionByName(split)
 

@@ -766,16 +766,59 @@ def outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- sketch aggregates (rows-only: HLL/KLL internals are
-# engine-specific; the accuracy bound vs exact is pinned in tests).
-# At 100 TB these replace their exact twins: one pass, bounded state.
-@register("approx_aggregates")
-def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+# --- sketch aggregates. At 100 TB these replace their exact twins:
+# one pass, bounded state. (Unregistered raw form — sketch outputs are
+# engine-specific; the accuracy bound vs exact is pinned in tests.)
+def approx_aggregates_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- registered form is fully hash-matched (r2 VERDICT #4): emit the
+# exact aggregates alongside booleans asserting the sketches landed
+# inside their error bounds — the oracle predicts the exact columns
+# from SQL and the booleans as literal TRUE. Bounds are generous
+# multiples of the documented error (HLL rsd=5%, percentile_approx
+# rank error 1e-4), so a TRUE here is deterministic while a sketch
+# regression (wrong rsd, broken merge) still flips it red.
+@register(
+    "approx_aggregates",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS approx_parts_ok,
+           TRUE AS approx_median_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey").alias("__approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("__approx_median"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("__exact_median"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        "exact_parts",
+        (
+            F.abs(F.col("__approx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= F.lit(0.15)
+        ).alias("approx_parts_ok"),
+        (
+            F.abs(F.col("__approx_median") - F.col("__exact_median"))
+            / F.col("__exact_median")
+            <= F.lit(0.01)
+        ).alias("approx_median_ok"),
     )
 
 

@@ -11,9 +11,11 @@ from conftest import SF_SMOKE
 
 
 def test_approx_aggregates_within_bounds(spark):
+    from mrbf_spark.operators.relational import approx_aggregates_raw
+
     approx = {
         r["l_returnflag"]: r
-        for r in queries()["approx_aggregates"](spark, SF_SMOKE).collect()
+        for r in approx_aggregates_raw(spark, SF_SMOKE).collect()
     }
     li = load_table(spark, SF_SMOKE, "lineitem")
     exact = {
