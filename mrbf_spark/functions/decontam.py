@@ -61,11 +61,16 @@ def ngrams_col(tokens: Column, n: int = NGRAM_N) -> Column:
 
 
 def doc_ngrams(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
-    """(doc_id, text) → distinct (doc_id, g) word-n-gram pairs."""
+    """(doc_id, text) → distinct (doc_id, g) word-n-gram pairs.
+
+    Distinctness is per document, so it's computed INSIDE the row
+    (array_distinct before explode) — zero shuffle, versus a
+    .distinct() over the exploded corpus grams which would shuffle
+    the whole 100 TB side."""
     toks = F.split(F.col("text"), " ")
     return docs.select(
-        "doc_id", F.explode(ngrams_col(toks, n)).alias("g")
-    ).distinct()
+        "doc_id", F.explode(F.array_distinct(ngrams_col(toks, n))).alias("g")
+    )
 
 
 def decontaminate_docs(
@@ -101,8 +106,16 @@ def decontaminate_docs(
     # corpus) reaches this join.
     hits = survivors.join(F.broadcast(eval_grams), "g", "left_semi")
 
-    totals = corpus_grams.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams")
+    # Per-doc gram totals come from the array length at scan time —
+    # no explode, no shuffle (docs with zero grams are excluded, same
+    # as the exploded-groupBy form they replace).
+    toks = F.split(F.col("text"), " ")
+    totals = (
+        corpus.select(
+            "doc_id",
+            F.size(F.array_distinct(ngrams_col(toks, n))).cast("long").alias("n_grams"),
+        )
+        .filter(F.col("n_grams") > 0)
     )
     contaminated = hits.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_contaminated")

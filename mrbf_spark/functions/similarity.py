@@ -316,8 +316,11 @@ NEARDUP_TAU = 0.35
 NEARDUP_EXACT_CAP = 100_000
 # Exact-path salt grid width: pair (x, y) is generated in cell
 # (salt(x), salt(y)), so per-task pair count is (group/B)² and each
-# side is replicated B× into the shuffle. 16 ⇒ ≤ ~39M pairs per task
-# at the cap boundary, 256 cells to spread over the cluster.
+# side is replicated B× into the shuffle. The EFFECTIVE width adapts
+# per group — B_eff = ceil(group / (cap/B_max)), capped at B_max — so
+# a small group pays zero replication (B_eff = 1 ⇒ the pre-salting
+# plan) and only cap-boundary groups spread over the full
+# B_max² = 256 cells (~39M pairs per cell at the 100k cap).
 NEARDUP_SALT_B = 16
 
 
@@ -401,17 +404,27 @@ def _neardup_sides(
 ) -> tuple[DataFrame, DataFrame]:
     """The two shuffle sides of the near-dup self-join, keyed on
     (label, bucket). Separated so tests can measure the exact path's
-    per-group shuffle-key fan-out (salt_b² cells) on the real plan."""
+    per-group shuffle-key fan-out (B_eff² cells) on the real plan.
+
+    B_eff depends only on the group size, so both sides of a group
+    always agree on the grid; the cell id stride is the max width, so
+    cells from different widths can't collide within a group."""
     dim = len(emb.select("embedding").first()["embedding"])
     bucket_udf = lsh_bucket_udf(dim)
+    cell_side = max(1, exact_cap // salt_b)  # rows per cell side at full width
     sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("__grp_n"))
+    beff = F.least(
+        F.lit(salt_b),
+        F.greatest(F.lit(1), F.ceil(F.col("__grp_n") / F.lit(cell_side))),
+    ).cast("int")
     withb = (
         emb.join(F.broadcast(sizes), "label")
         .select(
             "vec_id",
             "label",
             (F.col("__grp_n") <= F.lit(exact_cap)).alias("__exact"),
-            F.pmod(F.col("vec_id"), F.lit(salt_b)).cast("long").alias("__salt"),
+            beff.alias("__beff"),
+            F.pmod(F.col("vec_id"), beff).cast("long").alias("__salt"),
             F.when(F.col("__grp_n") <= F.lit(exact_cap), F.lit(0).cast("long"))
             .otherwise(bucket_udf(F.col("embedding")))
             .alias("__lsh"),
@@ -419,7 +432,7 @@ def _neardup_sides(
             _decimal_dot(F.col("embedding"), F.col("embedding")).alias("nrm"),
         )
     )
-    grid = F.sequence(F.lit(0), F.lit(salt_b - 1))
+    grid = F.sequence(F.lit(0), F.col("__beff") - 1)
     a_cells = F.when(
         F.col("__exact"),
         F.transform(grid, lambda j: -(F.col("__salt") * salt_b + j + 1)),

@@ -798,14 +798,24 @@ def approx_aggregates_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # Two-stage exact distinct (pre-agg on the pair, then count) keeps
+    # the plan out of Expand-based multi-distinct, which would replicate
+    # every input row per distinct aggregate; the sketch/percentile agg
+    # has no distinct, so both passes stay partial-aggregated. The final
+    # join is group-cardinality (6 rows).
+    parts = (
+        li.groupBy("l_returnflag", "l_partkey")
+        .agg(F.lit(1))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_parts"))
+    )
     agg = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
         F.approx_count_distinct("l_partkey").alias("__approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5).alias("__approx_median"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("__exact_median"),
     )
-    return agg.select(
+    return agg.join(parts, "l_returnflag").select(
         "l_returnflag",
         "n",
         "exact_parts",

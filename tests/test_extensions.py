@@ -317,6 +317,11 @@ def test_neardup_salted_exact_path_fans_out_and_matches_bruteforce(spark):
     assert len(cells) == salt_b * salt_b
     assert all(c < 0 for c in cells)  # disjoint from LSH signatures
 
+    # Adaptive width: far below the cap the group must collapse to ONE
+    # cell — no replication overhead for ordinary groups.
+    a_small, _ = _neardup_sides(emb, exact_cap=100_000, salt_b=16)
+    assert a_small.select("bucket").distinct().count() == 1
+
     # Correctness: salted pairs == numpy brute-force pairs over tau.
     got = {
         (r["vec_a"], r["vec_b"])

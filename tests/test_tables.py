@@ -36,6 +36,46 @@ def test_events_ts_values_match_duckdb(spark):
         assert spark_rows[eid] == ts, (eid, spark_rows[eid], ts)
 
 
+def test_nanos_vintage_fallback(spark, tmp_path):
+    """The r1-era TIMESTAMP(NANOS) vintage must still load: write a tiny
+    nanos events file and check both loaders normalize ts to a session-TZ
+    timestamp with µs truncation (matching what DuckDB would read)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [base + dt.timedelta(seconds=i, microseconds=123456) for i in range(5)]
+    table = pa.table(
+        {
+            "event_id": pa.array(range(5), pa.int64()),
+            "ts": pa.array(rows, pa.timestamp("ns")),
+            "user_id": pa.array([1] * 5, pa.int64()),
+            "event_type": pa.array(["click"] * 5),
+            "value": pa.array([1.0] * 5, pa.float64()),
+            "props": pa.array(["{}"] * 5),
+        }
+    )
+    sf_dir = tmp_path / "nanos_sf"
+    sf_dir.mkdir()
+    pq.write_table(table, sf_dir / "events.parquet", version="2.6", store_schema=False)
+    assert str(pq.read_schema(sf_dir / "events.parquet").field("ts").type) == "timestamp[ns]"
+
+    try:
+        df = load_table(spark, str(sf_dir), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        got = sorted(r.ts for r in df.collect())
+        assert got == rows  # ns→µs truncation: .123456 survives exactly
+
+        from mrbf_spark.tables import load_events_stream
+
+        sdf = load_events_stream(spark, str(sf_dir))
+        assert dict(sdf.dtypes)["ts"] == "timestamp"
+    finally:
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+
+
 def test_micros_vintage_does_not_set_nanos_conf(spark):
     # nanosAsLong is session-global; the micros branch must never set it
     # (ADVICE r2). Unset it, load, and confirm it stayed unset.
