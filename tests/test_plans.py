@@ -176,6 +176,39 @@ def test_embedding_neardup_joins_on_label_and_bucket(spark):
     assert "bucket" in join_line, join_line
 
 
+# BroadcastNestedLoopJoin is legitimate ONLY where a 1-row/tiny
+# broadcast side is attached to a stream (the bloom filter-table
+# attach, the 8-query ANN crossJoin); anywhere else it's an accidental
+# O(n·m) join.
+_BNLJ_ALLOWED = {
+    "bloom_build_invariants",
+    "bloom_split_fp_report",
+    "bloom_semijoin_prune",
+    "decontaminate",
+    "ann_bruteforce_topk",
+    "ann_approx_topk",
+}
+
+
+def test_catalog_plan_hygiene(spark):
+    """Catalog-wide scale-anti-pattern sweep over every registered
+    query's physical plan: no CartesianProduct anywhere, no
+    row-at-a-time Python (BatchEvalPython — Arrow/pandas stages are
+    fine), and no BroadcastNestedLoopJoin outside the known tiny-
+    broadcast attach points. A new operator that accidentally compiles
+    to one of these fails here by name, before any benchmark runs."""
+    failures = []
+    for name, fn in QS.items():
+        plan = physical_plan(fn(spark, SF_SMOKE))
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: row-at-a-time Python UDF")
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+            failures.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+    assert not failures, failures
+
+
 def test_cluster_edges_join_is_bounded_equi(spark):
     """dedup_clusters candidate generation must stay an equi-join on
     the rare-shingle key — a nested-loop/cartesian here is the
