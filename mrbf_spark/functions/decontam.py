@@ -108,14 +108,15 @@ def decontaminate_docs(
 
     # Per-doc gram totals come from the array length at scan time —
     # no explode, no shuffle (docs with zero grams are excluded, same
-    # as the exploded-groupBy form they replace).
+    # as the exploded-groupBy form they replace). The exclusion filter
+    # is `tokens >= n` (⟺ n_grams > 0) on purpose: filtering on
+    # `n_grams > 0` directly would make Catalyst push the whole
+    # gram-transform expression into the scan filter and evaluate it a
+    # second time in the projection.
     toks = F.split(F.col("text"), " ")
-    totals = (
-        corpus.select(
-            "doc_id",
-            F.size(F.array_distinct(ngrams_col(toks, n))).cast("long").alias("n_grams"),
-        )
-        .filter(F.col("n_grams") > 0)
+    totals = corpus.filter(F.size(toks) >= n).select(
+        "doc_id",
+        F.size(F.array_distinct(ngrams_col(toks, n))).cast("long").alias("n_grams"),
     )
     contaminated = hits.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_contaminated")

@@ -417,21 +417,30 @@ def _neardup_sides(
         F.lit(salt_b),
         F.greatest(F.lit(1), F.ceil(F.col("__grp_n") / F.lit(cell_side))),
     ).cast("int")
-    withb = (
-        emb.join(F.broadcast(sizes), "label")
-        .select(
-            "vec_id",
-            "label",
-            (F.col("__grp_n") <= F.lit(exact_cap)).alias("__exact"),
-            beff.alias("__beff"),
-            F.pmod(F.col("vec_id"), beff).cast("long").alias("__salt"),
-            F.when(F.col("__grp_n") <= F.lit(exact_cap), F.lit(0).cast("long"))
-            .otherwise(bucket_udf(F.col("embedding")))
-            .alias("__lsh"),
-            "embedding",
-            _decimal_dot(F.col("embedding"), F.col("embedding")).alias("nrm"),
-        )
+    # Two filtered branches instead of when/otherwise around the UDF:
+    # a pandas UDF inside a CASE still runs for EVERY row (the
+    # ArrowEvalPython stage projects it before the CASE picks), so the
+    # exact path would pay the signature matmul + Arrow transfer for
+    # nothing. With the filter split, the UDF stage exists only on the
+    # oversized-group rows.
+    joined = emb.join(F.broadcast(sizes), "label")
+    common = [
+        "vec_id",
+        "label",
+        beff.alias("__beff"),
+        F.pmod(F.col("vec_id"), beff).cast("long").alias("__salt"),
+        "embedding",
+        _decimal_dot(F.col("embedding"), F.col("embedding")).alias("nrm"),
+    ]
+    exact_part = joined.filter(F.col("__grp_n") <= F.lit(exact_cap)).select(
+        F.lit(True).alias("__exact"), F.lit(0).cast("long").alias("__lsh"), *common
     )
+    lsh_part = joined.filter(F.col("__grp_n") > F.lit(exact_cap)).select(
+        F.lit(False).alias("__exact"),
+        bucket_udf(F.col("embedding")).alias("__lsh"),
+        *common,
+    )
+    withb = exact_part.unionByName(lsh_part)
     grid = F.sequence(F.lit(0), F.col("__beff") - 1)
     a_cells = F.when(
         F.col("__exact"),
