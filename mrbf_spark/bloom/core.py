@@ -119,6 +119,19 @@ def _or_merge(partials: DataFrame, extra_group: list[str] | None = None) -> Data
     )
 
 
+def _indexes_col(value_col, m_col, k: int, flavor: str):
+    """Hash-family seam: the canonical codegen'd Spark-murmur3 family,
+    or the reference-Hadoop murmur2/abs-rem flavor (SURVEY.md §1.4) for
+    bit parity with filters built by the reference's Java jobs."""
+    if flavor == "spark-murmur3":
+        return hash_indexes_col(value_col, m_col, k)
+    if flavor == "hadoop-murmur2":
+        from .hadoop_flavor import hadoop_hash_indexes_udf
+
+        return hadoop_hash_indexes_udf(k)(value_col, m_col)
+    raise ValueError(f"unknown hash flavor {flavor!r}")
+
+
 def build_bloom_filters(
     df: DataFrame,
     key_col: str,
@@ -126,6 +139,7 @@ def build_bloom_filters(
     p: float,
     *,
     merge_fanout: int = 64,
+    flavor: str = "spark-murmur3",
 ) -> DataFrame:
     """Build one Bloom filter per distinct `key_col` value over the
     string form of `value_col`. Returns FILTER_SCHEMA rows.
@@ -156,7 +170,7 @@ def build_bloom_filters(
     )
 
     hashed = keyed.join(F.broadcast(sizes), "__key").select(
-        "__key", hash_indexes_col(F.col("__value"), F.col("m"), k).alias("__indexes")
+        "__key", _indexes_col(F.col("__value"), F.col("m"), k, flavor).alias("__indexes")
     )
 
     # Partition-count guard: the map-side fold parallelizes per input
@@ -210,8 +224,12 @@ def probe_bloom_filters(
     hit_col: str = "bloom_hit",
     k: int | None = None,
     broadcast: bool | str = "auto",
+    flavor: str = "spark-murmur3",
 ) -> DataFrame:
     """Probe each row's value against its key's filter.
+
+    `flavor` must match the family the filters were built with
+    (membership positions are hash-family-specific).
 
     Inner join ⇒ rows whose key has no filter are dropped — the
     reference's skip-unknown-keys semantics
@@ -246,7 +264,9 @@ def probe_bloom_filters(
         build_side = F.broadcast(build_side)
     joined = probe.join(build_side, "__key")
     return (
-        joined.withColumn("__indexes", hash_indexes_col(F.col("__value"), F.col("m"), k))
+        joined.withColumn(
+            "__indexes", _indexes_col(F.col("__value"), F.col("m"), k, flavor)
+        )
         .withColumn(hit_col, F.expr(_PROBE_EXPR).cast("int"))
         .drop("__key", "__value", "__indexes", "m", "words")
     )
