@@ -55,9 +55,11 @@ def cmd_build(args) -> None:
 
     spark = _spark(args)
     df = spark.read.parquet(args.input)
-    filters = build_bloom_filters(df, args.key, args.value, args.p)
+    filters = build_bloom_filters(
+        df, args.key, args.value, args.p, flavor=args.hash_flavor
+    )
     filters.write.mode("overwrite").parquet(args.out)
-    print(f"build: {filters.count()} filters (p={args.p})")
+    print(f"build: {filters.count()} filters (p={args.p}, {args.hash_flavor})")
 
 
 def cmd_test(args) -> None:
@@ -66,7 +68,9 @@ def cmd_test(args) -> None:
     spark = _spark(args)
     df = spark.read.parquet(args.input)
     filters = spark.read.parquet(args.filters)
-    probed = probe_bloom_filters(df, args.key, args.value, filters)
+    probed = probe_bloom_filters(
+        df, args.key, args.value, filters, flavor=args.hash_flavor
+    )
     report = fp_report(probed, args.key)
     report.write.mode("overwrite").parquet(args.out)
     for r in sorted(report.collect(), key=lambda r: r["key"]):
@@ -133,6 +137,13 @@ def main(argv: list[str] | None = None) -> int:
     p_build.add_argument("--value", required=True)
     p_build.add_argument("-p", type=float, default=0.01)
     p_build.add_argument("--out", required=True)
+    p_build.add_argument(
+        "--hash-flavor",
+        choices=["spark-murmur3", "hadoop-murmur2"],
+        default="spark-murmur3",
+        help="hash family: canonical codegen'd Spark murmur3, or the "
+        "reference Hadoop jobs' murmur2/abs-rem for bit parity",
+    )
 
     p_test = sub.add_parser("test", help="probe + FP report (job 2b/3b)")
     p_test.add_argument("--input", required=True)
@@ -140,6 +151,13 @@ def main(argv: list[str] | None = None) -> int:
     p_test.add_argument("--key", required=True)
     p_test.add_argument("--value", required=True)
     p_test.add_argument("--out", required=True)
+    p_test.add_argument(
+        "--hash-flavor",
+        choices=["spark-murmur3", "hadoop-murmur2"],
+        default="spark-murmur3",
+        help="hash family: canonical codegen'd Spark murmur3, or the "
+        "reference Hadoop jobs' murmur2/abs-rem for bit parity",
+    )
 
     p_pipe = sub.add_parser("pipeline", help="all four jobs in one app")
     p_pipe.add_argument("--input", required=True)

@@ -121,6 +121,29 @@ def test_hadoop_flavor_build_probe_no_false_negatives(spark):
     assert misses == 0
 
 
+def test_cli_build_test_with_hadoop_flavor(spark, tmp_path, capsys):
+    """CLI parity path: build + probe with --hash-flavor hadoop-murmur2
+    round-trips through parquet filter files and reports per-key rows."""
+    from mrbf_spark.__main__ import main
+
+    inp = str(tmp_path / "orders.parquet")
+    load_table(spark, SF_SMOKE, "orders").limit(300).write.parquet(inp)
+    fdir, rdir = str(tmp_path / "filters"), str(tmp_path / "report")
+    main(["build", "--input", inp, "--key", "o_orderpriority",
+          "--value", "o_orderkey", "-p", "0.05", "--out", fdir,
+          "--hash-flavor", "hadoop-murmur2"])
+    main(["test", "--input", inp, "--filters", fdir, "--key", "o_orderpriority",
+          "--value", "o_orderkey", "--out", rdir,
+          "--hash-flavor", "hadoop-murmur2"])
+    out = capsys.readouterr().out
+    # probing the build set against its own filters: zero misses ⇒
+    # every row counts as a (trivial) hit; fp_rate column is 1.0
+    report = spark.read.parquet(rdir)
+    assert report.count() > 0
+    assert report.filter(F.col("false_positives") != F.col("total_tests")).count() == 0
+    assert "build:" in out
+
+
 def test_hadoop_flavor_differs_from_canonical(spark):
     """The two families must NOT be bit-identical (the reference's own
     two implementations disagree; if these matched, the flavor seam
