@@ -190,6 +190,23 @@ _BNLJ_ALLOWED = {
 }
 
 
+def test_catalog_outputs_are_scalar_only(spark):
+    """Driver-canonicalizer contract: the correctness harness sorts
+    result cells with pandas, and array/map/struct cells are unhashable
+    there (this exact failure cost multimodal_decode its r2 check).
+    Every registered entry must emit only scalar columns — project
+    arrays through to_json before registering."""
+    from pyspark.sql import types as T
+
+    complex_types = (T.ArrayType, T.MapType, T.StructType)
+    offenders = []
+    for name, fn in QS.items():
+        for field in fn(spark, SF_SMOKE).schema.fields:
+            if isinstance(field.dataType, complex_types):
+                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not offenders, offenders
+
+
 def test_catalog_plan_hygiene(spark):
     """Catalog-wide scale-anti-pattern sweep over every registered
     query's physical plan: no CartesianProduct anywhere, no
