@@ -21,8 +21,14 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+_args = [a for a in sys.argv[1:] if a != "--vanilla"]
+# --vanilla: run on a plain SparkSession.builder session (no tuned
+# confs) — exactly the session the driver gives our queries; catches
+# any dependency on mrbf_spark.session's settings (TZ, AQE, shuffle
+# partitions). The tuned session stays the default for fast local loops.
+VANILLA = "--vanilla" in sys.argv[1:]
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
+ONLY = set(_args[1:])
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -76,10 +82,16 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    from mrbf_spark.session import get_spark
     from mrbf_spark import catalog
 
-    spark = get_spark("check-correctness")
+    if VANILLA:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        from mrbf_spark.session import get_spark
+
+        spark = get_spark("check-correctness")
     con = duck_con(SF_DIR)
     qs, oracles = catalog.queries(), catalog.oracle_sql()
     n_fail = 0
