@@ -444,6 +444,39 @@ def test_stateful_streaming_user_totals(spark):
     assert stream_counts == batch_counts
 
 
+def test_tws_matches_batch_when_available(spark):
+    """Spark 4 transformWithStateInPandas (MapState per user): running
+    per-(user, event_type) counts must equal the batch groupBy. Skips
+    where the TWS runtime's protobuf dependency is absent; the gate
+    itself (actionable ImportError) is asserted either way."""
+    from mrbf_spark.streaming.stateful import (
+        streaming_user_type_counts,
+        tws_available,
+    )
+
+    if not tws_available():
+        with pytest.raises(ImportError, match="protobuf"):
+            streaming_user_type_counts(spark, SF_SMOKE)
+        pytest.skip("protobuf not available for the TWS state protocol")
+    q = streaming_user_type_counts(spark, SF_SMOKE, query_name="tws_counts")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream = {
+        (r["user_id"], r["event_type"]): r["n"]
+        for r in spark.sql(
+            "select user_id, event_type, max(n) as n from tws_counts group by 1, 2"
+        ).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch = {
+        (r["user_id"], r["event_type"]): r["count"]
+        for r in ev.groupBy("user_id", "event_type").count().collect()
+    }
+    assert stream == batch
+
+
 def test_streaming_foreachbatch_parquet_sink(spark, tmp_path):
     """foreachBatch: the exactly-once sink pattern — each micro-batch
     written transactionally to parquet; final table equals batch."""
