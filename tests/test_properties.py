@@ -71,3 +71,40 @@ def test_fingerprint_whitespace_invariance(texts):
         norm = lambda s: hashlib.md5(re.sub(" +", " ", s.lower()).encode()).hexdigest()
         assert norm(t) == norm(t.upper())
         assert norm(t) == norm(t.replace(" ", "  "))
+
+
+@given(st.binary(min_size=0, max_size=64), st.integers(min_value=0, max_value=2**31 - 1))
+def test_murmur2_transcriptions_agree_on_arbitrary_bytes(data, seed):
+    """Hypothesis sweep of the vendored Hadoop-murmur2 against the
+    independent transcription in test_hadoop_flavor — arbitrary byte
+    content exercises every tail length and the sign-extension path."""
+    from mrbf_spark.bloom.hadoop_flavor import murmur2_32
+    from test_hadoop_flavor import _murmur2_reference
+
+    assert murmur2_32(data, seed) == _murmur2_reference(data, seed)
+
+
+def test_top_run_count_matches_counter(spark):
+    """The sorted-array max-run fold behind repetition_stats must equal
+    collections.Counter's most_common on random token arrays (tokens
+    drawn from a small alphabet to force repeats and ties)."""
+    import random
+    from collections import Counter
+
+    import pyspark.sql.functions as F
+
+    from mrbf_spark.functions.text import _top_run_count
+
+    rng = random.Random(11)
+    arrays = [
+        [rng.choice("abcdef") for _ in range(rng.randint(1, 40))] for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(arrays)], "i int, arr array<string>"
+    )
+    got = {
+        r["i"]: r["top"]
+        for r in df.select("i", _top_run_count(F.col("arr")).alias("top")).collect()
+    }
+    for i, a in enumerate(arrays):
+        assert got[i] == Counter(a).most_common(1)[0][1], (i, a)
