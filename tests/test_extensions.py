@@ -339,6 +339,53 @@ def test_neardup_salted_exact_path_fans_out_and_matches_bruteforce(spark):
     assert got == want
 
 
+def test_resize_nearest_neighbor_exact():
+    """Pixel-exact nearest-neighbor semantics on a known gradient."""
+    import numpy as np
+
+    from mrbf_spark.functions.multimodal import resize_image
+
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    out = resize_image(img, 2, 2)
+    # floor-sampling: output (i,j) = source (i*4//2, j*4//2) = (2i, 2j)
+    want = img[[0, 2]][:, [0, 2]]
+    assert np.array_equal(out, want)
+    # upscale replicates source pixels
+    up = resize_image(img, 8, 8)
+    assert up.shape == (8, 8, 3)
+    assert np.array_equal(up[::2, ::2], img)
+
+
+def test_multimodal_resize_spark_path(spark):
+    """Spark-side resize: every payload round-trips to a decodable PPM
+    of exactly the target shape, and the pixels equal a driver-side
+    decode+resize of the original payload."""
+    import numpy as np
+
+    from mrbf_spark.functions.multimodal import (
+        decode_image,
+        image_payloads,
+        multimodal_resize,
+        resize_image,
+    )
+
+    originals = {
+        r["doc_id"]: r["payload"]
+        for r in image_payloads(spark, SF_SMOKE).limit(20).collect()
+    }
+    resized = {
+        r["doc_id"]: r["payload"]
+        for r in multimodal_resize(spark, SF_SMOKE).limit(200).collect()
+        if r["doc_id"] in originals
+    }
+    assert resized
+    for doc_id, payload in list(resized.items())[:10]:
+        got = decode_image(payload)
+        assert got.shape == (8, 8, 3)
+        want = resize_image(decode_image(originals[doc_id]), 8, 8)
+        assert np.array_equal(got, want), doc_id
+
+
 def test_stratified_sample_rates_and_subset(spark):
     """sampleBy: every sampled row comes from the source table, the
     en stratum (fraction 1.0) is complete, and each stratum's rate is
