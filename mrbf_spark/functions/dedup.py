@@ -267,10 +267,16 @@ def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
 
 @register("dedup_simhash")  # rows-only: hash-family-dependent
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over the documents table (see
+    simhash_pairs for the algorithm)."""
+    return simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def simhash_pairs(d: DataFrame) -> DataFrame:
     """SimHash near-dup buckets: docs sharing any 16-bit quarter of
     their simhash (hamming ≤ 3 over 64 bits is caught by ≥1 equal
-    quarter w.h.p. — the standard Charikar banding)."""
-    d = load_table(spark, sf_dir, "documents")
+    quarter by pigeonhole; ≤ 6 w.h.p. — the standard Charikar
+    banding), then exact-hamming verify ≤ 6."""
     sh = simhash_signatures(d).cache()
     quarters = sh.select(
         "doc_id",

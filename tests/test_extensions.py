@@ -45,6 +45,63 @@ def test_minhash_finds_planted_duplicate(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_simhash_signature_properties(spark):
+    """Charikar SimHash invariants: identical text ⇒ identical
+    signature; token order does not change the signature (it is a sum
+    of per-token votes); near-identical text lands within a few bits
+    while unrelated text is far."""
+    from mrbf_spark.functions.dedup import simhash_signatures
+
+    base = "the quick brown fox jumps over the lazy dog again and again in the field"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),
+            (2, " ".join(reversed(base.split()))),  # same bag of tokens
+            (3, base.replace("field", "meadow")),
+            (4, "completely unrelated words about spark catalyst optimizer internals"),
+        ],
+        "doc_id long, text string",
+    )
+    sig = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    assert sig[0] == sig[1] == sig[2]
+    near = bin(sig[0] ^ sig[3]).count("1")
+    far = bin(sig[0] ^ sig[4]).count("1")
+    assert near < far
+    assert near <= 12  # one-token edit moves only a few bit votes
+    assert far >= 16  # unrelated 64-bit signatures sit near hamming ~32
+
+
+def test_simhash_finds_planted_duplicate(spark):
+    """The registered quarter-banded pairing must surface a planted
+    near-copy (small hamming ⇒ some 16-bit quarter equal, pigeonhole)
+    and must not pair unrelated docs."""
+    import mrbf_spark.functions.dedup as dd
+    from mrbf_spark.tables import load_table
+
+    base_docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").limit(30)
+    base = "the quick brown fox jumps over the lazy dog again and again in the field"
+    planted = spark.createDataFrame(
+        [(100001, base), (100002, base.replace("field", "meadow"))],
+        "doc_id long, text string",
+    )
+    docs = base_docs.unionByName(planted)
+    sig = {r["doc_id"]: r["simhash"] for r in dd.simhash_signatures(docs).collect()}
+    # banding threshold in simhash_pairs is hamming <= 6; the pair must
+    # be found whenever its distance is under it (it is, for this fixed
+    # text — asserted so a hash-family change that moves the distance
+    # fails loudly here instead of silently skipping)
+    assert bin(sig[100001] ^ sig[100002]).count("1") <= 6
+    found = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in dd.simhash_pairs(docs).collect()}
+    assert (100001, 100002) in found
+    # no unrelated corpus doc may pair with the planted base text
+    assert not any(
+        100001 in pair or 100002 in pair
+        for pair in found
+        if pair != (100001, 100002)
+    )
+
+
 def test_bruteforce_topk_matches_numpy(spark):
     """Engine cosine top-k == numpy ground truth on the real table."""
     import numpy as np
