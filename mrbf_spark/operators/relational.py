@@ -1122,6 +1122,122 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TPC-H Q4 shape (order priority checking): date-window scan +
+# correlated EXISTS compiled to a LEFT SEMI join with an extra
+# non-equi conjunct + grouped count. Adapted to the slimmed TESTDATA
+# schema (no l_commitdate/l_receiptdate): "late shipment" = any line
+# shipped > 60 days after the order date.
+@builder(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (li["l_orderkey"] == o["o_orderkey"]) & (
+        li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --- TPC-H Q12 shape (shipmode priority census): fact-dim join +
+# dual conditional CASE-sums per group. Adapted: l_linestatus stands
+# in for the missing l_shipmode column.
+@builder(
+    "q12_priority_by_status",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+# --- TPC-H Q22 shape (global sales opportunity): scalar aggregate
+# subquery threshold + anti join + grouped count/sum. Adapted:
+# c_mktsegment stands in for the missing phone country code, and the
+# anti-join drops customers with any URGENT order (plain "no orders"
+# is empty at every TESTDATA SF). The average threshold compares in
+# EXACT decimal cross-multiplied form (acctbal·n > sum) so row
+# membership can't flip on float-average low bits between engines.
+@builder(
+    "q22_idle_rich_customers",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_custs,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    WHERE CAST(c_acctbal AS DECIMAL(38,6))
+            * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+          > (SELECT SUM(CAST(c_acctbal AS DECIMAL(38,6)))
+             FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("c_acctbal").cast("decimal(38,6)")).alias("__sum"),
+    )
+    rich = c.crossJoin(F.broadcast(pos)).filter(
+        F.col("c_acctbal").cast("decimal(38,6)") * F.col("__n") > F.col("__sum")
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        rich.join(urgent, rich.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            dsum("c_acctbal", 6).alias("total_acctbal"),
+        )
+    )
+
+
 # --- multiple DISTINCT aggregates in one pass: Catalyst compiles this
 # to an Expand (one row replica per distinct set) + two-level agg —
 # one shuffle, no self-join, the standard scale shape for multi-
@@ -1631,11 +1747,13 @@ def temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(r).unionByName(i)
 
 
-# --- the TPC-H shape suite (Q3/Q5/Q6/Q7/Q10/Q14/Q18) in one
-# registration: each branch runs its full original join/agg/top-k plan;
-# outputs are normalized to (q, k1, k2, v1, v2, n). Dropped columns are
-# functionally dependent on kept keys (q3 order_date↦k2; q10 c_name↦
-# c_custkey; q18 o_orderdate↦o_orderkey).
+# --- the TPC-H shape suite (Q3/Q4/Q5/Q6/Q7/Q10/Q12/Q14/Q18/Q22) in
+# one registration: each branch runs its full original join/agg/top-k
+# plan; outputs are normalized to (q, k1, k2, v1, v2, n). Dropped
+# columns are functionally dependent on kept keys (q3 order_date↦k2;
+# q10 c_name↦c_custkey; q18 o_orderdate↦o_orderkey). Q4/Q12/Q22 are
+# shape-faithful adaptations to the slimmed TESTDATA schema — see
+# their builders.
 @register(
     "tpch_suite",
     f"""
@@ -1664,6 +1782,16 @@ def temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'q18', CAST(o_orderkey AS VARCHAR), c_name, sum_qty,
            o_totalprice, {_NULL_L}
     FROM ({BUILDER_SQL['q18_large_volume_customer']})
+    UNION ALL
+    SELECT 'q4', o_orderpriority, {_NULL_S}, {_NULL_D}, {_NULL_D}, n_orders
+    FROM ({BUILDER_SQL['q4_order_priority']})
+    UNION ALL
+    SELECT 'q12', l_linestatus, CAST(high_line_count AS VARCHAR),
+           {_NULL_D}, {_NULL_D}, low_line_count
+    FROM ({BUILDER_SQL['q12_priority_by_status']})
+    UNION ALL
+    SELECT 'q22', c_mktsegment, {_NULL_S}, total_acctbal, {_NULL_D}, n_custs
+    FROM ({BUILDER_SQL['q22_idle_rich_customers']})
     """,
 )
 def tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1701,8 +1829,24 @@ def tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("k2"), F.col("sum_qty").alias("v1"),
         F.col("o_totalprice").alias("v2"), _nl().alias("n"),
     )
+    q4 = q4_order_priority(spark, sf_dir).select(
+        F.lit("q4").alias("q"), F.col("o_orderpriority").alias("k1"),
+        _ns().alias("k2"), _nd().alias("v1"), _nd().alias("v2"),
+        F.col("n_orders").alias("n"),
+    )
+    q12 = q12_priority_by_status(spark, sf_dir).select(
+        F.lit("q12").alias("q"), F.col("l_linestatus").alias("k1"),
+        F.col("high_line_count").cast("string").alias("k2"),
+        _nd().alias("v1"), _nd().alias("v2"),
+        F.col("low_line_count").alias("n"),
+    )
+    q22 = q22_idle_rich_customers(spark, sf_dir).select(
+        F.lit("q22").alias("q"), F.col("c_mktsegment").alias("k1"),
+        _ns().alias("k2"), F.col("total_acctbal").alias("v1"),
+        _nd().alias("v2"), F.col("n_custs").alias("n"),
+    )
     out = q3
-    for branch in (q5, q6, q7, q10, q14, q18):
+    for branch in (q5, q6, q7, q10, q14, q18, q4, q12, q22):
         out = out.unionByName(branch)
     return out
 
