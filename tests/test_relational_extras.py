@@ -33,6 +33,22 @@ def test_approx_aggregates_within_bounds(spark):
         assert abs(a["approx_median_price"] - e["median_price"]) / e["median_price"] < 0.2
 
 
+def test_orc_roundtrip_bit_identical(spark):
+    """Spark's native ORC sink/scan: the packed bloom-filter table
+    (longs, strings, array<long> bitsets) must survive write→read
+    bit-identically, matching the parquet persistence path row for
+    row."""
+    from mrbf_spark.operators.sinks import filter_orc_roundtrip, filter_parquet_roundtrip
+
+    SF_SMOKE = "/root/testdata/sf0.001"
+    orc = {r["key"]: r for r in filter_orc_roundtrip(spark, SF_SMOKE).collect()}
+    pq = {r["key"]: (r["n"], r["m"], r["k"]) for r in filter_parquet_roundtrip(spark, SF_SMOKE).collect()}
+    assert set(orc) == set(pq) and len(orc) > 0
+    for key, row in orc.items():
+        assert (row["n"], row["m"], row["k"]) == pq[key]
+        assert isinstance(row["words"], list) and len(row["words"]) == (row["m"] + 63) // 64
+
+
 def test_session_window_consistent_with_lag_cumsum(spark):
     """Two session formulations (built-in session_window vs
     lag/cumsum) must agree on sessions-per-user."""
