@@ -3,13 +3,21 @@ exact, MinHash+LSH, SimHash, and n-gram Jaccard — the staples of a
 training-data pipeline, each designed so the candidate-generation step
 is a bounded equi-join (never an O(n²) cross join) at 100 TB.
 
-Exact dedup is fully oracle-checked. The hash-family-dependent ops
-(minhash/simhash) are rows-only, but their *verification* stage
-computes exact Jaccard on the candidates, so correctness reduces to
-set algebra that tests pin down separately.
+Every registered dedup entry is hash-matched against an independent
+DuckDB oracle:
+- `dedup_exact` / `dedup_clusters`: deterministic fingerprints/edges.
+- `dedup_minhash_lsh`: LSH prune ∪ prefix-filter complete blocking,
+  then exact-Jaccard verify — output is the EXACT Jaccard-≥τ pair
+  set, independent of the hash family (the oracle computes the exact
+  all-pairs set, feasible at oracle scale).
+- `dedup_simhash`: the signature's per-token bits come from md5 (a
+  portable hash both engines share), so the oracle replays the whole
+  signature → quarter-band → hamming-verify pipeline bit-for-bit.
 """
 
 from __future__ import annotations
+
+from fractions import Fraction
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
@@ -173,7 +181,141 @@ def _banded(sigs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
     )
 
 
-def minhash_candidates(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def prefix_filter_candidates(shingled: DataFrame, threshold: float) -> DataFrame:
+    """Complete candidate blocking via prefix filtering (AllPairs /
+    PPJoin, Bayardo et al. WWW'07, Xiao et al. WWW'08): order each
+    doc's shingles by a global total order (document frequency asc,
+    then shingle — rare-first minimizes pair fan-out), index only the
+    first |x| − ⌈τ·|x|⌉ + 1 of them, and pair docs sharing an indexed
+    shingle. Any pair with exact Jaccard ≥ τ must share ≥ ⌈τ·|x|⌉
+    elements, so their prefixes intersect — recall is exactly 1.0 by
+    construction, for any data, with no hash family involved.
+
+    ⌈τ·|x|⌉ is computed in INTEGER arithmetic (τ as a fraction p/q):
+    float τ·n can land an ulp above an integer (0.2×15 →
+    3.0000000000000004), ceil would overshoot, and the prefix would be
+    one element too short — a silent recall hole exactly at the
+    threshold boundary.
+
+    `shingled` is (doc_id, shingles array<…>). The self-join is a
+    bounded equi-join on shingle; df=1 shingles are dropped from the
+    index (they cannot pair). Fan-out per shingle is its prefix-df
+    choose 2 — the rare-first order keeps hot shingles out of most
+    prefixes. At very low τ prefixes approach the full set; the LSH
+    path (minhash_candidates with guaranteed=False) is the 100 TB
+    alternative when probabilistic recall is acceptable.
+    """
+    frac = Fraction(threshold).limit_denominator(10**6)
+    p, q = frac.numerator, frac.denominator
+    inv = shingled.select("doc_id", F.explode("shingles").alias("s"))
+    freq = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        inv.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "s"))).alias("ordered"))
+    )
+    n = F.size("ordered")
+    # plen = n − ceil(n·p/q) + 1, ceil via (n·p + q − 1) div q
+    plen = n - F.floor((n * F.lit(p) + F.lit(q - 1)) / F.lit(q)).cast("int") + 1
+    prefix = (
+        ranked.select(
+            "doc_id",
+            n.alias("n"),
+            F.posexplode(F.slice("ordered", F.lit(1), plen)).alias("pos", "e"),
+        )
+        .filter(F.col("e.df") >= 2)
+        .select("doc_id", "n", "pos", F.col("e.s").alias("s"))
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # Length filter inside the join: J ≥ p/q needs q·min(n) ≥ p·max(n).
+    raw = a.join(
+        b,
+        (F.col("a.s") == F.col("b.s"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (
+            F.lit(q) * F.least(F.col("a.n"), F.col("b.n"))
+            >= F.lit(p) * F.greatest(F.col("a.n"), F.col("b.n"))
+        ),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+    )
+    # Positional (suffix-bound) filter, PPJoin Lemma 2 shape: with c =
+    # number of shingles shared by BOTH prefixes and w their max in the
+    # global order (position pa in x, pb in y — positions are monotone
+    # in the order, so both maxes are w's), every common shingle ≤ w is
+    # prefix-shared (counted by c) and every common shingle > w lies in
+    # both suffixes-after-w, so
+    #   |x∩y| ≤ c + min(na−1−pa, nb−1−pb).
+    # J ≥ p/q needs |x∩y| ≥ α = ⌈p·(na+nb)/(p+q)⌉ (since i ≥ τ·u and
+    # u = na+nb−i). The groupBy replaces the r3 dropDuplicates — same
+    # shuffle — and the bound prunes the expensive array verify, not
+    # recall. Frequency-ascending order makes it bite: random pairs
+    # share only COMMON shingles, which sit late in both prefixes.
+    grouped = raw.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.max("pa").alias("pa"),
+        F.max("pb").alias("pb"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+    )
+    alpha = F.floor(
+        (F.lit(p) * (F.col("na") + F.col("nb")) + F.lit(p + q - 1)) / F.lit(p + q)
+    ).cast("int")
+    ubound = F.col("c") + F.least(
+        F.col("na") - 1 - F.col("pa"), F.col("nb") - 1 - F.col("pb")
+    )
+    return grouped.filter(ubound >= alpha).select("doc_a", "doc_b")
+
+
+def _hash_injectivity_certified(docs: DataFrame, n: int = 3) -> bool:
+    """Certify that the collapsed 64-bit shingle hashing is injective
+    ON THIS CORPUS, so Jaccard over hashed-long shingle sets is
+    bit-identical to Jaccard over the portable string shingles (which
+    an independent oracle can compute): #distinct raw token n-tuples
+    == #distinct collapsed xxhash64 shingle hashes ⟹ the map
+    shingle string ↔ collapsed long is a bijection on the realized
+    shingle set. One agg-only scan, two scalars — string shingles are
+    never materialized (building them costs more than the whole
+    hashed pipeline; measured 7× on the verify join alone). At 100 TB
+    you would run this once per corpus vintage — the distinct
+    partial-aggregates map-side and are shingle-space-bounded — or
+    skip it and accept the 2^-64 risk."""
+    base = docs.select(F.split(F.lower(F.col("text")), " ").alias("toks")).select(
+        "toks", F.transform("toks", lambda t: F.xxhash64(t)).alias("th")
+    )
+    # One explode carries BOTH the raw token n-tuple (≡ the shingle
+    # string: tokens are space-free so the ' '-join is reversible) and
+    # the collapsed hash built exactly as shingle_hashes_col builds it
+    # (element_at on the materialized hash array, so OOB padding for
+    # short docs is NULL-long on both sides).
+    tup = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
+                lambda i: F.struct(
+                    *[F.element_at("toks", i + j + 1).alias(f"t{j}") for j in range(n)],
+                    F.xxhash64(
+                        *[F.element_at("th", i + j + 1) for j in range(n)]
+                    ).alias("hh"),
+                ),
+            )
+        ).alias("e")
+    )
+    r = tup.agg(
+        F.countDistinct(F.struct(*[f"e.t{j}" for j in range(n)])).alias("d"),
+        F.countDistinct("e.hh").alias("h"),
+    ).collect()[0]
+    return r["d"] == r["h"]
+
+
+def minhash_candidates(
+    docs: DataFrame, threshold: float = 0.5, guaranteed: bool = False
+) -> DataFrame:
     """MinHash+LSH near-dup pairs: shingle → signature → band →
     bucket self-join → exact-Jaccard verify. The self-join is on
     (band_id, band_hash) — a bounded equi-join: only docs sharing a
@@ -181,6 +323,14 @@ def minhash_candidates(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥
     threshold, deduped across bands.
+
+    guaranteed=True additionally unions the deterministic
+    prefix-filter blocking (recall 1.0 by construction) into the
+    candidate set and verifies with the portable STRING shingles, so
+    the output is exactly {pairs : exact word-3-gram Jaccard ≥ τ} —
+    hash-family-independent and oracle-checkable. The LSH buckets
+    stay in the union as the scale path's prune (at 100 TB you run
+    guaranteed=False and accept LSH's probabilistic recall).
 
     Plan shape: shingles are hashed longs (shingle_hashes_col), and the
     signature table — 64 longs per doc, ~0.1% of corpus bytes — is
@@ -193,6 +343,8 @@ def minhash_candidates(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     (broadcast), so no corpus shuffle anywhere.
     """
     shingled = shingled_docs(docs)
+    if guaranteed:
+        shingled = shingled.cache()
     banded = _banded(minhash_signatures(shingled).cache())
     a = banded.alias("a")
     b = banded.alias("b")
@@ -206,69 +358,191 @@ def minhash_candidates(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    if guaranteed:
+        # Blocking + verify run on the hashed-long shingles when the
+        # injectivity certificate holds (then long-set Jaccard IS
+        # string-set Jaccard, bit for bit); the string pipeline is the
+        # certified-exact fallback, never taken in practice.
+        if not _hash_injectivity_certified(docs):  # pragma: no cover
+            shingled = docs.select(
+                "doc_id", shingles_col(F.col("text"), 3).alias("shingles")
+            ).cache()
+        pairs = pairs.unionByName(
+            prefix_filter_candidates(shingled, threshold)
+        ).dropDuplicates(["doc_a", "doc_b"])
     sh_a = shingled.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
     )
     sh_b = shingled.select(
         F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
     )
+    # Jaccard via intersect only: |a∪b| = |a|+|b|−|a∩b| (sets are
+    # distinct by construction) — halves the per-pair array work.
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (
         pairs.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
-        .withColumn("jaccard", jaccard_col(F.col("sh_a"), F.col("sh_b")))
+        .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
 
 
-@register("dedup_minhash_lsh")  # rows-only: hash-family-dependent
+_MINHASH_TAU = 0.2
+
+# Oracle: the EXACT all-pairs Jaccard set — computable in DuckDB at
+# oracle scale (500 docs ⇒ 125k pairs) precisely because the engine's
+# output is guaranteed to equal it (LSH ∪ prefix-filter blocking has
+# recall 1.0, then exact verify). Shingle CTE identical to the proven
+# dedup_clusters oracle; the division is the same
+# double(int)/double(int) IEEE op the Spark side computes.
+_MINHASH_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in generate_series(1, greatest(len(t)-2, 1))])
+                    AS shingles
+           FROM toks),
+    j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {_MINHASH_TAU}
+    """
+
+
+@register("dedup_minhash_lsh", _MINHASH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidates verified by exact word-3-gram Jaccard, at
-    the LOWER 0.2 threshold: the output carries the exact jaccard per
-    pair, so it subsumes both the r1 `dedup_minhash_lsh` (≥ 0.5 —
-    filter the jaccard column) and the r1 `dedup_ngram_jaccard`
-    precision pass (≥ 0.2) in one registration."""
-    return minhash_candidates(load_table(spark, sf_dir, "documents"), threshold=0.2)
+    """MinHash+LSH candidates ∪ prefix-filter complete blocking,
+    verified by exact word-3-gram Jaccard at the LOWER 0.2 threshold:
+    the output carries the exact jaccard per pair, so it subsumes both
+    the r1 `dedup_minhash_lsh` (≥ 0.5 — filter the jaccard column) and
+    the r1 `dedup_ngram_jaccard` precision pass (≥ 0.2), and equals
+    the exact Jaccard-≥τ pair set (hash-matched oracle) regardless of
+    Spark's hash family. See minhash_candidates(guaranteed=True)."""
+    return minhash_candidates(
+        load_table(spark, sf_dir, "documents"), threshold=_MINHASH_TAU, guaranteed=True
+    )
 
 
 # -------------------------------------------------------------- simhash
 
 
-def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
-    """(doc_id, simhash) — 64-bit Charikar SimHash: per bit, the sign
-    of the sum of ±1 across token hashes.
+_SIMHASH_HAMMING = 6
 
-    Shape: explode tokens → one xxhash64 per token → 64 conditional-sum
-    aggregates → fold signs into one long. The per-row alternative (64
-    F.aggregate passes over an inline token-hash array) re-evaluates
-    the tokenize+hash pass once per bit — 64 corpus scans' worth of
-    work fused into one stage; measured 12 s vs ~1 s at sf0.1. The
-    explode form hashes each token once and the ±1 sums partial-agg
-    map-side (shuffle = 64×8 B per doc per partition)."""
-    one = F.lit(1).cast("long")
+
+def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """(doc_id, q0..q3, simhash) — 64-bit Charikar SimHash: per bit,
+    the sign of the sum of ±1 across token hashes, carried as four
+    16-bit quarter ints (the LSH band keys) plus the packed long.
+
+    The per-token 64 bits come from md5 (first 16 hex chars → 4×16-bit
+    ints via conv) — a PORTABLE hash family both Spark and DuckDB
+    evaluate identically, so the entire signature → band → verify
+    pipeline has an independent oracle twin (the r3 xxhash64 family
+    was Spark-private, forcing a rows-only check). md5-per-token costs
+    more than xxhash64 but the token explode is one corpus scan either
+    way; swap the hash expr back for a throughput-critical deployment.
+
+    Shape: explode tokens → one md5 per token → 64 conditional-sum
+    aggregates → fold signs into quarter words. The per-row
+    alternative (64 F.aggregate passes over an inline token-hash
+    array) re-evaluates the tokenize+hash pass once per bit — 64
+    corpus scans' worth of work fused into one stage; measured 12 s vs
+    ~1 s at sf0.1. The explode form hashes each token once and the ±1
+    sums partial-agg map-side (shuffle = 64×8 B per doc per
+    partition)."""
+    assert bits == 64, "the portable quarter layout is fixed at 64 bits"
     toks = docs.select(
         "doc_id", F.explode_outer(F.split(F.lower(F.col("text")), " ")).alias("t")
-    ).select("doc_id", F.xxhash64("t").alias("h"))
-    sums = toks.groupBy("doc_id").agg(
+    )
+    m = F.md5("t")
+    tq = toks.select(
+        "doc_id",
+        *[
+            F.conv(F.substring(m, 4 * j + 1, 4), 16, 10).cast("int").alias(f"tq{j}")
+            for j in range(4)
+        ],
+    )
+    sums = tq.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright("h", i).bitwiseAND(one) == 1, 1).otherwise(-1)
+                F.when(
+                    F.shiftright(F.col(f"tq{i // 16}"), i % 16).bitwiseAND(F.lit(1)) == 1,
+                    1,
+                ).otherwise(-1)
             ).alias(f"b{i}")
             for i in range(bits)
         ]
     )
-    word = F.lit(0).cast("long")
-    for i in range(bits):
-        word = word.bitwiseOR(
-            F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
+    qcols = []
+    for j in range(4):
+        w = F.lit(0)
+        for b in range(16):
+            w = w.bitwiseOR(
+                F.when(F.col(f"b{16 * j + b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            )
+        qcols.append(w.alias(f"q{j}"))
+    sig = sums.select("doc_id", *qcols)
+    packed = (
+        F.shiftleft(F.col("q3").cast("long"), 48)
+        .bitwiseOR(F.shiftleft(F.col("q2").cast("long"), 32))
+        .bitwiseOR(F.shiftleft(F.col("q1").cast("long"), 16))
+        .bitwiseOR(F.col("q0").cast("long"))
+    )
+    return sig.select("doc_id", "q0", "q1", "q2", "q3", packed.alias("simhash"))
+
+
+def _simhash_oracle() -> str:
+    """DuckDB twin of simhash_pairs, generated from the same layout
+    constants: md5-quarter token bits → ±1 sums → sign packing →
+    quarter-band candidate join → exact hamming ≤ threshold. Because
+    the prune (quarter equality) is part of the replayed definition,
+    the match is exact with no recall caveat (the
+    deterministic-membership-twin pattern)."""
+    tq = ",\n           ".join(
+        f"('0x' || substr(md5(t), {4 * j + 1}, 4))::INTEGER AS tq{j}" for j in range(4)
+    )
+    bitsums = ",\n           ".join(
+        f"SUM(CASE WHEN (tq{i // 16} >> {i % 16}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    packs = ",\n           ".join(
+        "("
+        + " | ".join(
+            f"(CASE WHEN b{16 * j + b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
         )
-    return sums.select("doc_id", word.alias("simhash"))
+        + f") AS q{j}"
+        for j in range(4)
+    )
+    quarters_union = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS qi, q{j} AS qv FROM sig" for j in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(sa.q{j}, sb.q{j}))" for j in range(4))
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+                  FROM documents),
+    tq AS (SELECT doc_id, {tq} FROM toks),
+    sums AS (SELECT doc_id, {bitsums} FROM tq GROUP BY doc_id),
+    sig AS (SELECT doc_id, {packs} FROM sums),
+    quarters AS ({quarters_union}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM quarters a JOIN quarters b
+               ON a.qi = b.qi AND a.qv = b.qv AND a.doc_id < b.doc_id),
+    ham AS (SELECT c.doc_a, c.doc_b, {ham} AS hamming
+            FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+                        JOIN sig sb ON sb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
+    FROM ham WHERE hamming <= {_SIMHASH_HAMMING}
+    """
 
 
-@register("dedup_simhash")  # rows-only: hash-family-dependent
+@register("dedup_simhash", _simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs over the documents table (see
-    simhash_pairs for the algorithm)."""
+    simhash_pairs for the algorithm). Hash-matched: the md5-based
+    portable signature lets the oracle replay the full pipeline."""
     return simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
@@ -280,41 +554,40 @@ def simhash_pairs(d: DataFrame) -> DataFrame:
     sh = simhash_signatures(d).cache()
     quarters = sh.select(
         "doc_id",
-        "simhash",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(q).alias("q"),
-                        F.shiftright("simhash", q * 16)
-                        .bitwiseAND(F.lit(0xFFFF).cast("long"))
-                        .alias("qh"),
-                    )
-                    for q in range(4)
+                    F.struct(F.lit(j).alias("qi"), F.col(f"q{j}").alias("qv"))
+                    for j in range(4)
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "simhash", "b.q", "b.qh")
+    ).select("doc_id", "b.qi", "b.qv")
     a, b = quarters.alias("a"), quarters.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.q") == F.col("b.q"))
-            & (F.col("a.qh") == F.col("b.qh"))
+            (F.col("a.qi") == F.col("b.qi"))
+            & (F.col("a.qv") == F.col("b.qv"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"q{j}").alias(f"qa{j}") for j in range(4)]
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"q{j}").alias(f"qb{j}") for j in range(4)]
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"qa{j}").bitwiseXOR(F.col(f"qb{j}"))) for j in range(4)
+    )
     return (
-        pairs.withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= 6)
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= _SIMHASH_HAMMING)
         .select("doc_a", "doc_b", "hamming")
     )
 

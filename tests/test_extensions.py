@@ -45,6 +45,63 @@ def test_minhash_finds_planted_duplicate(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_minhash_guaranteed_equals_bruteforce(spark):
+    """guaranteed=True must return EXACTLY the Jaccard-≥τ pair set
+    (prefix-filter blocking is complete, verify is exact): compare
+    against an all-pairs brute force on a real corpus slice plus a
+    planted near-dup."""
+    from mrbf_spark.functions.dedup import minhash_candidates
+
+    base = "the quick brown fox jumps over the lazy dog again and again in the field"
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").limit(80)
+    docs = docs.unionByName(
+        spark.createDataFrame(
+            [(900001, base), (900002, base.replace("field", "meadow"))],
+            "doc_id long, text string",
+        )
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_candidates(docs, threshold=0.2, guaranteed=True).collect()
+    }
+    sh = docs.select("doc_id", shingles_col(F.col("text"), 3).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    brute = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jaccard_col(F.col("a.sh"), F.col("b.sh")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .collect()
+    }
+    assert set(got) == set(brute)
+    assert (900001, 900002) in got
+    for pair, j in brute.items():
+        assert got[pair] == pytest.approx(j, abs=0)  # bit-identical doubles
+
+
+def test_prefix_filter_boundary_integer_math(spark):
+    """A pair with jaccard EXACTLY τ at a size where float ⌈τ·n⌉
+    overshoots (0.2×15 → 3.0000000000000004) must still be found —
+    the prefix length is computed with integer arithmetic."""
+    from mrbf_spark.functions.dedup import minhash_candidates
+
+    xs = [f"a{i}" for i in range(1, 18)]  # 17 tokens → 15 shingles
+    ys = xs[:7] + [f"b{i}" for i in range(1, 11)]  # shares exactly 5 shingles
+    docs = spark.createDataFrame(
+        [(1, " ".join(xs)), (2, " ".join(ys))], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_candidates(docs, threshold=0.2, guaranteed=True).collect()
+    }
+    # i=5 shared, u=15+15−5=25 ⇒ jaccard exactly 0.2, on the boundary
+    assert got == {(1, 2): 0.2}
+
+
 def test_simhash_signature_properties(spark):
     """Charikar SimHash invariants: identical text ⇒ identical
     signature; token order does not change the signature (it is a sum
