@@ -21,7 +21,7 @@ from fractions import Fraction
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from ..registry import register
+from ..registry import register, scoped_cache
 from ..tables import load_table
 from .text import FINGERPRINT_SQL, fingerprint_col
 
@@ -344,8 +344,8 @@ def minhash_candidates(
     """
     shingled = shingled_docs(docs)
     if guaranteed:
-        shingled = shingled.cache()
-    banded = _banded(minhash_signatures(shingled).cache())
+        shingled = scoped_cache(shingled)
+    banded = _banded(scoped_cache(minhash_signatures(shingled)))
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -364,9 +364,9 @@ def minhash_candidates(
         # string-set Jaccard, bit for bit); the string pipeline is the
         # certified-exact fallback, never taken in practice.
         if not _hash_injectivity_certified(docs):  # pragma: no cover
-            shingled = docs.select(
-                "doc_id", shingles_col(F.col("text"), 3).alias("shingles")
-            ).cache()
+            shingled = scoped_cache(
+                docs.select("doc_id", shingles_col(F.col("text"), 3).alias("shingles"))
+            )
         pairs = pairs.unionByName(
             prefix_filter_candidates(shingled, threshold)
         ).dropDuplicates(["doc_a", "doc_b"])
@@ -551,7 +551,7 @@ def simhash_pairs(d: DataFrame) -> DataFrame:
     their simhash (hamming ≤ 3 over 64 bits is caught by ≥1 equal
     quarter by pigeonhole; ≤ 6 w.h.p. — the standard Charikar
     banding), then exact-hamming verify ≤ 6."""
-    sh = simhash_signatures(d).cache()
+    sh = scoped_cache(simhash_signatures(d))
     quarters = sh.select(
         "doc_id",
         F.explode(

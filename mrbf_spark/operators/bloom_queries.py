@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..bloom import build_bloom_filters, fp_report, probe_bloom_filters
 from ..bloom.sizing import num_hashes
 from ..bloom.pipeline import bloom_fp_pipeline, deterministic_split
-from ..registry import register
+from ..registry import register, scoped_cache
 from ..tables import load_table
 
 P = 0.01
@@ -35,7 +35,7 @@ def bloom_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # never miss. (Unregistered builder; see `bloom_build_invariants`.)
 def bloom_no_false_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    filters = build_bloom_filters(orders, "o_orderpriority", "o_orderkey", P).cache()
+    filters = scoped_cache(build_bloom_filters(orders, "o_orderpriority", "o_orderkey", P))
     probed = probe_bloom_filters(
         orders, "o_orderpriority", "o_orderkey", filters, k=num_hashes(P), broadcast=True
     )
@@ -63,7 +63,7 @@ def bloom_no_false_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bloom_build_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    filters = build_bloom_filters(orders, "o_orderpriority", "o_orderkey", P).cache()
+    filters = scoped_cache(build_bloom_filters(orders, "o_orderpriority", "o_orderkey", P))
     probed = probe_bloom_filters(
         orders, "o_orderpriority", "o_orderkey", filters, k=num_hashes(P), broadcast=True
     )
@@ -107,15 +107,25 @@ def bloom_fp_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bloom_split_fp_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     train, test = deterministic_split(orders)
-    filters = build_bloom_filters(train, "o_orderpriority", "o_orderkey", P).cache()
+    filters = scoped_cache(build_bloom_filters(train, "o_orderpriority", "o_orderkey", P))
     probed = probe_bloom_filters(
         test, "o_orderpriority", "o_orderkey", filters, k=num_hashes(P), broadcast=True
     )
-    fp = fp_report(probed, "o_orderpriority").select(
+    # Left-join the probe stats onto the FULL test-partition key census:
+    # probe_bloom_filters inner-joins the filter table (skip-unknown-keys
+    # semantics), so a priority appearing only in the test partition
+    # would otherwise emit no row while the oracle counts it (ADVICE
+    # r3). A filterless key has zero probes ⇒ zero false positives ⇒
+    # ok=TRUE vacuously, matching the oracle on any data vintage.
+    stats = fp_report(probed, "o_orderpriority")
+    all_keys = test.groupBy(
+        F.col("o_orderpriority").cast("string").alias("key")
+    ).agg(F.count(F.lit(1)).alias("n1"))
+    fp = all_keys.join(stats, "key", "left").select(
         F.lit("fp_report").alias("part"),
         "key",
-        F.col("total_tests").alias("n1"),
-        (F.col("fp_rate") <= F.lit(10 * P)).alias("ok"),
+        "n1",
+        F.coalesce(F.col("fp_rate") <= F.lit(10 * P), F.lit(True)).alias("ok"),
     )
     split = (
         train.select(F.lit("train").alias("key"))
@@ -151,9 +161,11 @@ def bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
-    filters = build_bloom_filters(
-        urgent.withColumn("__g", F.lit("urgent")), "__g", "o_orderkey", P
-    ).cache()
+    filters = scoped_cache(
+        build_bloom_filters(
+            urgent.withColumn("__g", F.lit("urgent")), "__g", "o_orderkey", P
+        )
+    )
     # Stage 1: bloom prune — codegen'd probe, no shuffle of lineitem.
     # broadcast=True (not "auto"): per-key filters are small by this
     # operator's definition, and the auto size-check costs an extra

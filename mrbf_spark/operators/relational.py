@@ -785,6 +785,15 @@ def approx_aggregates_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multiples of the documented error (HLL rsd=5%, percentile_approx
 # rank error 1e-4), so a TRUE here is deterministic while a sketch
 # regression (wrong rsd, broken merge) still flips it red.
+#
+# DATA DEPENDENCY (ADVICE r3): the 0.15 bound below is 3× the HLL rsd
+# (0.05) — ≥3σ slack, exceeded with probability ~0.3% per group IF the
+# sketch behaved like its Gaussian model. HLL is deterministic per
+# dataset, so on any FIXED testdata vintage the booleans are constant;
+# a future vintage could in principle land a group outside 3σ with no
+# code bug. If this entry ever fails with every exact column matching,
+# re-check |approx−exact|/exact against the bound before suspecting
+# the sketch — widening to 4σ is the fix, not a regression.
 @register(
     "approx_aggregates",
     """

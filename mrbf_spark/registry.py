@@ -17,6 +17,31 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Caches created by catalog queries, released lazily: a registered
+# query's caches must outlive the function call (the driver
+# materializes the RETURNED DataFrame afterwards), so they are
+# unpersisted when the NEXT registered query starts. Without this,
+# catalog sweeps (the driver's correctness pass, bench loops, the
+# plan-hygiene test) accumulate every query's cached tables in
+# executor storage (ADVICE r3).
+_SCOPED_CACHES: list[DataFrame] = []
+
+
+def scoped_cache(df: DataFrame) -> DataFrame:
+    """cache() for use inside catalog queries — released when the next
+    registered query begins, not leaked for the session's lifetime."""
+    df.cache()
+    _SCOPED_CACHES.append(df)
+    return df
+
+
+def _release_scoped_caches() -> None:
+    while _SCOPED_CACHES:
+        try:
+            _SCOPED_CACHES.pop().unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+
 
 BUILDER_SQL: dict[str, str] = {}
 
@@ -43,7 +68,14 @@ def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = fn
+
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _release_scoped_caches()
+            return fn(spark, sf_dir)
+
+        run.__name__ = fn.__name__
+        run.__doc__ = fn.__doc__
+        QUERIES[name] = run
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

@@ -37,6 +37,46 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _is_nanos_error(exc: Exception) -> bool:
+    """True when a parquet read failed on the TIMESTAMP(NANOS) logical
+    type that Spark's reader rejects (the r1 events vintage): the
+    error chain names the illegal Parquet type."""
+    return "NANOS" in str(exc)
+
+
+def _parquet_ts_unit(path: str) -> str | None:
+    """Physical timestamp unit ('ns', 'us', ...) of the `ts` column,
+    read from the parquet footer with pyarrow — a deterministic
+    driver-side probe. Exception-driven vintage detection is not
+    enough: depending on writer metadata (pyarrow store_schema) Spark
+    rejects TIMESTAMP(NANOS) either at schema inference OR only at
+    task execution, and the latter never reaches a read-time except.
+    Accepts a file, a directory of part files, or a glob; returns None
+    when the footer can't be probed (caller falls back to the
+    exception match)."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = path
+    if _glob.has_magic(p):
+        matches = sorted(_glob.glob(p)) or sorted(_glob.glob(os.path.join(p, "*")))
+        if not matches:
+            return None
+        p = matches[0]
+    if os.path.isdir(p):
+        parts = sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
+        if not parts:
+            return None
+        p = os.path.join(p, parts[0])
+    try:
+        field = pq.read_schema(p).field("ts")
+    except (OSError, KeyError, pa.ArrowInvalid):
+        return None
+    return field.type.unit if pa.types.is_timestamp(field.type) else None
+
+
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load events with a session-TZ ``timestamp`` column regardless of
     how the data vintage stored ``ts``.
@@ -54,14 +94,19 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     path = os.path.join(sf_dir, "events.parquet")
-    try:
-        df = spark.read.parquet(path)
-    except Exception:
-        # Schema inference failed — the nanos vintage. The conf stays on
-        # for the session because lazy execution re-resolves the scan;
-        # harmless here since this branch only fires when the data IS nanos.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+    if _parquet_ts_unit(path) == "ns":
+        df = _read_nanos_events(spark, path)
+    else:
+        try:
+            df = spark.read.parquet(path)
+        except Exception as exc:
+            # Footer probe was inconclusive; only the nanos signature
+            # gets the conf-retry — any other failure (missing path,
+            # corrupt footer, permissions) surfaces as-is instead of
+            # being retried under a rewritten session conf (ADVICE r3).
+            if not _is_nanos_error(exc):
+                raise
+            df = _read_nanos_events(spark, path)
 
     ts_type = dict(df.dtypes).get("ts", "")
     if ts_type == "bigint":
@@ -69,6 +114,26 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ts_type.startswith("timestamp") and ts_type != "timestamp":
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def _read_nanos_events(spark: SparkSession, path: str) -> DataFrame:
+    """Read a TIMESTAMP(NANOS) events file under ``nanosAsLong`` (ts
+    arrives as int64 nanos → bigint). The conf stays on after a
+    SUCCESSFUL read because lazy execution re-resolves the scan at job
+    time; it is a no-op for micros/NTZ files (pinned by
+    test_nanos_conf_isolated_from_micros_reads). If the read fails
+    anyway, the previous value is restored so an unrelated error never
+    leaves the session reconfigured."""
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        raise
 
 
 def load_events_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -83,13 +148,24 @@ def load_events_stream(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    try:
-        probe = spark.read.parquet(path)
-        ts_type = dict(probe.dtypes).get("ts", "")
-    except Exception:
-        # Nanos vintage: batch schema inference rejects TIMESTAMP(NANOS).
+    if _parquet_ts_unit(path) == "ns":
+        # Nanos vintage: the stream must read ts as int64 nanos.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ts_type = "bigint"
+    else:
+        try:
+            probe = spark.read.parquet(path)
+            ts_type = dict(probe.dtypes).get("ts", "")
+        except Exception as exc:
+            # Footer probe inconclusive: only the nanos signature falls
+            # back to the conf; any other failure (missing/corrupt
+            # path) propagates — declaring a LongType ts schema for it
+            # would just defer the error to a confusing stream-start
+            # failure (ADVICE r3).
+            if not _is_nanos_error(exc):
+                raise
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            ts_type = "bigint"
 
     if ts_type == "bigint":
         raw_ts: T.DataType = T.LongType()

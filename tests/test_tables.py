@@ -76,6 +76,72 @@ def test_nanos_vintage_fallback(spark, tmp_path):
         spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
 
 
+def _write_nanos_events(sf_dir, store_schema: bool):
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [base + dt.timedelta(seconds=i, microseconds=123456) for i in range(5)]
+    table = pa.table(
+        {
+            "event_id": pa.array(range(5), pa.int64()),
+            "ts": pa.array(rows, pa.timestamp("ns")),
+            "user_id": pa.array([1] * 5, pa.int64()),
+            "event_type": pa.array(["click"] * 5),
+            "value": pa.array([1.0] * 5, pa.float64()),
+            "props": pa.array(["{}"] * 5),
+        }
+    )
+    sf_dir.mkdir()
+    pq.write_table(
+        table, sf_dir / "events.parquet", version="2.6", store_schema=store_schema
+    )
+    return rows
+
+
+def test_nanos_vintage_with_stored_arrow_schema(spark, tmp_path):
+    """pyarrow's default store_schema=True produces a nanos file that
+    Spark rejects at TASK time (not schema inference), so the loader
+    must detect the vintage from the parquet footer, never from a
+    read-time exception."""
+    rows = _write_nanos_events(tmp_path / "nanos_sf", store_schema=True)
+    try:
+        df = load_table(spark, str(tmp_path / "nanos_sf"), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        assert sorted(r.ts for r in df.collect()) == rows
+    finally:
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+
+
+def test_nanos_conf_isolated_from_micros_reads(spark, tmp_path):
+    """Two vintages in ONE session (VERDICT r3 #6): after a nanos read
+    leaves nanosAsLong set, a subsequent micros/NTZ read must be
+    byte-identical to a clean-session read, and a missing-path load
+    must raise without touching the conf."""
+    import pytest as _pytest
+
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    clean = {r.event_id: r.ts for r in load_table(spark, SF_SMOKE, "events").collect()}
+
+    _write_nanos_events(tmp_path / "nanos_sf", store_schema=False)
+    load_table(spark, str(tmp_path / "nanos_sf"), "events").collect()
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    try:
+        after = {
+            r.event_id: r.ts for r in load_table(spark, SF_SMOKE, "events").collect()
+        }
+        assert after == clean
+        # unrelated failure: conf untouched, error surfaces as-is
+        with _pytest.raises(Exception) as exc_info:
+            load_table(spark, str(tmp_path / "missing_sf"), "events")
+        assert "NANOS" not in str(exc_info.value)
+        assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    finally:
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+
+
 def test_micros_vintage_does_not_set_nanos_conf(spark):
     # nanosAsLong is session-global; the micros branch must never set it
     # (ADVICE r2). Unset it, load, and confirm it stayed unset.
