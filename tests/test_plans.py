@@ -237,3 +237,14 @@ def test_cluster_edges_join_is_bounded_equi(spark):
     plan = physical_plan(_cluster_edges(docs))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_candidate_path_is_jvm_only(spark):
+    """The whole approximate-ANN plan (LSH signature, IVF cell assign,
+    probe expansion, re-rank) must stay inside JVM codegen: literal
+    hyperplane/centroid arrays with zip_with/aggregate dots replaced
+    the r3 pandas UDFs, so no Python eval stage of any kind may appear
+    (VERDICT r3 #5)."""
+    plan = physical_plan(QS["ann_approx_topk"](spark, SF_SMOKE))
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "PythonUDF"):
+        assert marker not in plan, f"ann_approx_topk plan contains {marker}"
