@@ -35,12 +35,18 @@ Spark-first design decisions (vs. the reference's RDD/MR pipeline):
   (tester/BloomFilterTester.java:70-97).
 
 Scale ledger (1000 executors, 100 TB input): per-row work is
-whole-stage-codegen'd hashing; shuffle bytes = n_partitions × n_keys ×
-m/8 regardless of row count; driver holds one (key, count) row per key
-(same assumption as the reference's 10 ratings — per-key filters only
-make sense for low-cardinality keys). Memory per task = n_keys × m/8
-for the fold. For m beyond a few hundred MB per key, raise
-``merge_fanout`` so level-1 merge groups stay within executor memory.
+whole-stage-codegen'd hashing; shuffle bytes per (partition, key) =
+min(m/8, 8·k·rows_in_partition) — partials switch to sparse index
+arrays below half-density, so thin partition/key slices no longer pay
+the dense m/8 (the r4 fix for the "n_keys × m/8 per task" memory
+cliff; forced-representation property tests pin bit-identical output).
+Driver holds one (key, count) row per key (same assumption as the
+reference's 10 ratings — per-key filters only make sense for
+low-cardinality keys). Peak task memory = Σ_keys min(m/8, 8·indexes)
+for the fold; the full dense bitset is allocated once per key, in the
+final one-row-per-key stage that IS the output. For m beyond a few
+hundred MB per key, raise ``merge_fanout`` so level-1 merge groups
+stay within executor memory.
 """
 
 from __future__ import annotations
@@ -58,7 +64,15 @@ from .sizing import num_bits, num_hashes
 # bit i of the filter is (words[i >> 6] >> (i & 63)) & 1.
 FILTER_SCHEMA = "key string, n bigint, m bigint, k int, words array<long>"
 
-_PARTIAL_SCHEMA = "key string, words array<long>"
+# A partial is EITHER dense (`words`: packed bitset) or sparse
+# (`idxs`: sorted distinct bit indexes) — exactly one column non-null.
+# Sparse kicks in when a partition contributes few indexes relative to
+# m (the common case at scale: with P partitions, each holds ~1/P of a
+# key's rows, but a dense partial always costs m/8 bytes). It removes
+# the "shuffle = partitions × keys × m/8 regardless of row count"
+# cliff from the module ledger: partial bytes are now
+# min(m/8, 8·k·rows_in_partition) per (partition, key).
+_PARTIAL_SCHEMA = "key string, words array<long>, idxs array<long>"
 
 
 def hash_indexes_col(value_col, m_col, k: int):
@@ -76,47 +90,118 @@ def hash_indexes_col(value_col, m_col, k: int):
     )
 
 
-def _partition_partials(m_by_key: dict[str, int], k: int):
+def _densify(nwords: int, idx: np.ndarray) -> np.ndarray:
+    words = np.zeros(nwords, dtype=np.int64)
+    np.bitwise_or.at(words, idx >> 6, np.int64(1) << (idx & 63))
+    return words
+
+
+def _partition_partials(m_by_key: dict[str, int], k: int, representation: str = "auto"):
     """mapInPandas body: fold a whole input partition into one partial
-    bitset per key seen — numpy over Arrow batches, no per-row Python,
-    no shuffle of raw rows."""
+    per key seen — numpy over Arrow batches, no per-row Python, no
+    shuffle of raw rows.
+
+    Representation is chosen PER (partition, key), adaptively: start
+    sparse (append raw index arrays) and densify the accumulator the
+    moment the index count passes nwords/2 — so peak task memory is
+    min(m/8, 8·indexes_so_far) per key, never the unconditional
+    n_keys × m/8 of the r3 fold (the SCALING.md cliff for GB-scale m).
+    `representation` forces "dense"/"sparse" for tests and for
+    deployments that know their shape."""
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc: dict[str, np.ndarray] = {}
+        # key -> ["dense", words] | ["sparse", [idx arrays], n_indexes]
+        acc: dict[str, list] = {}
         for pdf in batches:
             for key, grp in pdf.groupby("__key", sort=False):
                 m = m_by_key.get(key)
                 if m is None:
                     continue
-                words = acc.get(key)
-                if words is None:
-                    words = acc[key] = np.zeros((m + 63) >> 6, dtype=np.int64)
+                nwords = (m + 63) >> 6
                 idx = np.concatenate(grp["__indexes"].to_numpy())
-                np.bitwise_or.at(words, idx >> 6, np.int64(1) << (idx & 63))
+                cur = acc.get(key)
+                if cur is None:
+                    cur = acc[key] = ["sparse", [], 0]
+                    if representation == "dense":
+                        cur[:] = ["dense", np.zeros(nwords, dtype=np.int64)]
+                if cur[0] == "dense":
+                    np.bitwise_or.at(cur[1], idx >> 6, np.int64(1) << (idx & 63))
+                else:
+                    cur[1].append(idx)
+                    cur[2] += len(idx)
+                    if representation != "sparse" and cur[2] > (nwords >> 1):
+                        cur[:] = ["dense", _densify(nwords, np.concatenate(cur[1]))]
         if acc:
-            yield pd.DataFrame(
-                {"key": list(acc), "words": [w.tolist() for w in acc.values()]}
-            )
+            keys, words, idxs = [], [], []
+            for key, cur in acc.items():
+                keys.append(key)
+                if cur[0] == "dense":
+                    words.append(cur[1].tolist())
+                    idxs.append(None)
+                else:
+                    words.append(None)
+                    idxs.append(np.unique(np.concatenate(cur[1])).tolist())
+            yield pd.DataFrame({"key": keys, "words": words, "idxs": idxs})
 
     return fold
 
 
 def _or_merge(partials: DataFrame, extra_group: list[str] | None = None) -> DataFrame:
-    """OR-merge partial bitsets per key (plus optional salt columns)
-    with a pure-JVM aggregate: seed with the first partial, zip_with
-    bitwise-OR the rest."""
+    """OR-merge partials per key (plus optional salt columns) with
+    pure-JVM aggregates, keeping the two representations separate:
+    dense partials fold with zip_with bitwise-OR, sparse partials with
+    a flatten + distinct set-union (sorted for a canonical form).
+    collect_list skips nulls, so each side sees only its own rows; the
+    `if` guards keep the empty-side result NULL (wlist[0] on an empty
+    list would be an ANSI error). Sparse stays sparse through both
+    merge levels — union size is bounded by the key's total distinct
+    set bits, which is ≤ m by definition and ≪ m whenever sparse was
+    chosen — and is densified exactly once per key in _finalize."""
     group = ["key", *(extra_group or [])]
     return (
         partials.groupBy(*group)
-        .agg(F.collect_list("words").alias("wlist"))
+        .agg(
+            F.collect_list("words").alias("wlist"),
+            F.collect_list("idxs").alias("ilist"),
+        )
         .select(
             *group,
             F.expr(
-                "aggregate(slice(wlist, 2, greatest(size(wlist) - 1, 0)), wlist[0],"
-                " (acc, w) -> zip_with(acc, w, (a, b) -> a | b))"
+                "if(size(wlist) = 0, cast(null as array<bigint>),"
+                " aggregate(slice(wlist, 2, greatest(size(wlist) - 1, 0)), wlist[0],"
+                " (acc, w) -> zip_with(acc, w, (a, b) -> a | b)))"
             ).alias("words"),
+            F.expr(
+                "if(size(ilist) = 0, cast(null as array<bigint>),"
+                " array_sort(array_distinct(flatten(ilist))))"
+            ).alias("idxs"),
         )
     )
+
+
+def _finalize(m_by_key: dict[str, int]):
+    """mapInPandas body for the last stage: one row per key arrives
+    with (words?, idxs?); scatter the sparse indexes into the dense
+    bitset (allocating it only here — the single place the full m/8
+    bytes must exist, because it IS the output)."""
+
+    def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for key, words, idxs in zip(pdf["key"], pdf["words"], pdf["idxs"]):
+                nwords = (m_by_key[key] + 63) >> 6
+                w = (
+                    np.asarray(words, dtype=np.int64)
+                    if words is not None
+                    else np.zeros(nwords, dtype=np.int64)
+                )
+                if idxs is not None:
+                    idx = np.asarray(idxs, dtype=np.int64)
+                    np.bitwise_or.at(w, idx >> 6, np.int64(1) << (idx & 63))
+                out.append(w.tolist())
+            yield pd.DataFrame({"key": pdf["key"], "words": out})
+
+    return combine
 
 
 def _indexes_col(value_col, m_col, k: int, flavor: str):
@@ -140,6 +225,7 @@ def build_bloom_filters(
     *,
     merge_fanout: int = 64,
     flavor: str = "spark-murmur3",
+    representation: str = "auto",
 ) -> DataFrame:
     """Build one Bloom filter per distinct `key_col` value over the
     string form of `value_col`. Returns FILTER_SCHEMA rows.
@@ -148,8 +234,12 @@ def build_bloom_filters(
     reference's linecount job (util/count-number-of-keys.py:33-38)
     folded into groupBy().count() + a one-row-per-key collect.
     Stage 2: hash every row (codegen) and fold each input partition
-    into per-key partial bitsets (Arrow batches, numpy).
-    Stage 3: two-level JVM OR-merge (partition-id salt, then key).
+    into per-key partials (Arrow batches, numpy) — adaptively dense
+    bitsets or sparse index arrays (see _partition_partials;
+    `representation` forces one for tests/known shapes).
+    Stage 3: two-level JVM OR-merge (partition-id salt, then key),
+    then one bounded mapInPandas row per key densifies the sparse
+    remainder into the output bitset.
     """
     spark = df.sparkSession
     k = num_hashes(p)
@@ -181,7 +271,9 @@ def build_bloom_filters(
     if keyed.rdd.getNumPartitions() < target:
         hashed = hashed.repartition(target)
 
-    partials = hashed.mapInPandas(_partition_partials(m_by_key, k), _PARTIAL_SCHEMA)
+    partials = hashed.mapInPandas(
+        _partition_partials(m_by_key, k, representation), _PARTIAL_SCHEMA
+    )
 
     # Two-level merge keeps any single collect_list bounded: level 1
     # groups by (key, partition_id % fanout), level 2 by key alone.
@@ -189,7 +281,9 @@ def build_bloom_filters(
         partials.withColumn("__salt", F.spark_partition_id() % merge_fanout),
         ["__salt"],
     )
-    merged = _or_merge(level1.select("key", "words"))
+    merged = _or_merge(level1.select("key", "words", "idxs")).mapInPandas(
+        _finalize(m_by_key), "key string, words array<long>"
+    )
 
     return merged.join(
         F.broadcast(

@@ -149,6 +149,78 @@ def test_sql_build_bit_identical_to_default(spark, orders):
     assert a == b
 
 
+def test_sparse_and_dense_builds_bit_identical(spark, orders):
+    """Forcing sparse partials, forcing dense partials, and the
+    adaptive default must all produce exactly the same filter tables —
+    the representation is a shuffle/memory optimization, never a
+    semantic one. Run at two p (small m → adaptive goes dense; big m →
+    adaptive goes sparse) so both adaptive branches are exercised."""
+    for p in (0.05, 0.0001):
+        built = {
+            rep: {
+                r["key"]: (r["n"], r["m"], r["k"], r["words"])
+                for r in build_bloom_filters(
+                    orders, "o_orderpriority", "o_orderkey", p, representation=rep
+                ).collect()
+            }
+            for rep in ("auto", "dense", "sparse")
+        }
+        assert built["auto"] == built["dense"] == built["sparse"], f"p={p}"
+
+
+def test_sparse_partials_shrink_shuffle(spark, orders):
+    """At a low fp target (big m) the sparse representation must
+    actually be chosen: every partial from the forced-sparse fold must
+    carry fewer index entries than the dense word count it replaces."""
+    from mrbf_spark.bloom.core import num_bits, num_hashes, _partition_partials
+
+    import pyspark.sql.functions as F
+
+    p = 0.0001
+    k = num_hashes(p)
+    counts = {
+        r["o_orderpriority"]: r["count"]
+        for r in orders.groupBy("o_orderpriority").count().collect()
+    }
+    m_by_key = {kk: num_bits(n, p) for kk, n in counts.items()}
+    keyed = orders.select(
+        F.col("o_orderpriority").cast("string").alias("__key"),
+        F.col("o_orderkey").cast("string").alias("__value"),
+    )
+    from mrbf_spark.bloom.core import hash_indexes_col
+
+    sizes = spark.createDataFrame(
+        [(kk, int(m)) for kk, m in m_by_key.items()], "__key string, m bigint"
+    )
+    hashed = keyed.join(F.broadcast(sizes), "__key").select(
+        "__key", hash_indexes_col(F.col("__value"), F.col("m"), k).alias("__indexes")
+    )
+    # Sparse wins when a partition's index count for a key is under
+    # nwords/2 ≈ 0.15·n_key — i.e. when each partition holds ≪1% of a
+    # key's rows, the normal shape on a many-executor cluster. Force
+    # that shape here (256 slices of the tiny smoke table).
+    hashed = hashed.repartition(256)
+    partials = hashed.mapInPandas(
+        _partition_partials(m_by_key, k, "auto"),
+        "key string, words array<long>, idxs array<long>",
+    ).collect()
+    assert partials, "no partials produced"
+    n_sparse = sum(1 for r in partials if r["idxs"] is not None)
+    # the adaptive fold must pick sparse for the overwhelming majority
+    # of thin slices (a slice that collects ≥3 rows of one key may
+    # legitimately densify — that's the adaptivity working, not a bug)
+    assert n_sparse >= 0.9 * len(partials), (n_sparse, len(partials))
+    shuffled_cells = sum(
+        len(r["idxs"]) if r["idxs"] is not None else len(r["words"]) for r in partials
+    )
+    dense_cells = sum(((m_by_key[r["key"]] + 63) >> 6) for r in partials)
+    # and the partial shuffle must be far below the all-dense cost
+    assert shuffled_cells < 0.5 * dense_cells, (shuffled_cells, dense_cells)
+    for r in partials:
+        if r["idxs"] is not None:
+            assert list(r["idxs"]) == sorted(set(r["idxs"]))  # canonical form
+
+
 def test_probe_nonbroadcast_path(spark, orders, monkeypatch):
     """Above the broadcast ceiling the probe must fall back to a plain
     join and still produce identical results."""
