@@ -1,0 +1,116 @@
+"""Sequence packing: assign documents to fixed token-budget bins —
+the batching step of an LLM training-data pipeline (every doc gets a
+(bin_id, offset) so a writer can emit budget-sized training rows).
+
+Semantics (deterministic, SQL-expressible): docs are laid out in
+doc_id order as one virtual token stream; a doc's bin is the budget
+block containing its FIRST token, offset its position within that
+block (docs may straddle a boundary — the writer truncates or pads;
+the straddle flag is emitted so either policy can be applied
+downstream). This is the token-offset packing used when documents are
+shuffled once and then streamed; greedy best-fit packing is a
+different (iteration-bound) op and deliberately not this one.
+
+Scale note — the whole point of this implementation: the naive form
+is `SUM(tokens) OVER (ORDER BY doc_id)`, a GLOBAL ordered window —
+one task at any scale (Spark plans a single-partition Window for an
+un-partitioned ordered frame; the classic scale-killer). Instead the
+cumulative sum is a two-phase DISTRIBUTED PREFIX SUM:
+
+  1. range-repartition by doc_id (Spark's range partitioner: a
+     sampled-boundary shuffle, the same machinery as a global sort);
+  2. per-partition ordered cumsum (Window partitioned by the physical
+     partition id — parallel);
+  3. per-partition token totals to the driver (ONE row per partition
+     — bounded), prefix-summed there, broadcast back as offsets.
+
+Shuffle = one range exchange of (doc_id, n_tokens) — two longs per
+doc; no stage is single-task. The DuckDB oracle is the naive global
+window (fine at oracle scale), which is exactly what the distributed
+form must reproduce bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import builder
+from ..tables import load_table
+from .text import TOKEN_COUNT_SQL, token_count_col
+
+PACK_BUDGET = 1024  # tokens per training row
+
+
+def packed_layout(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """(doc_id, n_tokens, start_tok, bin_id, bin_offset, straddles)
+    for every doc, in doc_id order semantics (order-insensitive rows).
+    """
+    from pyspark.sql import Window as W
+
+    spark = docs.sparkSession
+    toks = docs.select("doc_id", token_count_col(F.col("text")).alias("n_tokens"))
+    # Phase 1: range partition by doc_id so partition i holds a
+    # contiguous doc_id range < partition i+1's (sampled boundaries).
+    parts = toks.repartitionByRange("doc_id").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    # Phase 2: parallel per-partition cumsum (exclusive).
+    w = W.partitionBy("__pid").orderBy("doc_id")
+    local = parts.withColumn(
+        "__local_start",
+        F.coalesce(
+            F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ),
+    )
+    # Phase 3: one row per partition to the driver, prefix-sum there,
+    # broadcast back. Bounded by the partition count — the same
+    # driver-state budget as the bloom sizing collect.
+    totals = sorted(
+        (r["__pid"], r["t"])
+        for r in parts.groupBy("__pid").agg(F.sum("n_tokens").alias("t")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, t in totals:
+        offsets.append((pid, acc))
+        acc += int(t)
+    off = spark.createDataFrame(offsets, "__pid int, __offset bigint")
+    start = (F.col("__local_start") + F.col("__offset")).alias("start_tok")
+    return (
+        local.join(F.broadcast(off), "__pid")
+        .select("doc_id", "n_tokens", start)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start_tok",
+            F.floor(F.col("start_tok") / budget).cast("bigint").alias("bin_id"),
+            (F.col("start_tok") % budget).alias("bin_offset"),
+            (
+                (F.col("start_tok") % budget) + F.col("n_tokens") > budget
+            ).alias("straddles"),
+        )
+    )
+
+
+_PACKING_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKEN_COUNT_SQL.format(e='text')} AS n_tokens FROM documents),
+    laid AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_tok
+      FROM toks)
+    SELECT doc_id, n_tokens, start_tok,
+           CAST(FLOOR(start_tok / {PACK_BUDGET}) AS BIGINT) AS bin_id,
+           start_tok % {PACK_BUDGET} AS bin_offset,
+           (start_tok % {PACK_BUDGET}) + n_tokens > {PACK_BUDGET} AS straddles
+    FROM laid
+    """
+
+
+@builder("sequence_packing", _PACKING_ORACLE)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing layout over the documents table. Builder
+    (catalog window is full at 50); DuckDB parity is asserted in-suite
+    by tests/test_packing.py against BUILDER_SQL."""
+    return packed_layout(load_table(spark, sf_dir, "documents"))

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..exprs import davg_sql, dsum
-from ..registry import register
+from ..registry import builder, register
 from ..tables import load_table
 
 # Stopword marker lists per language for the n-gram-ish heuristic.
@@ -374,3 +374,61 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit(_BPE_ISH)).cast("long").alias("n_bpe_tokens"),
         token_count_col(F.col("text")).alias("n_ws_tokens"),
     )
+
+
+# ---------------------------------------------------------------- PII
+# Redaction: the scrubbing step of a training-data pipeline. Patterns
+# use explicit character classes only (identical semantics in Java
+# regex and RE2/DuckDB — no \w/\s dialect differences); replacement is
+# a fixed tag so downstream token counts stay stable. regexp_replace
+# replaces ALL matches in both engines.
+
+PII_PATTERNS = {
+    # local@domain.tld — conservative, no quoted-local-part exotica
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+",
+    # dotted-quad IPv4
+    "ipv4": "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
+    # international-ish phone: +CC then 8+ digits with separators
+    "phone": "[+][0-9][0-9 ()-]{7,}[0-9]",
+}
+
+
+def redact_pii_cols(text: Column) -> tuple[Column, list[Column]]:
+    """(redacted_text, [per-pattern match counts]) as JVM expressions."""
+    counts = [
+        F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    red = text
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return red, counts
+
+
+_PII_ORACLE_COUNTS = ",\n           ".join(
+    f"CAST(LEN(REGEXP_EXTRACT_ALL(text, '{pat}')) AS BIGINT) AS n_{name}"
+    for name, pat in PII_PATTERNS.items()
+)
+_PII_ORACLE_RED = "text"
+for _name, _pat in PII_PATTERNS.items():
+    _PII_ORACLE_RED = (
+        f"REGEXP_REPLACE({_PII_ORACLE_RED}, '{_pat}', '<{_name.upper()}>', 'g')"
+    )
+
+
+@builder(
+    "pii_redaction",
+    f"""
+    SELECT doc_id,
+           {_PII_ORACLE_COUNTS},
+           {_PII_ORACLE_RED} AS redacted
+    FROM documents
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc PII match counts + redacted text. Builder (catalog
+    window is full at 50); DuckDB parity asserted in-suite by
+    tests/test_packing.py."""
+    d = load_table(spark, sf_dir, "documents")
+    red, counts = redact_pii_cols(F.col("text"))
+    return d.select("doc_id", *counts, red.alias("redacted"))

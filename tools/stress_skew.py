@@ -1,0 +1,214 @@
+"""Skew stress bench (VERDICT r3 → r4 item #3): measure, don't argue.
+
+Builds two 10×-blown-up twins of the sf0.1 tables under
+``stress_data/`` (gitignored, regenerable):
+
+  uniform/  same rows replicated 10× with fresh ids — no hot key
+  skew/     identical row counts, but a planted hot key per table:
+            30% of documents share ONE text (hot fingerprint),
+            30% of events hit ONE user_id,
+            30% of lineitem rows hit ONE l_orderkey,
+            50% of orders carry ONE o_orderpriority,
+            30% of embeddings carry ONE label
+
+then times the skew-relevant operators on both and prints a markdown
+table (pasted into SCALING.md §Measured) plus one JSON line. The claim
+under test: no operator is >2× slower per input row on the skewed twin
+— the salting / adaptive-grid / partial-agg designs absorb the hot
+key rather than serializing on it.
+
+Usage:  python tools/stress_skew.py [--rebuild]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.1"
+BASE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "stress_data")
+REPL = 10
+HOT_TEXT = (
+    "the same boilerplate paragraph repeated across the corpus exactly as crawl "
+    "duplicates would be repeated across shards of a web scrape pipeline"
+)
+
+
+def _replicate(df, id_col):
+    from pyspark.sql import functions as F
+
+    r = F.explode(F.array(*[F.lit(i) for i in range(REPL)])).alias("__r")
+    return (
+        df.select("*", r)
+        .withColumn(id_col, F.col(id_col) * REPL + F.col("__r"))
+        .drop("__r")
+    )
+
+
+def _hot(df, id_col, pct):
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.hash(F.col(id_col)), F.lit(100)) < pct
+
+
+def build_datasets(spark) -> None:
+    from pyspark.sql import functions as F
+
+    shutil.rmtree(BASE, ignore_errors=True)
+    for mode in ("uniform", "skew"):
+        os.makedirs(os.path.join(BASE, mode), exist_ok=True)
+
+    def write(df, mode, name):
+        df.write.mode("overwrite").parquet(os.path.join(BASE, mode, f"{name}.parquet"))
+
+    docs = _replicate(spark.read.parquet(f"{SF}/documents.parquet"), "doc_id")
+    write(docs, "uniform", "documents")
+    write(
+        docs.withColumn(
+            "text",
+            F.when(_hot(docs, "doc_id", 30), F.lit(HOT_TEXT)).otherwise(F.col("text")),
+        ),
+        "skew",
+        "documents",
+    )
+
+    ev = _replicate(spark.read.parquet(f"{SF}/events.parquet"), "event_id")
+    write(ev, "uniform", "events")
+    write(
+        ev.withColumn(
+            "user_id",
+            F.when(_hot(ev, "event_id", 30), F.lit(1).cast("long")).otherwise(
+                F.col("user_id")
+            ),
+        ),
+        "skew",
+        "events",
+    )
+
+    li = _replicate(
+        spark.read.parquet(f"{SF}/lineitem.parquet").withColumn(
+            "__rid", F.monotonically_increasing_id()
+        ),
+        "__rid",
+    )
+    li = li.withColumn("l_orderkey", F.col("l_orderkey") * REPL)
+    hot_key = 10  # orderkey 1 × REPL — exists in the replicated orders
+    write(li.drop("__rid"), "uniform", "lineitem")
+    write(
+        li.withColumn(
+            "l_orderkey",
+            F.when(_hot(li, "__rid", 30), F.lit(hot_key).cast("long")).otherwise(
+                F.col("l_orderkey")
+            ),
+        ).drop("__rid"),
+        "skew",
+        "lineitem",
+    )
+
+    o = _replicate(spark.read.parquet(f"{SF}/orders.parquet"), "o_orderkey")
+    write(o, "uniform", "orders")
+    write(
+        o.withColumn(
+            "o_orderpriority",
+            F.when(_hot(o, "o_orderkey", 50), F.lit("1-URGENT")).otherwise(
+                F.col("o_orderpriority")
+            ),
+        ),
+        "skew",
+        "orders",
+    )
+
+    emb = _replicate(spark.read.parquet(f"{SF}/embeddings.parquet"), "vec_id")
+    write(emb, "uniform", "embeddings")
+    write(
+        emb.withColumn(
+            "label",
+            F.when(_hot(emb, "vec_id", 30), F.lit(2).cast("long")).otherwise(
+                F.col("label")
+            ),
+        ),
+        "skew",
+        "embeddings",
+    )
+
+
+def queries():
+    """name -> (callable(spark, sf_dir) -> row count, input-row table)."""
+    from pyspark.sql import functions as F
+
+    from mrbf_spark.bloom.core import build_bloom_filters
+    from mrbf_spark.functions.similarity import neardup_pairs
+    from mrbf_spark.operators.relational import sessionization
+    from mrbf_spark.operators.skew import skew_ops
+    from mrbf_spark.functions.dedup import dedup_exact
+    from mrbf_spark.tables import load_table
+
+    def bloom_build(spark, sf_dir):
+        orders = load_table(spark, sf_dir, "orders")
+        return build_bloom_filters(orders, "o_orderpriority", "o_orderkey", 0.01)
+
+    def neardup(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        # cap chosen so the hot 30% label (≈6k rows) stays on the exact
+        # path with a fully-engaged B_eff=16 salt grid — the machinery
+        # under test (LSH fallback is a different algorithm; comparing
+        # it against the uniform exact path would measure nothing).
+        return neardup_pairs(emb, exact_cap=6000, salt_b=16)
+
+    return {
+        "dedup_exact": (dedup_exact, "documents"),
+        "skew_ops": (skew_ops, "lineitem"),
+        "embedding_neardup[cap=6k]": (neardup, "embeddings"),
+        "bloom_build(orders,p=.01)": (bloom_build, "orders"),
+        "sessionization": (sessionization, "events"),
+    }
+
+
+def main() -> int:
+    from mrbf_spark.session import get_spark
+
+    spark = get_spark("stress-skew", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    if "--rebuild" in sys.argv[1:] or not os.path.isdir(os.path.join(BASE, "skew")):
+        t0 = time.time()
+        build_datasets(spark)
+        print(f"built stress datasets in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    results = {}
+    print("| query | rows | uniform s | skew s | ratio |")
+    print("|---|---|---|---|---|")
+    for name, (fn, table) in queries().items():
+        times, rows = {}, {}
+        for mode in ("uniform", "skew"):
+            d = os.path.join(BASE, mode)
+            best = None
+            for _ in range(2):  # warm twice, keep the best
+                t0 = time.time()
+                n = fn(spark, d).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            times[mode], rows[mode] = best, n
+        nrows = spark.read.parquet(os.path.join(BASE, "skew", f"{table}.parquet")).count()
+        ratio = times["skew"] / times["uniform"]
+        results[name] = {
+            "rows": nrows,
+            "uniform_s": round(times["uniform"], 2),
+            "skew_s": round(times["skew"], 2),
+            "ratio": round(ratio, 2),
+        }
+        print(
+            f"| {name} | {nrows:,} | {times['uniform']:.2f} | {times['skew']:.2f} "
+            f"| {ratio:.2f}× |"
+        )
+    print(json.dumps({"skew_stress": results}))
+    worst = max(r["ratio"] for r in results.values())
+    print(f"worst skew/uniform ratio: {worst:.2f}× (bound: 2.0)", file=sys.stderr)
+    return 0 if worst <= 2.0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
