@@ -294,7 +294,10 @@ def _hash_injectivity_certified(docs: DataFrame, n: int = 3) -> bool:
     # (element_at on the materialized hash array, so OOB padding for
     # short docs is NULL-long on both sides).
     tup = base.select(
-        F.explode(
+        # explode_outer: avoids the InferFiltersFromGenerate size>0
+        # filter that would inline (and double-evaluate) the whole
+        # tuple-struct expression; the sequence() array is never empty.
+        F.explode_outer(
             F.transform(
                 F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
                 lambda i: F.struct(
@@ -313,38 +316,138 @@ def _hash_injectivity_certified(docs: DataFrame, n: int = 3) -> bool:
     return r["d"] == r["h"]
 
 
+def exact_jaccard_pairs(
+    docs: DataFrame, threshold: float, n: int = 3, hashed: bool = False
+) -> DataFrame:
+    """COMPLETE exact word-n-gram Jaccard-≥τ pairs via one
+    inverted-index co-count join: explode each doc's distinct shingle
+    set, self-join on the shingle, and count matches per (doc_a,
+    doc_b) — the count IS |x∩y| exactly (sets are distinct), so
+    jaccard = c/(na+nb−c) with no second pass over the arrays.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥
+    threshold. Recall is 1.0 trivially (any pair with J > 0 shares a
+    shingle); precision is exact (the count is the true intersection).
+
+    Strategy selection vs the module's other two blockers, by τ:
+      * τ ≲ 0.4: THIS. Prefix filtering (prefix_filter_candidates)
+        indexes n−⌈τ·n⌉+1 ≈ (1−τ)·n shingles per doc — at τ=0.2 that
+        is 80% of the full index, so its join costs ~0.64× this one
+        and then still needs a per-pair verify over the arrays
+        (measured: prefix+array-verify 8.6 s vs 3.0 s for this at
+        sf0.1). The co-count join's verify is free.
+      * τ ≳ 0.5: prefix filtering — the prefix shrinks to (1−τ)·n and
+        its positional filter prunes most candidates before any
+        verify.
+      * 100 TB with probabilistic recall acceptable: MinHash+LSH
+        (minhash_candidates(guaranteed=False)) — join volume is bucket
+        collisions, independent of Σ df².
+    Join cost here is Σ_s C(df(s), 2) over shingle document
+    frequencies; the length filter (q·min(n) ≥ p·max(n), integer
+    arithmetic — float τ·n can land an ulp high, see
+    prefix_filter_candidates) prunes inside the join. Hot shingles
+    (boilerplate) are the skew risk at scale — AQE skew-join splits
+    the build, and a df cap (drop shingles with df > D, making the
+    result "J≥τ among docs sharing a non-boilerplate shingle") is the
+    documented relaxation.
+
+    hashed=False joins on the portable shingle STRING — one corpus
+    scan, independently replayable by any engine. hashed=True joins on
+    the collapsed 64-bit shingle hash (8 B keys instead of ~n-word
+    strings — the shuffle-volume choice at 100 TB) after certifying
+    injectivity on this corpus (_hash_injectivity_certified; falls
+    back to strings on the 2^-64 failure). Both produce bit-identical
+    pairs and IEEE-identical jaccard doubles.
+
+    The inverted index is scoped_cache'd AND materialized (count)
+    before the self-join: a lazy cache is raced by the two join sides
+    — both recompute the corpus scan concurrently, one wins the cache
+    slot (measured 2×; at 100 TB it is a full duplicate corpus pass).
+    """
+    frac = Fraction(threshold).limit_denominator(10**6)
+    p, q = frac.numerator, frac.denominator
+    if hashed and _hash_injectivity_certified(docs, n):
+        sh = shingled_docs(docs, n)
+    else:
+        sh = docs.select("doc_id", shingles_col(F.col("text"), n).alias("shingles"))
+    # explode_outer, NOT explode: plain explode makes the optimizer
+    # infer `size(shingles) > 0` (InferFiltersFromGenerate) and inline
+    # the ENTIRE shingle expression into that filter below the
+    # Generate — the corpus pays the shingle pass twice (plan-verified
+    # here: 7.8 s → 3.9 s for the index build at sf0.1). Shingle
+    # arrays are never empty by construction (greatest(...,0) keeps
+    # one shingle even for short docs), so outer explode is identical.
+    inv = scoped_cache(
+        sh.select(
+            "doc_id", F.size("shingles").alias("n"), F.explode_outer("shingles").alias("s")
+        )
+    )
+    inv.count()  # materialize — see docstring
+    a, b = inv.alias("a"), inv.alias("b")
+    raw = a.join(
+        b,
+        (F.col("a.s") == F.col("b.s"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (
+            F.lit(q) * F.least(F.col("a.n"), F.col("b.n"))
+            >= F.lit(p) * F.greatest(F.col("a.n"), F.col("b.n"))
+        ),
+    )
+    g = raw.groupBy(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    jaccard = F.col("c").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("c")
+    ).cast("double")
+    return (
+        g.select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_candidates(
     docs: DataFrame, threshold: float = 0.5, guaranteed: bool = False
 ) -> DataFrame:
-    """MinHash+LSH near-dup pairs: shingle → signature → band →
-    bucket self-join → exact-Jaccard verify. The self-join is on
-    (band_id, band_hash) — a bounded equi-join: only docs sharing a
-    bucket ever pair, so no cross join at any scale.
+    """Near-dup pairs (doc_a, doc_b, jaccard), doc_a < doc_b, jaccard
+    ≥ threshold.
 
-    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥
-    threshold, deduped across bands.
+    guaranteed=False — the 100 TB probabilistic path: MinHash+LSH.
+    shingle → 64-perm signature → band → bucket self-join →
+    exact-Jaccard verify. The self-join is on (band_id, band_hash) — a
+    bounded equi-join: only docs sharing a bucket ever pair, so no
+    cross join at any scale; recall is the LSH S-curve at the chosen
+    bands×rows.
 
-    guaranteed=True additionally unions the deterministic
-    prefix-filter blocking (recall 1.0 by construction) into the
-    candidate set and verifies with the portable STRING shingles, so
-    the output is exactly {pairs : exact word-3-gram Jaccard ≥ τ} —
-    hash-family-independent and oracle-checkable. The LSH buckets
-    stay in the union as the scale path's prune (at 100 TB you run
-    guaranteed=False and accept LSH's probabilistic recall).
+    guaranteed=True — the oracle-checkable path: delegates to
+    exact_jaccard_pairs (complete inverted-index co-count), whose
+    output is exactly {pairs : exact word-3-gram Jaccard ≥ τ},
+    hash-family-independent. See its docstring for the τ-based
+    strategy selection between co-count, prefix filtering, and LSH —
+    at the registered τ=0.2 the co-count join dominates both
+    alternatives (measured 2.8× faster than prefix+verify) BECAUSE the
+    prefix of a τ=0.2 doc is 80% of its shingles.
 
-    Plan shape: shingles are hashed longs (shingle_hashes_col), and the
-    signature table — 64 longs per doc, ~0.1% of corpus bytes — is
-    cached before the bucket self-join. Without the cache the self-join
-    broadcasts one alias and re-executes the whole explode+min-agg
-    subplan for BOTH sides (no ReusedExchange across a broadcast);
-    measured 2× the signature cost at sf0.1, and at 100 TB it would be
-    two extra corpus scans. The exact-Jaccard verify re-scans documents
-    twice, but each join's other side is the tiny candidate-pair set
-    (broadcast), so no corpus shuffle anywhere.
+    Plan shape (LSH path): shingles are hashed longs
+    (shingle_hashes_col), and the signature table — 64 longs per doc,
+    ~0.1% of corpus bytes — is cached before the bucket self-join.
+    Without the cache the self-join broadcasts one alias and
+    re-executes the whole explode+min-agg subplan for BOTH sides (no
+    ReusedExchange across a broadcast); measured 2× the signature cost
+    at sf0.1, and at 100 TB it would be two extra corpus scans. The
+    exact-Jaccard verify re-scans documents twice, but each join's
+    other side is the tiny candidate-pair set (broadcast), so no
+    corpus shuffle anywhere.
     """
-    shingled = shingled_docs(docs)
     if guaranteed:
-        shingled = scoped_cache(shingled)
+        # hashed=True: the certified 8-byte-key variant — measured
+        # 1.7× the string path at sf0.1 even INCLUDING the
+        # injectivity-certificate scan (string shingle building
+        # allocates ~3× the corpus text; the cert is two scalars).
+        return exact_jaccard_pairs(docs, threshold, hashed=True)
+    shingled = shingled_docs(docs)
     banded = _banded(scoped_cache(minhash_signatures(shingled)))
     a = banded.alias("a")
     b = banded.alias("b")
@@ -358,18 +461,6 @@ def minhash_candidates(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    if guaranteed:
-        # Blocking + verify run on the hashed-long shingles when the
-        # injectivity certificate holds (then long-set Jaccard IS
-        # string-set Jaccard, bit for bit); the string pipeline is the
-        # certified-exact fallback, never taken in practice.
-        if not _hash_injectivity_certified(docs):  # pragma: no cover
-            shingled = scoped_cache(
-                docs.select("doc_id", shingles_col(F.col("text"), 3).alias("shingles"))
-            )
-        pairs = pairs.unionByName(
-            prefix_filter_candidates(shingled, threshold)
-        ).dropDuplicates(["doc_a", "doc_b"])
     sh_a = shingled.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
     )
@@ -393,10 +484,10 @@ _MINHASH_TAU = 0.2
 
 # Oracle: the EXACT all-pairs Jaccard set — computable in DuckDB at
 # oracle scale (500 docs ⇒ 125k pairs) precisely because the engine's
-# output is guaranteed to equal it (LSH ∪ prefix-filter blocking has
-# recall 1.0, then exact verify). Shingle CTE identical to the proven
-# dedup_clusters oracle; the division is the same
-# double(int)/double(int) IEEE op the Spark side computes.
+# output is guaranteed to equal it (inverted-index co-count blocking
+# is complete and its count is the exact intersection). Shingle CTE
+# identical to the proven dedup_clusters oracle; the division is the
+# same double(int)/double(int) IEEE op the Spark side computes.
 _MINHASH_ORACLE = f"""
     WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
     sh AS (SELECT doc_id,
@@ -414,13 +505,17 @@ _MINHASH_ORACLE = f"""
 
 @register("dedup_minhash_lsh", _MINHASH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidates ∪ prefix-filter complete blocking,
-    verified by exact word-3-gram Jaccard at the LOWER 0.2 threshold:
-    the output carries the exact jaccard per pair, so it subsumes both
-    the r1 `dedup_minhash_lsh` (≥ 0.5 — filter the jaccard column) and
-    the r1 `dedup_ngram_jaccard` precision pass (≥ 0.2), and equals
-    the exact Jaccard-≥τ pair set (hash-matched oracle) regardless of
-    Spark's hash family. See minhash_candidates(guaranteed=True)."""
+    """Near-dup pairs with EXACT word-3-gram Jaccard at the LOWER 0.2
+    threshold: the output carries the exact jaccard per pair, so it
+    subsumes both the r1 `dedup_minhash_lsh` (≥ 0.5 — filter the
+    jaccard column) and the r1 `dedup_ngram_jaccard` precision pass
+    (≥ 0.2), and equals the exact Jaccard-≥τ pair set (hash-matched
+    oracle) regardless of Spark's hash family. Computed by the
+    complete inverted-index co-count (exact_jaccard_pairs) — at τ=0.2
+    the measured-fastest of the module's three blockers; the MinHash+
+    LSH machinery this entry is named for is the guaranteed=False
+    scale path (same verify, probabilistic recall), pinned by the
+    planted-duplicate and signature tests."""
     return minhash_candidates(
         load_table(spark, sf_dir, "documents"), threshold=_MINHASH_TAU, guaranteed=True
     )

@@ -102,6 +102,50 @@ def test_prefix_filter_boundary_integer_math(spark):
     assert got == {(1, 2): 0.2}
 
 
+def test_prefix_filter_blocking_is_complete(spark):
+    """prefix_filter_candidates (the high-τ blocking strategy, no
+    longer in the registered entry's plan) must still return a
+    SUPERSET of the exact Jaccard-≥τ pair set — completeness is its
+    whole contract (AllPairs/PPJoin prefix property)."""
+    from mrbf_spark.functions.dedup import (
+        exact_jaccard_pairs,
+        prefix_filter_candidates,
+        shingles_col,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").limit(60)
+    shingled = docs.select("doc_id", shingles_col(F.col("text"), 3).alias("shingles"))
+    for tau in (0.2, 0.5):
+        cand = {
+            (r["doc_a"], r["doc_b"])
+            for r in prefix_filter_candidates(shingled, tau).collect()
+        }
+        exact = {
+            (r["doc_a"], r["doc_b"])
+            for r in exact_jaccard_pairs(docs, tau).collect()
+        }
+        assert exact <= cand, f"prefix blocking missed pairs at tau={tau}"
+
+
+def test_exact_jaccard_hashed_equals_string(spark):
+    """exact_jaccard_pairs(hashed=True) — the 8-byte-shuffle-key scale
+    variant gated on the corpus injectivity certificate — must return
+    bit-identical (pair, jaccard) rows to the portable string-shingle
+    path."""
+    from mrbf_spark.functions.dedup import exact_jaccard_pairs
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").limit(80)
+    a = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in exact_jaccard_pairs(docs, 0.2, hashed=False).collect()
+    }
+    b = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in exact_jaccard_pairs(docs, 0.2, hashed=True).collect()
+    }
+    assert a == b  # exact doubles: same integer c, na, nb on both sides
+
+
 def test_simhash_signature_properties(spark):
     """Charikar SimHash invariants: identical text ⇒ identical
     signature; token order does not change the signature (it is a sum
