@@ -540,14 +540,23 @@ def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
     more than xxhash64 but the token explode is one corpus scan either
     way; swap the hash expr back for a throughput-critical deployment.
 
-    Shape: explode tokens → one md5 per token → 64 conditional-sum
-    aggregates → fold signs into quarter words. The per-row
-    alternative (64 F.aggregate passes over an inline token-hash
-    array) re-evaluates the tokenize+hash pass once per bit — 64
-    corpus scans' worth of work fused into one stage; measured 12 s vs
-    ~1 s at sf0.1. The explode form hashes each token once and the ±1
-    sums partial-agg map-side (shuffle = 64×8 B per doc per
-    partition)."""
+    Shape: explode tokens → md5 per DISTINCT token (vocab table) →
+    broadcast-join the hashes back onto occurrences → 64
+    conditional-sum aggregates → fold signs into quarter words.
+
+    Shape: explode tokens → one md5 per token occurrence → 64
+    conditional-sum aggregates → fold signs into quarter words. The
+    per-row alternative (64 F.aggregate passes over an inline
+    token-hash array) re-evaluates the tokenize+hash pass once per bit
+    — 64 corpus scans' worth of work fused into one stage; measured
+    12 s vs ~1 s at sf0.1. A hash-the-vocab-then-join-back variant
+    (md5 once per DISTINCT token) was also measured SLOWER (4.9 s vs
+    3.1 s entry total): the vocab subplan is a second full
+    tokenize+explode of the corpus — there is no subplan reuse across
+    a broadcast exchange — and that dwarfs the md5 savings (md5+parse
+    is only ~0.8 s of the stage). The explode form hashes each token
+    once in one scan and the ±1 sums partial-agg map-side (shuffle =
+    64×8 B per doc per partition)."""
     assert bits == 64, "the portable quarter layout is fixed at 64 bits"
     toks = docs.select(
         "doc_id", F.explode_outer(F.split(F.lower(F.col("text")), " ")).alias("t")
@@ -647,6 +656,10 @@ def simhash_pairs(d: DataFrame) -> DataFrame:
     quarter by pigeonhole; ≤ 6 w.h.p. — the standard Charikar
     banding), then exact-hamming verify ≤ 6."""
     sh = scoped_cache(simhash_signatures(d))
+    # Materialize before the self-join: a lazy cache is raced by the
+    # two quarter-join sides and the two verify sides — each would
+    # recompute the full signature scan concurrently (measured ~2×).
+    sh.count()
     quarters = sh.select(
         "doc_id",
         F.explode(
