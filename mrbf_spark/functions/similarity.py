@@ -128,12 +128,18 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- LSH-bucketed ANN (the scale path): random-hyperplane signatures,
-# bucket equi-join, exact re-rank within buckets. Hyperplanes are a
-# fixed seeded matrix EMBEDDED AS LITERAL ARRAYS in the plan, so the
-# signature is a pure JVM zip_with/aggregate expression — the whole
-# candidate path stays inside whole-stage codegen with no
-# ArrowEvalPython stage (VERDICT r3 #5; the r3 pandas-UDF form paid an
-# Arrow round-trip per batch for a 6×64 matmul).
+# bucket equi-join, exact re-rank within buckets. The signature is a
+# pure JVM zip_with/aggregate expression — no ArrowEvalPython stage in
+# the candidate path (VERDICT r3 #5; the r3 pandas-UDF form paid an
+# Arrow round-trip per batch for a 6×64 matmul). The seeded
+# hyperplane/centroid matrices ride along as a ONE-ROW broadcast
+# DataFrame column, NOT as literal arrays in the expression tree:
+# embedding each 64-double row as 64 Literal nodes made Catalyst
+# analysis/optimization the bottleneck — ann_approx_topk took the same
+# ~3 s at sf0.001 as at sf0.1, i.e. pure driver-side planning (the IVF
+# cell+probe exprs alone carried ~2k literal nodes). With the matrix
+# as a column the plan is a handful of HOF nodes and planning cost is
+# flat in matrix size.
 N_PLANES = 6
 LSH_SEED = 42
 
@@ -142,33 +148,45 @@ def _hyperplanes(dim: int) -> np.ndarray:
     return np.random.RandomState(LSH_SEED).randn(N_PLANES, dim)
 
 
-def _lit_vec(v: np.ndarray) -> Column:
-    return F.array(*[F.lit(float(x)) for x in v])
+def _matrix_df(spark: SparkSession, mat: np.ndarray) -> DataFrame:
+    """One-row (mat: array<array<double>>) DataFrame carrying a small
+    driver-side matrix into the plan as DATA (broadcast-cross-joined),
+    keeping literal bloat out of the expression tree. Doubles pass
+    through createDataFrame bit-exactly."""
+    return spark.createDataFrame(
+        [([[float(x) for x in row] for row in mat],)], "mat array<array<double>>"
+    )
 
 
-def _plain_dot(emb: Column, lit_vec: Column) -> Column:
-    """Left-fold double dot product against a literal vector. (Float
-    sum order is the JVM's sequential fold — self-consistent across
-    every caller, which is all bucketing needs.)"""
+def with_matrix(df: DataFrame, spark: SparkSession, mat: np.ndarray) -> DataFrame:
+    return df.crossJoin(F.broadcast(_matrix_df(spark, mat)))
+
+
+def _plain_dot(emb: Column, vec: Column) -> Column:
+    """Left-fold double dot product. (Float sum order is the JVM's
+    sequential fold — self-consistent across every caller, which is
+    all bucketing needs.)"""
     return F.aggregate(
-        F.zip_with(emb, lit_vec, lambda x, y: x.cast("double") * y),
+        F.zip_with(emb, vec, lambda x, y: x.cast("double") * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
 
 
-def lsh_bucket_col(emb: Column, dim: int) -> Column:
-    """Hyperplane signature: bit j = (emb · plane_j) > 0, packed into
-    a long — all codegen'd JVM expressions."""
-    planes = _hyperplanes(dim)
-    word = F.lit(0).cast("long")
-    for j in range(N_PLANES):
-        word = word.bitwiseOR(
-            F.when(
-                _plain_dot(emb, _lit_vec(planes[j])) > 0, F.lit(1 << j).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    return word
+def lsh_bucket_col(emb: Column, mat: Column) -> Column:
+    """Hyperplane signature: bit j = (emb · mat[j]) > 0, packed into a
+    long — all JVM expressions against the matrix column. The per-bit
+    words are disjoint so the pack is a plain sum-fold."""
+    bits = F.transform(
+        mat,
+        # 2^j via pow (exact in double for j ≤ 52; N_PLANES is 6) —
+        # PySpark's shiftleft only takes a Python-int bit count, not
+        # the lambda's index column.
+        lambda p, j: F.when(
+            _plain_dot(emb, p) > 0, F.pow(F.lit(2.0), j).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,7 +198,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus per query."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
-    bucketed = emb.withColumn("bucket", lsh_bucket_col(F.col("embedding"), dim))
+    bucketed = with_matrix(emb, spark, _hyperplanes(dim)).select(
+        "vec_id",
+        "embedding",
+        lsh_bucket_col(F.col("embedding"), F.col("mat")).alias("bucket"),
+    )
     probes = F.explode(
         F.array(
             F.col("bucket"),
@@ -222,10 +244,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # coarse-quantize the corpus to K centroids learned driver-side from a
 # deterministic bounded sample (TakeOrdered by vec_id — no full
 # collect), then each query probes only its NPROBE nearest cells with
-# an exact re-rank inside them. Centroid table is O(K·dim) and
-# broadcast; the corpus is assigned in one codegen'd JVM pass (literal
-# centroid arrays, zip_with/aggregate dots) and the probe join is a
-# broadcast equi-join on cell id — the corpus never shuffles.
+# an exact re-rank inside them. The centroid matrix is O(K·dim),
+# broadcast as a one-row DataFrame (see _matrix_df); the corpus is
+# assigned in one JVM pass (zip_with/aggregate dots against the matrix
+# column) and the probe join is a broadcast equi-join on cell id — the
+# corpus never shuffles.
 N_CENTROIDS = 16
 NPROBE = 6
 IVF_SAMPLE = 512
@@ -251,25 +274,26 @@ def _kmeans_centroids(sample: np.ndarray) -> np.ndarray:
     return cent
 
 
-def _centroid_dots(emb: Column, cent: np.ndarray) -> Column:
-    """array<double> of emb·centroid_j — literal centroid arrays, pure
-    JVM folds. Row normalization is dropped on purpose: dividing every
-    dot by the same positive ‖emb‖ changes no argmax/ordering, so cell
-    assignment and probe order are identical to the normalized form."""
-    return F.array(*[_plain_dot(emb, _lit_vec(cent[j])) for j in range(len(cent))])
+def _centroid_dots(emb: Column, mat: Column) -> Column:
+    """array<double> of emb·centroid_j against the centroid-matrix
+    COLUMN (see _matrix_df), pure JVM folds. Row normalization is
+    dropped on purpose: dividing every dot by the same positive ‖emb‖
+    changes no argmax/ordering, so cell assignment and probe order are
+    identical to the normalized form."""
+    return F.transform(mat, lambda c: _plain_dot(emb, c))
 
 
-def ivf_cell_col(emb: Column, cent: np.ndarray) -> Column:
+def ivf_cell_col(emb: Column, mat: Column) -> Column:
     """Nearest-centroid id: argmax over the dot array (array_position
     finds the FIRST max, matching np.argmax tie behavior)."""
-    dots = _centroid_dots(emb, cent)
+    dots = _centroid_dots(emb, mat)
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
-def ivf_probes_col(emb: Column, cent: np.ndarray) -> Column:
+def ivf_probes_col(emb: Column, mat: Column) -> Column:
     """Top-NPROBE cell ids by dot desc (ties by id asc): sort
     struct(-dot, id) ascending and slice — no Python, no UDF."""
-    dots = _centroid_dots(emb, cent)
+    dots = _centroid_dots(emb, mat)
     ranked = F.sort_array(
         F.transform(dots, lambda d, i: F.struct((-d).alias("nd"), i.alias("i")))
     )
@@ -282,13 +306,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = _kmeans_centroids(
         np.array([r["embedding"] for r in sample_rows], dtype=np.float64)
     )
-    bucketed = emb.withColumn("cell", ivf_cell_col(F.col("embedding"), cent))
+    with_mat = with_matrix(emb, spark, cent)
+    bucketed = with_mat.select(
+        "vec_id", "embedding", ivf_cell_col(F.col("embedding"), F.col("mat")).alias("cell")
+    )
     queries = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
+        with_mat.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
-            F.explode(ivf_probes_col(F.col("embedding"), cent)).alias("cell"),
+            F.explode(ivf_probes_col(F.col("embedding"), F.col("mat"))).alias("cell"),
             _decimal_dot(F.col("embedding"), F.col("embedding")).alias("q_nrm"),
         )
     )
@@ -430,6 +457,7 @@ def _neardup_sides(
     cells from different widths can't collide within a group."""
     dim = len(emb.select("embedding").first()["embedding"])
     cell_side = max(1, exact_cap // salt_b)  # rows per cell side at full width
+    emb = with_matrix(emb, emb.sparkSession, _hyperplanes(dim))
     sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("__grp_n"))
     beff = F.least(
         F.lit(salt_b),
@@ -454,7 +482,7 @@ def _neardup_sides(
     )
     lsh_part = joined.filter(F.col("__grp_n") > F.lit(exact_cap)).select(
         F.lit(False).alias("__exact"),
-        lsh_bucket_col(F.col("embedding"), dim).alias("__lsh"),
+        lsh_bucket_col(F.col("embedding"), F.col("mat")).alias("__lsh"),
         *common,
     )
     withb = exact_part.unionByName(lsh_part)

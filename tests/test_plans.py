@@ -187,6 +187,7 @@ _BNLJ_ALLOWED = {
     "decontaminate",
     "ann_bruteforce_topk",
     "ann_approx_topk",
+    "embedding_neardup",  # one-row hyperplane-matrix broadcast attach
     "tpch_suite",  # q22's one-row scalar-threshold broadcast attach
 }
 
