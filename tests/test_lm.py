@@ -1,0 +1,81 @@
+"""Bigram-LM cross-entropy scoring: DuckDB builder parity (the same
+check the driver's oracle gate runs), hand-computed ground truth on a
+tiny corpus, and the quality-signal sanity property the operator
+exists for."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from mrbf_spark.functions.lm import lm_cross_entropy, lm_score
+from mrbf_spark.registry import BUILDER_SQL
+
+from conftest import SF_ORACLE
+
+
+def test_lm_cross_entropy_matches_duckdb(spark):
+    got = lm_cross_entropy(spark, SF_ORACLE).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_ORACLE}/documents.parquet'"
+    )
+    exp = con.sql(BUILDER_SQL["lm_cross_entropy"]).df()
+    assert sorted(got.columns) == sorted(exp.columns)
+    assert len(got) == len(exp)
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = exp[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        assert (av == bv).all(), f"col {c} mismatch"
+
+
+def test_lm_score_tiny_corpus_ground_truth(spark):
+    """2-doc corpus small enough to hand-roll: 'a b a b' and 'a b'.
+    Bigrams: doc1 {ab:2, ba:1}, doc2 {ab:1}. Model: c(ab)=3, c(ba)=1;
+    c(a)=3, c(b)=1; V=2."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in lm_score(docs).collect()}
+    p_ab = (3 + 1) / (3 + 2)  # 0.8
+    p_ba = (1 + 1) / (1 + 2)
+    q_ab = int(math.log(p_ab) * 1e9)  # trunc toward zero (negative)
+    q_ba = int(math.log(p_ba) * 1e9)
+    assert rows[1]["n_bigrams"] == 3 and rows[2]["n_bigrams"] == 1
+    assert rows[1]["nll_q"] == -(2 * q_ab + q_ba)
+    assert rows[2]["nll_q"] == -q_ab
+    assert rows[2]["cross_entropy"] == pytest.approx(-math.log(p_ab), rel=1e-8)
+
+
+def test_lm_score_flags_out_of_distribution_text(spark):
+    """The operator's purpose: a doc made of corpus-typical bigrams
+    must score LOWER cross-entropy than a doc of never-seen bigrams.
+    Uses a synthetic corpus with strongly repeated bigrams — the sf
+    testdata's ~31-token vocabulary makes every bigram roughly
+    uniformly likely (p ≈ 1/V ≈ an unseen bigram's smoothed mass), so
+    it cannot separate in-distribution from out-of-distribution."""
+    corpus = [(i, "the cat sat on the mat near the cat") for i in range(40)]
+    corpus.append((900001, "the cat sat on the mat"))  # typical
+    corpus.append((900002, "zzq0 xxv0 zzq1 xxv1 zzq2 xxv2"))  # out-of-dist
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    scores = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in lm_score(docs).filter(F.col("doc_id") >= 900001).collect()
+    }
+    assert scores[900001] < scores[900002]
+
+
+def test_lm_score_partition_invariant(spark):
+    """Integer fixed-point per-doc sums ⇒ bit-identical output no
+    matter how the corpus arrives partitioned."""
+    from mrbf_spark.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents").limit(120)
+    one = {r["doc_id"]: (r["nll_q"], r["cross_entropy"]) for r in lm_score(docs.coalesce(1)).collect()}
+    many = {r["doc_id"]: (r["nll_q"], r["cross_entropy"]) for r in lm_score(docs.repartition(17)).collect()}
+    assert one == many
