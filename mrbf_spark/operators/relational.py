@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..exprs import davg, davg_sql, dsum, dsum_sql
-from ..registry import BUILDER_SQL, builder, register
+from ..registry import BUILDER_SQL, builder, register, scoped_cache
 from ..tables import load_table
 
 
@@ -1756,13 +1756,540 @@ def temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(r).unionByName(i)
 
 
-# --- the TPC-H shape suite (Q3/Q4/Q5/Q6/Q7/Q10/Q12/Q14/Q18/Q22) in
-# one registration: each branch runs its full original join/agg/top-k
-# plan; outputs are normalized to (q, k1, k2, v1, v2, n). Dropped
-# columns are functionally dependent on kept keys (q3 order_date↦k2;
-# q10 c_name↦c_custkey; q18 o_orderdate↦o_orderkey). Q4/Q12/Q22 are
-# shape-faithful adaptations to the slimmed TESTDATA schema — see
-# their builders.
+# --- TPC-H Q2 shape (minimum-cost supplier): correlated-min
+# subquery over a 5-way region-scoped join. Adapted to the slimmed
+# schema (no partsupp): a supplier "offers" a part at unit price
+# l_extendedprice/l_quantity via lineitem; pick, per STANDARD-type
+# part, the region's suppliers matching the per-part minimum offer.
+# The min is over per-row IEEE doubles (identical ops both engines)
+# and MIN is order-insensitive, so the equality match is exact.
+@builder(
+    "q2_min_cost_supplier",
+    """
+    WITH offers AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             CAST(l.l_extendedprice AS DOUBLE) / CAST(l.l_quantity AS DOUBLE) AS unit,
+             s.s_name, s.s_acctbal, n.n_name
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'REGION_0'),
+    best AS (SELECT l_partkey, MIN(unit) AS min_unit FROM offers GROUP BY l_partkey)
+    SELECT o.s_acctbal, o.s_name, o.n_name,
+           p.p_partkey, o.unit AS min_unit
+    FROM offers o
+    JOIN best b ON b.l_partkey = o.l_partkey AND o.unit = b.min_unit
+    JOIN part p ON p.p_partkey = o.l_partkey
+    WHERE p.p_type = 'STANDARD' AND p.p_size <= 25
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_0")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 25)
+    )
+    offers = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select(
+            "l_partkey",
+            (F.col("l_extendedprice").cast("double") / F.col("l_quantity").cast("double")).alias("unit"),
+            "s_name",
+            "s_acctbal",
+            "n_name",
+        )
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("__pk")).agg(F.min("unit").alias("min_u"))
+    return (
+        offers.join(best, (offers.l_partkey == best.__pk) & (offers.unit == best.min_u))
+        .join(p, offers.l_partkey == p.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", F.col("unit").alias("min_unit")
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --- TPC-H Q8 shape (national market share): 7-table star join,
+# per-year share of one nation's revenue inside one region's market.
+# Share = exact decimal CASE-sum / exact decimal sum, divided once in
+# double (deterministic given identical operands).
+@builder(
+    "q8_market_share",
+    f"""
+    WITH vol AS (
+      SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE r.r_name = 'REGION_1' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01')
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           {dsum_sql("CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END")}
+             / {dsum_sql('volume')} AS mkt_share
+    FROM vol GROUP BY 1
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_1")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(cn, c.c_nationkey == F.col("cn_key"))
+        .join(r, F.col("cn_region") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(sn, s.s_nationkey == F.col("sn_key"))
+        .join(p, li.l_partkey == p.p_partkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        (
+            dsum(F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(0))
+            / dsum("volume")
+        ).alias("mkt_share")
+    )
+
+
+# --- TPC-H Q9 shape (product-type profit): 6-way join + LIKE filter
+# on p_name + profit expression grouped by (supplier nation, year).
+# Adapted (no ps_supplycost): cost proxy = 0.5·p_retailprice·l_quantity
+# — same per-row shape (revenue − cost·qty), computed in double then
+# exact-decimal-summed.
+@builder(
+    "q9_product_profit",
+    f"""
+    SELECT sn.n_name AS nation_name,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount) - 0.5 * p.p_retailprice * l.l_quantity')}
+             AS profit
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("profit"))
+    )
+
+
+# --- TPC-H Q11 shape (important stock): grouped value with HAVING
+# above a fraction of a scalar-subquery global total. Adapted (no
+# partsupp): value per part = Σ l_extendedprice over one nation's
+# suppliers' lines. The threshold compares cross-multiplied in exact
+# decimal (value·50 > total ⇔ value > total/50) so membership can't
+# flip on float low bits.
+@builder(
+    "q11_important_stock",
+    """
+    WITH scoped AS (
+      SELECT l.l_partkey, CAST(l.l_extendedprice AS DECIMAL(38,4)) AS v
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3')
+    SELECT l_partkey, CAST(SUM(v) AS DOUBLE) AS stock_value
+    FROM scoped
+    GROUP BY l_partkey
+    HAVING SUM(v) * 50 > (SELECT SUM(v) FROM scoped)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    scoped = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .select("l_partkey", F.col("l_extendedprice").cast("decimal(38,4)").alias("v"))
+    )
+    scoped = scoped_cache(scoped)
+    total = scoped.agg(F.sum("v").alias("__total"))
+    return (
+        scoped.groupBy("l_partkey")
+        .agg(F.sum("v").alias("__value"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("__value") * 50 > F.col("__total"))
+        .select("l_partkey", F.col("__value").cast("double").alias("stock_value"))
+    )
+
+
+# --- TPC-H Q13 shape (customer order-count distribution): left outer
+# join with an ON-clause filter, per-customer count, then a histogram
+# of the counts (two-level aggregation).
+@builder(
+    "q13_order_count_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --- TPC-H Q15 shape (top supplier): windowed revenue view + scalar
+# MAX subquery, equality-matched in EXACT decimal (ties all surface,
+# as in the spec).
+@builder(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS r
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, CAST(rev.r AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN rev ON rev.l_suppkey = s.s_suppkey
+    WHERE rev.r = (SELECT MAX(r) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = scoped_cache(
+        li.groupBy("l_suppkey").agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,4)"
+                )
+            ).alias("r")
+        )
+    )
+    mx = rev.agg(F.max("r").alias("__mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("r") == F.col("__mx"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("r").cast("double").alias("total_revenue"))
+    )
+
+
+# --- TPC-H Q16 shape (part/supplier census): negated filters +
+# NOT-IN subquery (compiled to an anti join) + grouped COUNT DISTINCT.
+# Adapted: lineitem stands in for partsupp as the part↔supplier
+# relation; "complaint" suppliers = s_acctbal < 0.
+@builder(
+    "q16_part_supplier_census",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_part_supplier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --- TPC-H Q17 shape (small-quantity-order revenue): correlated
+# per-part AVG subquery as the row filter, single global aggregate.
+# The 0.2·avg threshold is one double multiply of identical operands
+# (decimal-sum / count) — deterministic both engines.
+@builder(
+    "q17_small_qty_revenue",
+    """
+    WITH pq AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)
+               / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND l.l_quantity < 0.2 * pq.avg_qty
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    pq = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(38,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(pq, li.l_partkey == F.col("__pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(38,4)")).cast("double") / 7.0)
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --- TPC-H Q19 shape (discounted revenue): three disjunctive
+# multi-column predicate brackets OR'd inside one join filter.
+# Adapted: p_size brackets stand in for the missing p_container.
+@builder(
+    "q19_bracket_revenue",
+    f"""
+    SELECT {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    bracket = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(bracket)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --- TPC-H Q20 shape (excess-stock suppliers): nested IN subqueries
+# — supplier IN (group-HAVING over the part↔supplier relation
+# restricted to a part subquery). Adapted (no ps_availqty): "excess"
+# = a supplier shipped more than half of a part's 1997-1998 volume in
+# 1997 alone; exact decimal cross-multiplied compare.
+@builder(
+    "q20_excess_stock_suppliers",
+    """
+    SELECT s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'SMALL')
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1999-01-01'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+                      THEN CAST(l_quantity AS DECIMAL(38,4)) ELSE 0 END) * 2
+             > SUM(CAST(l_quantity AS DECIMAL(38,4))))
+    ORDER BY s_name
+    """,
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    small = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "SMALL")
+        .select("p_partkey")
+    )
+    qdec = F.col("l_quantity").cast("decimal(38,4)")
+    early = F.when(
+        F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"), qdec
+    ).otherwise(F.lit(0).cast("decimal(38,4)"))
+    excess = (
+        li.join(small, li.l_partkey == small.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(early).alias("__q97"), F.sum(qdec).alias("__qall"))
+        .filter(F.col("__q97") * 2 > F.col("__qall"))
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(excess, s.s_suppkey == excess.l_suppkey, "left_semi")
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+# --- TPC-H Q21 shape (suppliers who kept orders waiting): EXISTS +
+# NOT-EXISTS double correlation on the same fact table (semi + anti
+# join), grouped count, top-k. Adapted (no l_receiptdate/commitdate):
+# "late" = shipped > 90 days after the order date.
+@builder(
+    "q21_waiting_suppliers",
+    """
+    WITH lines AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F')
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM lines l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE l1.late
+      AND n.n_name IN ('NATION_2', 'NATION_5')
+      AND EXISTS (SELECT 1 FROM lines l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lines l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    lines = scoped_cache(
+        li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).alias("late"),
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_2", "NATION_5")
+    )
+    l1 = lines.filter(F.col("late")).select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("s_key")
+    )
+    l2 = lines.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = lines.filter(F.col("late")).select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    cand = l1.join(
+        l2, (F.col("o_key") == F.col("o2")) & (F.col("s_key") != F.col("s2")), "left_semi"
+    ).join(
+        l3, (F.col("o_key") == F.col("o3")) & (F.col("s_key") != F.col("s3")), "left_anti"
+    )
+    return (
+        cand.join(s, F.col("s_key") == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey, "left_semi")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+# --- the TPC-H shape suite — all 21 non-Q1 queries (Q1 is its own
+# catalog entry, q1_pricing_summary) in one registration: each branch
+# runs its full original join/agg/top-k plan; outputs are normalized
+# to (q, k1, k2, v1, v2, n). Dropped columns are functionally
+# dependent on kept keys (q3 order_date↦k2; q10 c_name↦c_custkey; q18
+# o_orderdate↦o_orderkey). Q2/Q4/Q9/Q11/Q12/Q16/Q20/Q21/Q22 are
+# shape-faithful adaptations to the slimmed TESTDATA schema (no
+# partsupp, no commit/receipt dates, no container/phone/comment
+# columns) — see each builder's header for the exact substitution.
 @register(
     "tpch_suite",
     f"""
@@ -1801,6 +2328,46 @@ def temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'q22', c_mktsegment, {_NULL_S}, total_acctbal, {_NULL_D}, n_custs
     FROM ({BUILDER_SQL['q22_idle_rich_customers']})
+    UNION ALL
+    SELECT 'q2', CAST(p_partkey AS VARCHAR), s_name || '/' || n_name,
+           s_acctbal, min_unit, {_NULL_L}
+    FROM ({BUILDER_SQL['q2_min_cost_supplier']})
+    UNION ALL
+    SELECT 'q8', CAST(o_year AS VARCHAR), {_NULL_S}, mkt_share,
+           {_NULL_D}, {_NULL_L}
+    FROM ({BUILDER_SQL['q8_market_share']})
+    UNION ALL
+    SELECT 'q9', nation_name, CAST(o_year AS VARCHAR), profit,
+           {_NULL_D}, {_NULL_L}
+    FROM ({BUILDER_SQL['q9_product_profit']})
+    UNION ALL
+    SELECT 'q11', CAST(l_partkey AS VARCHAR), {_NULL_S}, stock_value,
+           {_NULL_D}, {_NULL_L}
+    FROM ({BUILDER_SQL['q11_important_stock']})
+    UNION ALL
+    SELECT 'q13', CAST(c_count AS VARCHAR), {_NULL_S}, {_NULL_D},
+           {_NULL_D}, custdist
+    FROM ({BUILDER_SQL['q13_order_count_distribution']})
+    UNION ALL
+    SELECT 'q15', CAST(s_suppkey AS VARCHAR), s_name, total_revenue,
+           {_NULL_D}, {_NULL_L}
+    FROM ({BUILDER_SQL['q15_top_supplier']})
+    UNION ALL
+    SELECT 'q16', p_brand, p_type, CAST(p_size AS DOUBLE), {_NULL_D},
+           supplier_cnt
+    FROM ({BUILDER_SQL['q16_part_supplier_census']})
+    UNION ALL
+    SELECT 'q17', {_NULL_S}, {_NULL_S}, avg_yearly, {_NULL_D}, n_lines
+    FROM ({BUILDER_SQL['q17_small_qty_revenue']})
+    UNION ALL
+    SELECT 'q19', {_NULL_S}, {_NULL_S}, revenue, {_NULL_D}, n_lines
+    FROM ({BUILDER_SQL['q19_bracket_revenue']})
+    UNION ALL
+    SELECT 'q20', s_name, n_name, {_NULL_D}, {_NULL_D}, {_NULL_L}
+    FROM ({BUILDER_SQL['q20_excess_stock_suppliers']})
+    UNION ALL
+    SELECT 'q21', s_name, {_NULL_S}, {_NULL_D}, {_NULL_D}, numwait
+    FROM ({BUILDER_SQL['q21_waiting_suppliers']})
     """,
 )
 def tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1854,8 +2421,66 @@ def tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ns().alias("k2"), F.col("total_acctbal").alias("v1"),
         _nd().alias("v2"), F.col("n_custs").alias("n"),
     )
+    q2 = q2_min_cost_supplier(spark, sf_dir).select(
+        F.lit("q2").alias("q"), F.col("p_partkey").cast("string").alias("k1"),
+        F.concat(F.col("s_name"), F.lit("/"), F.col("n_name")).alias("k2"),
+        F.col("s_acctbal").alias("v1"), F.col("min_unit").alias("v2"),
+        _nl().alias("n"),
+    )
+    q8 = q8_market_share(spark, sf_dir).select(
+        F.lit("q8").alias("q"), F.col("o_year").cast("string").alias("k1"),
+        _ns().alias("k2"), F.col("mkt_share").alias("v1"), _nd().alias("v2"),
+        _nl().alias("n"),
+    )
+    q9 = q9_product_profit(spark, sf_dir).select(
+        F.lit("q9").alias("q"), F.col("nation_name").alias("k1"),
+        F.col("o_year").cast("string").alias("k2"), F.col("profit").alias("v1"),
+        _nd().alias("v2"), _nl().alias("n"),
+    )
+    q11 = q11_important_stock(spark, sf_dir).select(
+        F.lit("q11").alias("q"), F.col("l_partkey").cast("string").alias("k1"),
+        _ns().alias("k2"), F.col("stock_value").alias("v1"), _nd().alias("v2"),
+        _nl().alias("n"),
+    )
+    q13 = q13_order_count_distribution(spark, sf_dir).select(
+        F.lit("q13").alias("q"), F.col("c_count").cast("string").alias("k1"),
+        _ns().alias("k2"), _nd().alias("v1"), _nd().alias("v2"),
+        F.col("custdist").alias("n"),
+    )
+    q15 = q15_top_supplier(spark, sf_dir).select(
+        F.lit("q15").alias("q"), F.col("s_suppkey").cast("string").alias("k1"),
+        F.col("s_name").alias("k2"), F.col("total_revenue").alias("v1"),
+        _nd().alias("v2"), _nl().alias("n"),
+    )
+    q16 = q16_part_supplier_census(spark, sf_dir).select(
+        F.lit("q16").alias("q"), F.col("p_brand").alias("k1"),
+        F.col("p_type").alias("k2"), F.col("p_size").cast("double").alias("v1"),
+        _nd().alias("v2"), F.col("supplier_cnt").alias("n"),
+    )
+    q17 = q17_small_qty_revenue(spark, sf_dir).select(
+        F.lit("q17").alias("q"), _ns().alias("k1"), _ns().alias("k2"),
+        F.col("avg_yearly").alias("v1"), _nd().alias("v2"),
+        F.col("n_lines").alias("n"),
+    )
+    q19 = q19_bracket_revenue(spark, sf_dir).select(
+        F.lit("q19").alias("q"), _ns().alias("k1"), _ns().alias("k2"),
+        F.col("revenue").alias("v1"), _nd().alias("v2"),
+        F.col("n_lines").alias("n"),
+    )
+    q20 = q20_excess_stock_suppliers(spark, sf_dir).select(
+        F.lit("q20").alias("q"), F.col("s_name").alias("k1"),
+        F.col("n_name").alias("k2"), _nd().alias("v1"), _nd().alias("v2"),
+        _nl().alias("n"),
+    )
+    q21 = q21_waiting_suppliers(spark, sf_dir).select(
+        F.lit("q21").alias("q"), F.col("s_name").alias("k1"), _ns().alias("k2"),
+        _nd().alias("v1"), _nd().alias("v2"), F.col("numwait").alias("n"),
+    )
     out = q3
-    for branch in (q5, q6, q7, q10, q14, q18, q4, q12, q22):
+    for branch in (
+        q5, q6, q7, q10, q14, q18, q4, q12, q22,
+        q2, q8, q9, q11, q13, q15, q16, q17, q19, q20, q21,
+    ):
         out = out.unionByName(branch)
     return out
 
