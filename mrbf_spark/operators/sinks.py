@@ -149,12 +149,14 @@ def format_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bucketBy(orderkey) + sortBy, so the join needs NO Exchange on
 # either side (plan-pinned in test_plans) — the repeated-join
 # workhorse at 100 TB: pay the bucketing shuffle once at write time,
-# join shuffle-free forever after. (The SMJ's in-partition Sort
-# remains — Spark 3+ only trusts bucketed-scan ordering behind
-# spark.sql.legacy.bucketedTableScan.outputOrdering, and sorting
-# already-per-bucket-sorted files is a cheap linear pass; the
-# eliminated shuffle is what matters at scale.) Local-mode in-memory
-# catalog backs saveAsTable with native parquet bucketing (no Hive).
+# join shuffle-free forever after. On the tuned session (session.py
+# sets spark.sql.legacy.bucketedTableScan.outputOrdering, honored
+# because repartition-before-bucketBy guarantees ONE file per bucket)
+# the SMJ's per-partition Sort is elided too — zero Sort, one
+# Exchange (the final agg) in the whole plan; on a vanilla session
+# Spark re-sorts the already-sorted buckets, a cheap linear pass.
+# Local-mode in-memory catalog backs saveAsTable with native parquet
+# bucketing (no Hive).
 N_BUCKETS = 8
 
 

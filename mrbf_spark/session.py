@@ -35,6 +35,12 @@ def get_spark(app_name: str = "mrbf-spark", *, cpus: int | None = None) -> Spark
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Trust bucketed-scan sort order (Spark 3+ hides it behind this
+        # legacy flag): our bucketed writes guarantee one file per
+        # bucket (repartition-before-bucketBy), the only layout where
+        # Spark honors the flag, eliding the SMJ's per-partition Sort.
+        # Plan-only effect; results identical on a vanilla session.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
