@@ -1,0 +1,136 @@
+"""Exact-substring duplicate SPAN detection (the Lee et al. 2022
+"Deduplicating Training Data Makes Language Models Better" signal,
+re-expressed relationally): a K-token window that appears in more than
+one document marks every position it covers as duplicated text; merged
+runs of flagged positions are the spans a curation pipeline would cut.
+
+Differs from the module's other dedup ops in granularity: minhash /
+exact_jaccard_pairs judge WHOLE documents similar; this finds the
+exact duplicated REGIONS inside otherwise-distinct documents
+(boilerplate headers, licence blocks, quoted passages).
+
+The suffix-array machinery of the paper collapses, in the bounded
+K-window form, to three relational steps — each a standard
+partial-aggregating shuffle:
+  1. window extraction: positions 1..T−K+1 per doc, one projection;
+  2. cross-doc window census: GROUP BY window HAVING
+     COUNT(DISTINCT doc_id) ≥ 2 (two-level agg, map-side partial);
+  3. span assembly: flagged positions → gaps-and-islands (lag +
+     running sum — one window function over (doc, pos)).
+
+100 TB: the window census shuffles (window, doc_id) pairs — columns
+pruned, hot boilerplate windows ride AQE skew; span assembly shuffles
+only flagged positions (ints). Windows travel as their literal
+strings here for the oracle's sake; a deployment would xxhash64 them
+(8-byte shuffle keys) exactly as shingle_hashes_col does, with the
+same injectivity certificate available.
+
+Output (docs with ≥1 duplicated span only):
+  (doc_id, n_dup_windows, n_spans, dup_tokens)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..registry import builder
+from ..tables import load_table
+
+SUBSTR_K = 16  # window width in tokens (the paper uses 50-token spans
+# at web scale; 16 matches the testdata's ~100-token documents)
+
+
+def _windows(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, w): every K-token window with its 1-based start
+    position. Docs shorter than K emit nothing — guarded with when():
+    Spark's sequence(1, stop) DESCENDS for stop < 1 (sequence(1,0) =
+    [1,0]), it does not return empty."""
+    toks = F.split(F.lower(F.col("text")), " ")
+    n = F.size(toks)
+    positions = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = F.transform(
+        positions,
+        lambda i: F.struct(
+            i.alias("pos"), F.concat_ws(" ", F.slice(toks, i, k)).alias("w")
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode_outer(wins).alias("x"))
+        .filter(F.col("x").isNotNull())
+        .select("doc_id", "x.pos", "x.w")
+    )
+
+
+def substring_dup_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    wins = _windows(docs, k)
+    dup_w = (
+        wins.groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("w")
+    )
+    flagged = wins.join(dup_w, "w", "left_semi").select("doc_id", "pos")
+    ord_w = W.partitionBy("doc_id").orderBy("pos")
+    # gaps-and-islands: window [p, p+K−1] connects to the previous one
+    # iff p ≤ prev_p + K (overlap or adjacency); a larger gap starts a
+    # new span. span_id = running count of breaks.
+    brk = F.when(
+        F.col("pos") > F.lag("pos").over(ord_w) + F.lit(k), F.lit(1)
+    ).otherwise(F.lit(0))
+    spans = (
+        flagged.withColumn("__brk", brk)
+        .withColumn(
+            "__span",
+            F.sum("__brk").over(ord_w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "__span")
+        .agg(
+            F.count(F.lit(1)).alias("__n_pos"),
+            F.min("pos").alias("__s"),
+            (F.max("pos") + F.lit(k - 1)).alias("__e"),
+        )
+    )
+    return spans.groupBy("doc_id").agg(
+        F.sum("__n_pos").cast("long").alias("n_dup_windows"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("__e") - F.col("__s") + 1).cast("long").alias("dup_tokens"),
+    )
+
+
+_SUBSTR_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    wins AS (SELECT doc_id, u.pos AS pos, u.w AS w
+             FROM (SELECT doc_id,
+                          unnest([struct_pack(pos := i,
+                                              w := array_to_string(t[i:i+{SUBSTR_K - 1}], ' '))
+                                  for i in generate_series(1, len(t) - {SUBSTR_K} + 1)]) AS u
+                   FROM toks WHERE len(t) >= {SUBSTR_K})),
+    dup_w AS (SELECT w FROM wins GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2),
+    flagged AS (SELECT doc_id, pos FROM wins WHERE w IN (SELECT w FROM dup_w)),
+    marked AS (SELECT doc_id, pos,
+                      CASE WHEN pos > LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                                     + {SUBSTR_K} THEN 1 ELSE 0 END AS brk
+               FROM flagged),
+    islands AS (SELECT doc_id, pos,
+                       SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS span_id
+                FROM marked),
+    spans AS (SELECT doc_id, span_id, COUNT(*) AS n_pos,
+                     MIN(pos) AS s, MAX(pos) + {SUBSTR_K - 1} AS e
+              FROM islands GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(n_pos) AS BIGINT) AS n_dup_windows,
+           COUNT(*) AS n_spans,
+           CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+    FROM spans GROUP BY doc_id
+    """
+
+
+@builder("substring_dedup_spans", _SUBSTR_ORACLE)
+def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span census over the documents table.
+    Builder (catalog window is full at 50); DuckDB parity asserted
+    in-suite by tests/test_substring_dedup.py."""
+    return substring_dup_spans(load_table(spark, sf_dir, "documents"))
