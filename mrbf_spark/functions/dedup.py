@@ -317,7 +317,11 @@ def _hash_injectivity_certified(docs: DataFrame, n: int = 3) -> bool:
 
 
 def exact_jaccard_pairs(
-    docs: DataFrame, threshold: float, n: int = 3, hashed: bool = False
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    hashed: bool = False,
+    max_df: int | None = None,
 ) -> DataFrame:
     """COMPLETE exact word-n-gram Jaccard-≥τ pairs via one
     inverted-index co-count join: explode each doc's distinct shingle
@@ -346,10 +350,26 @@ def exact_jaccard_pairs(
     frequencies; the length filter (q·min(n) ≥ p·max(n), integer
     arithmetic — float τ·n can land an ulp high, see
     prefix_filter_candidates) prunes inside the join. Hot shingles
-    (boilerplate) are the skew risk at scale — AQE skew-join splits
-    the build, and a df cap (drop shingles with df > D, making the
-    result "J≥τ among docs sharing a non-boilerplate shingle") is the
-    documented relaxation.
+    (boilerplate) are the skew risk at scale: a text shared verbatim
+    by f·N docs makes the join C(f·N, 2)-quadratic — AND the exact
+    pair-set OUTPUT itself is quadratic in that group, so no
+    implementation of these semantics escapes it. Two mitigations:
+
+      * max_df=D (this function): drop shingles with document
+        frequency > D from the index before the self-join. Join cost
+        becomes ≤ Σ min(df,D)·df /2 and the semantics relax to "J≥τ
+        among pairs sharing at least one non-boilerplate (df ≤ D)
+        shingle" — genuine near-dup pairs share many rare shingles
+        and survive any reasonable D (test-pinned); only pairs whose
+        ENTIRE overlap is boilerplate are lost. measured: a corpus
+        with 30% of docs sharing one verbatim text completes at
+        uniform-corpus speed (tools/stress_skew.py) where the uncapped
+        join would materialize ~10^10 rows.
+      * compose with exact dedup first (dedup_exact_survivors):
+        verbatim-duplicate groups collapse to one representative, so
+        the hot text contributes ONE doc and near-dup semantics over
+        distinct texts stay exact — the standard curation-pipeline
+        ordering (exact pass, then fuzzy pass).
 
     hashed=False joins on the portable shingle STRING — one corpus
     scan, independently replayable by any engine. hashed=True joins on
@@ -377,11 +397,13 @@ def exact_jaccard_pairs(
     # here: 7.8 s → 3.9 s for the index build at sf0.1). Shingle
     # arrays are never empty by construction (greatest(...,0) keeps
     # one shingle even for short docs), so outer explode is identical.
-    inv = scoped_cache(
-        sh.select(
-            "doc_id", F.size("shingles").alias("n"), F.explode_outer("shingles").alias("s")
-        )
+    inv = sh.select(
+        "doc_id", F.size("shingles").alias("n"), F.explode_outer("shingles").alias("s")
     )
+    if max_df is not None:
+        dfs = inv.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+        inv = inv.join(dfs.filter(F.col("__df") <= max_df), "s", "left_semi")
+    inv = scoped_cache(inv)
     inv.count()  # materialize — see docstring
     a, b = inv.alias("a"), inv.alias("b")
     raw = a.join(

@@ -127,6 +127,36 @@ def test_prefix_filter_blocking_is_complete(spark):
         assert exact <= cand, f"prefix blocking missed pairs at tau={tau}"
 
 
+def test_exact_jaccard_max_df_drops_boilerplate_keeps_neardups(spark):
+    """max_df (the hot-shingle skew relaxation): 60 docs sharing ONE
+    verbatim boilerplate text would pair quadratically (C(60,2) output
+    rows); with the cap those pairs vanish while a planted near-dup
+    pair of UNIQUE texts — whose shingles have df=2 — must survive
+    with its exact jaccard intact."""
+    from mrbf_spark.functions.dedup import exact_jaccard_pairs
+
+    hot = "the same boilerplate text repeated verbatim across the corpus shard"
+    base = " ".join(f"u{i}" for i in range(30))
+    near = base.replace("u29", "v29")
+    rows = [(i, hot) for i in range(60)] + [(100, base), (101, near)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in exact_jaccard_pairs(docs, 0.2).collect()
+    }
+    assert len(uncapped) == 60 * 59 // 2 + 1  # quadratic hot block + the pair
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in exact_jaccard_pairs(docs, 0.2, max_df=10).collect()
+    }
+    assert set(capped) == {(100, 101)}
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in exact_jaccard_pairs(docs, 0.2).collect()
+    }
+    assert capped[(100, 101)] == exact[(100, 101)]
+
+
 def test_exact_jaccard_hashed_equals_string(spark):
     """exact_jaccard_pairs(hashed=True) — the 8-byte-shuffle-key scale
     variant gated on the corpus injectivity certificate — must return

@@ -73,6 +73,43 @@ def test_fingerprint_whitespace_invariance(texts):
         assert norm(t) == norm(t.replace(" ", "  "))
 
 
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=14),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_exact_jaccard_pairs_match_python_bruteforce(spark, token_lists):
+    """exact_jaccard_pairs (the registered dedup engine) against a
+    pure-Python all-pairs reference on random tiny-alphabet corpora —
+    the 4-token alphabet forces heavy shingle collisions, exercising
+    the co-count join's correctness where it is hardest (ties, shared
+    shingles everywhere, sub-n-gram short docs)."""
+    from mrbf_spark.functions.dedup import exact_jaccard_pairs
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+
+    def shingles(toks):
+        return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 3, 0) + 1)}
+
+    expected = {}
+    for i, (ida, ta) in enumerate(docs):
+        for idb, tb in docs[i + 1 :]:
+            sa, sb = shingles(ta.split(" ")), shingles(tb.split(" "))
+            c = len(sa & sb)
+            j = c / (len(sa) + len(sb) - c)
+            if j >= 0.2:
+                expected[(ida, idb)] = j
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in exact_jaccard_pairs(df, 0.2).collect()
+    }
+    assert got == expected  # identical pair set AND bit-identical doubles
+
+
 @given(st.binary(min_size=0, max_size=64), st.integers(min_value=0, max_value=2**31 - 1))
 def test_murmur2_transcriptions_agree_on_arbitrary_bytes(data, seed):
     """Hypothesis sweep of the vendored Hadoop-murmur2 against the

@@ -145,7 +145,8 @@ def queries():
     from mrbf_spark.functions.similarity import neardup_pairs
     from mrbf_spark.operators.relational import sessionization
     from mrbf_spark.operators.skew import skew_ops
-    from mrbf_spark.functions.dedup import dedup_exact
+    from mrbf_spark.functions.dedup import dedup_exact, exact_jaccard_pairs
+    from mrbf_spark.functions.substring_dedup import substring_dup_spans
     from mrbf_spark.tables import load_table
 
     def bloom_build(spark, sf_dir):
@@ -160,12 +161,28 @@ def queries():
         # it against the uniform exact path would measure nothing).
         return neardup_pairs(emb, exact_cap=6000, salt_b=16)
 
+    def jaccard_capped(spark, sf_dir):
+        # max_df is the machinery under test: the skew twin's hot text
+        # (30% of 50k docs verbatim-identical) would otherwise drive
+        # the co-count join to ~C(15k,2)·|shingles| ≈ 10^10 rows — the
+        # documented boilerplate relaxation must absorb it. df cap 50
+        # keeps the uniform twin's 10×-replicated docs (df=10) exact.
+        docs = load_table(spark, sf_dir, "documents")
+        return exact_jaccard_pairs(docs, 0.2, max_df=50)
+
+    def substr_spans(spark, sf_dir):
+        # never pairs docs (window census + per-doc islands), so the
+        # hot text must cost only its share of flagged positions.
+        return substring_dup_spans(load_table(spark, sf_dir, "documents"))
+
     return {
         "dedup_exact": (dedup_exact, "documents"),
         "skew_ops": (skew_ops, "lineitem"),
         "embedding_neardup[cap=6k]": (neardup, "embeddings"),
         "bloom_build(orders,p=.01)": (bloom_build, "orders"),
         "sessionization": (sessionization, "events"),
+        "exact_jaccard[max_df=50]": (jaccard_capped, "documents"),
+        "substring_dedup_spans": (substr_spans, "documents"),
     }
 
 
