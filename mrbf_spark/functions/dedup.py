@@ -111,8 +111,13 @@ def shingle_hashes_col(token_hashes: Column, n: int = 3) -> Column:
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(token_hashes) - n, F.lit(0))),
+            # try_element_at, not element_at: docs shorter than n keep
+            # one short shingle whose tail positions are OOB — ANSI
+            # element_at THROWS there (latent until a <n-token doc
+            # appeared); try_element_at restores the NULL padding the
+            # injectivity certificate replays on its side.
             lambda i: F.xxhash64(
-                *[F.element_at(token_hashes, i + j + 1) for j in range(n)]
+                *[F.try_element_at(token_hashes, i + j + 1) for j in range(n)]
             ),
         )
     )
@@ -291,8 +296,8 @@ def _hash_injectivity_certified(docs: DataFrame, n: int = 3) -> bool:
     # One explode carries BOTH the raw token n-tuple (≡ the shingle
     # string: tokens are space-free so the ' '-join is reversible) and
     # the collapsed hash built exactly as shingle_hashes_col builds it
-    # (element_at on the materialized hash array, so OOB padding for
-    # short docs is NULL-long on both sides).
+    # (try_element_at on the materialized hash array — OOB padding for
+    # short docs is NULL on both sides; ANSI element_at would throw).
     tup = base.select(
         # explode_outer: avoids the InferFiltersFromGenerate size>0
         # filter that would inline (and double-evaluate) the whole
@@ -301,9 +306,12 @@ def _hash_injectivity_certified(docs: DataFrame, n: int = 3) -> bool:
             F.transform(
                 F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
                 lambda i: F.struct(
-                    *[F.element_at("toks", i + j + 1).alias(f"t{j}") for j in range(n)],
+                    *[
+                        F.try_element_at("toks", i + j + 1).alias(f"t{j}")
+                        for j in range(n)
+                    ],
                     F.xxhash64(
-                        *[F.element_at("th", i + j + 1) for j in range(n)]
+                        *[F.try_element_at("th", i + j + 1) for j in range(n)]
                     ).alias("hh"),
                 ),
             )

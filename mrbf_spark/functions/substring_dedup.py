@@ -20,10 +20,14 @@ partial-aggregating shuffle:
 
 100 TB: the window census shuffles (window, doc_id) pairs — columns
 pruned, hot boilerplate windows ride AQE skew; span assembly shuffles
-only flagged positions (ints). Windows travel as their literal
-strings here for the oracle's sake; a deployment would xxhash64 them
-(8-byte shuffle keys) exactly as shingle_hashes_col does, with the
-same injectivity certificate available.
+only flagged positions (ints). Windows travel as 8-byte xxhash64
+combined token hashes, NOT the K-token strings (measured 1.8× at 50k
+docs: the strings are ~100 B each across a 4M-row census shuffle),
+gated on the corpus injectivity certificate exactly as the Jaccard
+engine's shingle hashing is — and because the OUTPUT carries only
+positions and counts, never window values, the hashed run is
+bit-identical to the string-based DuckDB oracle whenever the
+certificate holds (string fallback otherwise).
 
 Output (docs with ≥1 duplicated span only):
   (doc_id, n_dup_windows, n_spans, dup_tokens)
@@ -40,31 +44,53 @@ SUBSTR_K = 16  # window width in tokens (the paper uses 50-token spans
 # at web scale; 16 matches the testdata's ~100-token documents)
 
 
-def _windows(docs: DataFrame, k: int) -> DataFrame:
+def _windows(docs: DataFrame, k: int, hashed: bool) -> DataFrame:
     """(doc_id, pos, w): every K-token window with its 1-based start
-    position. Docs shorter than K emit nothing — guarded with when():
-    Spark's sequence(1, stop) DESCENDS for stop < 1 (sequence(1,0) =
-    [1,0]), it does not return empty."""
+    position; `w` is the window string (hashed=False) or the xxhash64
+    combination of the K token hashes (hashed=True — identical
+    grouping whenever the injectivity certificate holds). Docs shorter
+    than K emit nothing — guarded with when(): Spark's
+    sequence(1, stop) DESCENDS for stop < 1 (sequence(1,0) = [1,0]),
+    it does not return empty."""
     toks = F.split(F.lower(F.col("text")), " ")
     n = F.size(toks)
     positions = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
         F.array().cast("array<int>")
     )
-    wins = F.transform(
-        positions,
-        lambda i: F.struct(
-            i.alias("pos"), F.concat_ws(" ", F.slice(toks, i, k)).alias("w")
-        ),
-    )
-    return (
-        docs.select("doc_id", F.explode_outer(wins).alias("x"))
-        .filter(F.col("x").isNotNull())
-        .select("doc_id", "x.pos", "x.w")
-    )
+    if hashed:
+        # stage the per-token hash array in its own projection (same
+        # CollapseProject care as shingled_docs: inlining re-evaluates
+        # the token pass per element_at reference)
+        staged = docs.select(
+            "doc_id",
+            positions.alias("__pos"),
+            F.transform(toks, lambda t: F.xxhash64(t)).alias("__th"),
+        )
+        wins = F.transform(
+            F.col("__pos"),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.xxhash64(
+                    *[F.element_at("__th", i + j) for j in range(k)]
+                ).alias("w"),
+            ),
+        )
+        gen = staged.select("doc_id", F.explode_outer(wins).alias("x"))
+    else:
+        wins = F.transform(
+            positions,
+            lambda i: F.struct(
+                i.alias("pos"), F.concat_ws(" ", F.slice(toks, i, k)).alias("w")
+            ),
+        )
+        gen = docs.select("doc_id", F.explode_outer(wins).alias("x"))
+    return gen.filter(F.col("x").isNotNull()).select("doc_id", "x.pos", "x.w")
 
 
 def substring_dup_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
-    wins = _windows(docs, k)
+    from .dedup import _hash_injectivity_certified
+
+    wins = _windows(docs, k, hashed=_hash_injectivity_certified(docs, k))
     dup_w = (
         wins.groupBy("w")
         .agg(F.countDistinct("doc_id").alias("__nd"))

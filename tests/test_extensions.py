@@ -127,6 +127,24 @@ def test_prefix_filter_blocking_is_complete(spark):
         assert exact <= cand, f"prefix blocking missed pairs at tau={tau}"
 
 
+def test_exact_jaccard_handles_sub_ngram_docs(spark):
+    """Docs shorter than the shingle width keep one padded shingle;
+    ANSI element_at THREW on the pad positions until r4 switched the
+    hashed path to try_element_at. Identical 2-token docs must pair at
+    jaccard 1.0 through BOTH shingle representations."""
+    from mrbf_spark.functions.dedup import exact_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "c")], "doc_id long, text string"
+    )
+    for hashed in (False, True):
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in exact_jaccard_pairs(docs, 0.2, hashed=hashed).collect()
+        }
+        assert got == {(1, 2): 1.0}, f"hashed={hashed}"
+
+
 def test_exact_jaccard_max_df_drops_boilerplate_keeps_neardups(spark):
     """max_df (the hot-shingle skew relaxation): 60 docs sharing ONE
     verbatim boilerplate text would pair quadratically (C(60,2) output
