@@ -66,6 +66,15 @@ def legacy_builders() -> dict:
         # consolidated into `topk_order_limit` in r2; keys kept
         "topk_per_group": relational.topk_per_group,
         "order_limit": relational.order_limit,
+        # consolidated in r4 (slots freed for the promoted LLM-pipeline
+        # entries); keys kept so BENCH timings stay comparable
+        "grouped_count_halfup": relational.grouped_count_halfup,
+        "ratio_metric": relational.ratio_metric,
+        "projection_filter": relational.projection_filter,
+        "union_scan": relational.union_scan,
+        "date_trunc_month": relational.date_trunc_month,
+        "approx_aggregates": relational.approx_aggregates,
+        "median_stats": relational.median_stats,
     }
 
 

@@ -11,7 +11,10 @@ from .registry import ORACLES, QUERIES
 # defensive even now that the whole catalog is ≤ 48 entries.
 from .functions import text as _text  # noqa: F401
 from .functions import dedup as _dedup  # noqa: F401
+from .functions import substring_dedup as _substring_dedup  # noqa: F401
 from .functions import decontam as _decontam  # noqa: F401
+from .functions import lm as _lm  # noqa: F401
+from .functions import packing as _packing  # noqa: F401
 from .functions import similarity as _similarity  # noqa: F401
 from .functions import multimodal as _multimodal  # noqa: F401
 from .functions import sampling as _sampling  # noqa: F401

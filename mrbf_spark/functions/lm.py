@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..registry import builder
+from ..registry import register
 from ..tables import load_table
 
 LM_SCALE = 1_000_000_000  # 1e9 fixed-point, matches _decimal_dot
@@ -132,9 +132,10 @@ _LM_ORACLE = f"""
     """
 
 
-@builder("lm_cross_entropy", _LM_ORACLE)
+@register("lm_cross_entropy", _LM_ORACLE)
 def lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc cross-entropy under the corpus's own add-one bigram LM.
-    Builder (catalog window is full at 50); DuckDB parity asserted
-    in-suite by tests/test_lm.py against BUILDER_SQL."""
+    """Per-doc cross-entropy under the corpus's own add-one bigram LM
+    (catalog entry since r4 — slot freed by the relational
+    consolidations; DuckDB parity also asserted in-suite by
+    tests/test_lm.py)."""
     return lm_score(load_table(spark, sf_dir, "documents"))

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..registry import builder
+from ..registry import register
 from ..tables import load_table
 from .text import TOKEN_COUNT_SQL, token_count_col
 
@@ -108,9 +108,9 @@ _PACKING_ORACLE = f"""
     """
 
 
-@builder("sequence_packing", _PACKING_ORACLE)
+@register("sequence_packing", _PACKING_ORACLE)
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget packing layout over the documents table. Builder
-    (catalog window is full at 50); DuckDB parity is asserted in-suite
-    by tests/test_packing.py against BUILDER_SQL."""
+    """Token-budget packing layout over the documents table (catalog
+    entry since r4 — slot freed by the relational consolidations;
+    DuckDB parity also asserted in-suite by tests/test_packing.py)."""
     return packed_layout(load_table(spark, sf_dir, "documents"))

@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from ..registry import builder
+from ..registry import register
 from ..tables import load_table
 
 SUBSTR_K = 16  # window width in tokens (the paper uses 50-token spans
@@ -154,9 +154,10 @@ _SUBSTR_ORACLE = f"""
     """
 
 
-@builder("substring_dedup_spans", _SUBSTR_ORACLE)
+@register("substring_dedup_spans", _SUBSTR_ORACLE)
 def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc duplicated-span census over the documents table.
-    Builder (catalog window is full at 50); DuckDB parity asserted
-    in-suite by tests/test_substring_dedup.py."""
+    """Per-doc duplicated-span census over the documents table
+    (catalog entry since r4 — slot freed by the relational
+    consolidations; DuckDB parity also asserted in-suite by
+    tests/test_substring_dedup.py)."""
     return substring_dup_spans(load_table(spark, sf_dir, "documents"))

@@ -416,7 +416,7 @@ for _name, _pat in PII_PATTERNS.items():
     )
 
 
-@builder(
+@register(
     "pii_redaction",
     f"""
     SELECT doc_id,
@@ -426,9 +426,9 @@ for _name, _pat in PII_PATTERNS.items():
     """,
 )
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc PII match counts + redacted text. Builder (catalog
-    window is full at 50); DuckDB parity asserted in-suite by
-    tests/test_packing.py."""
+    """Per-doc PII match counts + redacted text (catalog entry since
+    r4 — slot freed by the stats_aggregates consolidation; DuckDB
+    parity also asserted in-suite by tests/test_packing.py)."""
     d = load_table(spark, sf_dir, "documents")
     red, counts = redact_pii_cols(F.col("text"))
     return d.select("doc_id", *counts, red.alias("redacted"))

@@ -30,7 +30,9 @@ def physical_plan(df) -> str:
 
 
 def test_filter_and_projection_pushed_to_scan(spark):
-    plan = physical_plan(QS["projection_filter"](spark, SF_SMOKE))
+    from mrbf_spark.operators.relational import projection_filter
+
+    plan = physical_plan(projection_filter(spark, SF_SMOKE))
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in scan
     # column pruning: only the 3 projected + 1 filter column are read

@@ -10,7 +10,7 @@ from mrbf_spark.functions.substring_dedup import (
     substring_dedup_spans,
     substring_dup_spans,
 )
-from mrbf_spark.registry import BUILDER_SQL
+from mrbf_spark.registry import ORACLES
 
 from conftest import SF_ORACLE
 
@@ -21,7 +21,7 @@ def test_substring_spans_match_duckdb(spark):
     con.sql(
         f"CREATE VIEW documents AS SELECT * FROM '{SF_ORACLE}/documents.parquet'"
     )
-    exp = con.sql(BUILDER_SQL["substring_dedup_spans"]).df()
+    exp = con.sql(ORACLES["substring_dedup_spans"]).df()
     assert sorted(got.columns) == sorted(exp.columns)
     assert len(got) == len(exp) > 0  # the testdata's planted dups must register
     cols = sorted(got.columns)
