@@ -1,7 +1,10 @@
-"""Corpus sampling / mixture operators (north-star extension): the
-dataset-mixing step of a training-data pipeline — upweight scarce
-sources by integer replication (deterministic, oracle-checked) and
-downsample by per-stratum Bernoulli fractions (seeded, rows-only).
+"""Corpus sampling / mixture / sharding operators (north-star
+extension): the dataset-mixing and export steps of a training-data
+pipeline — upweight scarce sources by integer replication, downsample
+by per-stratum fractions, and shuffle+shard the corpus into balanced,
+reproducibly-ordered training shards. All deterministic forms are
+hash-matched against the DuckDB oracle; the seeded Bernoulli form is
+the library variant with statistical tests.
 
 Generalizes the reference's P5 random split (util/split-dataset.py:36,
 a single unweighted Bernoulli partition) to per-stratum control.
@@ -9,9 +12,9 @@ a single unweighted Bernoulli partition) to per-stratum control.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from ..registry import register
+from ..registry import BUILDER_SQL, builder, register
 from ..tables import load_table
 
 # Sources upweighted 3x in the mixture (scarce-but-valuable strata).
@@ -34,7 +37,9 @@ def replicate_by_weight(df: DataFrame, weight_col) -> DataFrame:
 
 # --- deterministic mixture: upweight selected sources 3x; the oracle
 # reproduces the replication with a LATERAL generate_series.
-@register(
+# Builder since r4: registered via `sampling_suite` (with
+# stratified_sample) to free a catalog slot for global_shuffle_shard.
+@builder(
     "corpus_mixture",
     f"""
     SELECT source, COUNT(*) AS n_rows,
@@ -75,7 +80,7 @@ def stratified_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PCT = {lang: int(frac * 100) for lang, frac in SAMPLE_FRACTIONS.items()}
 
 
-@register(
+@builder(
     "stratified_sample",
     f"""
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled
@@ -97,3 +102,125 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sampled = d.filter(F.col("doc_id") % 100 < thr)
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+# --- both sampling forms in one registration (r4 consolidation, same
+# pattern as stats_aggregates): a `part` discriminator over a shared
+# (key, n1, v1) shape; each branch's oracle is composed verbatim from
+# its builder SQL, so the per-branch checks are unchanged.
+_NULL_BIGINT = "CAST(NULL AS BIGINT)"
+
+
+@register(
+    "sampling_suite",
+    f"""
+    SELECT 'mixture' AS part, source AS key,
+           CAST(n_rows AS BIGINT) AS n1, total_chars AS v1
+    FROM ({BUILDER_SQL['corpus_mixture']})
+    UNION ALL
+    SELECT 'stratified' AS part, lang AS key, n_sampled AS n1, {_NULL_BIGINT} AS v1
+    FROM ({BUILDER_SQL['stratified_sample']})
+    """,
+)
+def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mix = corpus_mixture(spark, sf_dir).select(
+        F.lit("mixture").alias("part"),
+        F.col("source").alias("key"),
+        F.col("n_rows").cast("long").alias("n1"),
+        F.col("total_chars").alias("v1"),
+    )
+    strat = stratified_sample(spark, sf_dir).select(
+        F.lit("stratified").alias("part"),
+        F.col("lang").alias("key"),
+        F.col("n_sampled").alias("n1"),
+        F.lit(None).cast("long").alias("v1"),
+    )
+    return mix.unionByName(strat)
+
+
+# ------------------------------------------------- global shuffle+shard
+
+# Training-data export: a reproducible global shuffle of the corpus
+# into N balanced shards, each with a deterministic within-shard
+# order. The shuffle key is md5 over (doc_id, seed) — a PORTABLE hash
+# (the simhash/dedup precedent), so shard assignment and order are
+# pure functions of the table that survive re-reads, repartitioning,
+# and engine swaps, and the DuckDB oracle replays them exactly.
+#
+# 100 TB shape: ONE hash shuffle on `shard` + a per-shard sort — the
+# exact exchange a sharded writer (write.partitionBy / bucketBy) needs
+# anyway, so the layout is free at write time. The 60-bit key is
+# uniform ⇒ shards are balanced within ~√n; no skew, no salting
+# needed. N_SHARDS here is 8 for the testdata; a real export sizes it
+# to target-file-size (corpus_bytes / ~1 GB), which only changes the
+# modulus. Per-shard order = (key, doc_id): scanning a shard replays
+# the same document permutation every epoch — what reproducible
+# training runs require.
+N_SHARDS = 8
+SHARD_SEED = 42
+
+
+def shard_key_col(doc_id: Column) -> Column:
+    """60-bit portable shuffle key: first 15 hex chars of
+    md5('<doc_id>:<seed>') — non-negative, so % and pmod agree."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", doc_id.cast("string"), F.lit(str(SHARD_SEED)))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+@register(
+    "global_shuffle_shard",
+    f"""
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS INT)
+             AS pos
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{SHARD_SEED}'),
+                                 1, 15))::BIGINT AS k,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{SHARD_SEED}'),
+                                      1, 15))::BIGINT % {N_SHARDS} AS INT) AS shard
+          FROM documents)
+    """,
+)
+def global_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shard, pos): the full shard layout — which shard each
+    document lands in and its position in that shard's reproducible
+    scan order. See the section comment for the 100 TB write shape."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        shard_key_col(F.col("doc_id")).alias("__k"),
+    ).select(
+        "doc_id",
+        "__k",
+        F.pmod(F.col("__k"), F.lit(N_SHARDS)).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("__k", "doc_id")
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos")
+    )
+
+
+def write_shuffled_shards(df: DataFrame, doc_id: str, path: str, n_shards: int = N_SHARDS) -> None:
+    """Materialize the shuffle+shard layout: one directory per shard
+    (parquet partitionBy), rows sorted by the shuffle key inside each
+    shard so a sequential shard read replays the layout's `pos` order.
+    repartition(n, shard) + sortWithinPartitions is the single
+    exchange+sort the layout already implies — no extra shuffle."""
+    keyed = df.withColumn("__k", shard_key_col(F.col(doc_id))).withColumn(
+        "shard", F.pmod(F.col("__k"), F.lit(n_shards)).cast("int")
+    )
+    (
+        keyed.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "__k", doc_id)
+        .drop("__k")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -142,6 +142,12 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # flat in matrix size.
 N_PLANES = 6
 LSH_SEED = 42
+# Embedding width of the public testdata (TESTDATA.md). Only the
+# ORACLE pins it — the generated SQL embeds EMB_DIM-wide hyperplane
+# literals; the engine side reads the width from the data, so a
+# different-width corpus still runs (its check degrades to rows-only
+# semantics, never wrong results).
+EMB_DIM = 64
 
 
 def _hyperplanes(dim: int) -> np.ndarray:
@@ -173,17 +179,40 @@ def _plain_dot(emb: Column, vec: Column) -> Column:
     )
 
 
+def _fixed_dot_long(a: Column, b: Column) -> Column:
+    """Fixed-point dot as the raw BIGINT sum Σ trunc(aᵢ·bᵢ·1e9) — the
+    unrescaled core of _decimal_dot. Order-insensitive integer math,
+    so any engine that replays the per-element trunc gets the same
+    sum (and therefore the same sign) bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (
+                x.cast("double") * y.cast("double") * F.lit(float(FIXED_SCALE))
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def lsh_bucket_col(emb: Column, mat: Column) -> Column:
-    """Hyperplane signature: bit j = (emb · mat[j]) > 0, packed into a
-    long — all JVM expressions against the matrix column. The per-bit
-    words are disjoint so the pack is a plain sum-fold."""
+    """Hyperplane signature: bit j = fixed_dot(emb, mat[j]) > 0,
+    packed into a long — all JVM expressions against the matrix
+    column. The per-bit words are disjoint so the pack is a plain
+    sum-fold. The sign test is on the FIXED-POINT dot (not the float
+    fold): signs then depend only on per-element IEEE products +
+    integer sums, so an independent engine replaying the definition
+    assigns every vector the same bucket — what lets ann_approx_topk
+    carry a full DuckDB oracle instead of a rows-only check."""
     bits = F.transform(
         mat,
         # 2^j via pow (exact in double for j ≤ 52; N_PLANES is 6) —
         # PySpark's shiftleft only takes a Python-int bit count, not
         # the lambda's index column.
         lambda p, j: F.when(
-            _plain_dot(emb, p) > 0, F.pow(F.lit(2.0), j).cast("long")
+            _fixed_dot_long(emb, p) > 0, F.pow(F.lit(2.0), j).cast("long")
         ).otherwise(F.lit(0).cast("long")),
     )
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, v: acc + v)
@@ -335,18 +364,155 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- both approximate ANN paths in one registration (rows-only:
-# bucket/cell assignment is hash-/model-dependent; recall vs the exact
-# baseline is pinned in tests). The union runs BOTH index structures —
-# each branch keeps its own plan (broadcast bucket equi-join; the
-# corpus never shuffles in either).
-@register("ann_approx_topk")
+# --- IVF-flat: the deterministic coarse quantizer. Centroids are the
+# first N_CENTROIDS corpus vectors BY vec_id RANK (a standard k-means
+# "Forgy" init used as-is), so the whole index — centroid set, cell
+# assignment (argmax fixed-point dot), probe list, re-rank — is a pure
+# function of the table that an independent engine can replay. The
+# k-means-refined variant above gives better cell balance but its
+# Lloyd iterations have no SQL twin; tests pin that refinement only
+# moves recall, while THIS path is what the driver hash-matches.
+def _flat_centroids(emb: DataFrame) -> np.ndarray:
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(N_CENTROIDS)
+        .collect()
+    )
+    return np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+
+def ann_ivf_flat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: deterministic data-point centroids (see
+    _flat_centroids), fixed-point cell assignment, NPROBE probes,
+    exact decimal re-rank. Same plan shape as ann_ivf_topk — one
+    corpus pass for assignment, broadcast equi-join on cell id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_mat = with_matrix(emb, spark, _flat_centroids(emb))
+    fdots = lambda: F.transform(  # noqa: E731 — tiny local expr factory
+        F.col("mat"), lambda c: _fixed_dot_long(F.col("embedding"), c)
+    )
+    # argmax over the fixed dots; array_position takes the FIRST max ⇒
+    # ties resolve to the lowest centroid rank, matching the oracle's
+    # ORDER BY s DESC, cid ASC.
+    cell = (F.array_position(fdots(), F.array_max(fdots())) - 1).cast("int")
+    bucketed = with_mat.select("vec_id", "embedding", cell.alias("cell"))
+    ranked = F.sort_array(
+        F.transform(fdots(), lambda d, i: F.struct((-d).alias("nd"), i.alias("i")))
+    )
+    probe_cells = F.transform(F.slice(ranked, 1, NPROBE), lambda s: s["i"].cast("int"))
+    queries = with_mat.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(probe_cells).alias("cell"),
+        _decimal_dot(F.col("embedding"), F.col("embedding")).alias("q_nrm"),
+    )
+    cands = bucketed.join(F.broadcast(queries), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cosine = _decimal_dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt(F.col("q_nrm")) * F.sqrt(_decimal_dot(F.col("embedding"), F.col("embedding")))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        cands.select("query_id", "vec_id", cosine.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+    )
+
+
+def _planes_values_sql(dim: int = EMB_DIM) -> str:
+    """The seeded hyperplane matrix as DuckDB VALUES rows — repr()
+    emits the shortest round-trip decimal, so the SQL parser recovers
+    the exact IEEE double the Spark side broadcasts."""
+    return ", ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in row)}]::DOUBLE[])"
+        for j, row in enumerate(_hyperplanes(dim))
+    )
+
+
+def _ann_approx_oracle() -> str:
+    """DuckDB twin of BOTH approximate index structures, generated
+    from the same constants (deterministic-membership-twin pattern,
+    like the simhash oracle): hyperplane signs and IVF cells come from
+    fixed-point dots, probes/cells from the same rank rules, and the
+    re-rank reuses the proven norms/dots fixed-point CTEs — so prune ∪
+    re-rank is replayed exactly, with no recall caveat."""
+    probe_vals = ", ".join(f"({v})" for v in [0] + [1 << b for b in range(N_PLANES)])
+    return f"""
+    WITH {_NORMS_SQL},
+    {_DOTS_SQL},
+    planes(plane_id, h) AS (SELECT * FROM (VALUES {_planes_values_sql()})),
+    psum AS (
+      SELECT vec_id, plane_id,
+             SUM(CAST(TRUNC(CAST(x AS DOUBLE) * h * 1000000000.0) AS BIGINT)) AS s
+      FROM (SELECT e.vec_id, p.plane_id, UNNEST(e.embedding) AS x, UNNEST(p.h) AS h
+            FROM embeddings e CROSS JOIN planes p)
+      GROUP BY 1, 2),
+    sig AS (SELECT vec_id,
+                   CAST(SUM(CASE WHEN s > 0 THEN 1 << plane_id ELSE 0 END) AS BIGINT)
+                     AS bucket
+            FROM psum GROUP BY vec_id),
+    qprobe AS (SELECT s.vec_id AS query_id, xor(s.bucket, CAST(v AS BIGINT)) AS bucket
+               FROM sig s CROSS JOIN (VALUES {probe_vals}) probes(v)
+               WHERE s.vec_id < {N_QUERIES}),
+    lsh_cand AS (SELECT DISTINCT q.query_id, s.vec_id
+                 FROM qprobe q
+                 JOIN sig s ON s.bucket = q.bucket AND s.vec_id <> q.query_id),
+    cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cemb
+             FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
+                   LIMIT {N_CENTROIDS})),
+    cdots AS (SELECT vec_id, cid,
+                     SUM(CAST(TRUNC(CAST(x AS DOUBLE) * CAST(cx AS DOUBLE)
+                                    * 1000000000.0) AS BIGINT)) AS s
+              FROM (SELECT e.vec_id, c.cid, UNNEST(e.embedding) AS x,
+                           UNNEST(c.cemb) AS cx
+                    FROM embeddings e CROSS JOIN cent c)
+              GROUP BY 1, 2),
+    cr AS (SELECT vec_id, cid,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS r
+           FROM cdots),
+    cells AS (SELECT vec_id, cid AS cell FROM cr WHERE r = 1),
+    qcells AS (SELECT vec_id AS query_id, cid AS cell FROM cr
+               WHERE r <= {NPROBE} AND vec_id < {N_QUERIES}),
+    ivf_cand AS (SELECT DISTINCT q.query_id, s.vec_id
+                 FROM qcells q
+                 JOIN cells s ON s.cell = q.cell AND s.vec_id <> q.query_id),
+    cand AS (SELECT 'lsh' AS method, query_id, vec_id FROM lsh_cand
+             UNION ALL
+             SELECT 'ivf_flat' AS method, query_id, vec_id FROM ivf_cand),
+    scored AS (SELECT c.method, c.query_id, c.vec_id,
+                      d.dot / (SQRT(nq.nrm) * SQRT(nc.nrm)) AS cosine
+               FROM cand c
+               JOIN dots d ON d.query_id = c.query_id AND d.vec_id = c.vec_id
+               JOIN norms nq ON nq.vec_id = c.query_id
+               JOIN norms nc ON nc.vec_id = c.vec_id)
+    SELECT method, query_id, vec_id, cosine, rnk FROM (
+      SELECT method, query_id, vec_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY method, query_id
+               ORDER BY cosine DESC, vec_id) AS INT) AS rnk
+      FROM scored) t
+    WHERE rnk <= {TOPK}
+    """
+
+
+# --- both approximate ANN paths in one registration, HASH-MATCHED
+# since r4: the LSH signature is fixed-point (portable signs) and the
+# IVF branch is the deterministic IVF-flat quantizer, so the oracle
+# replays bucket/cell assignment, probing, and the exact re-rank
+# bit-for-bit. The union runs BOTH index structures — each branch
+# keeps its own plan (broadcast bucket equi-join; the corpus never
+# shuffles in either). The k-means-refined IVF (ann_ivf_topk) remains
+# the quality path, pinned by its recall test.
+@register("ann_approx_topk", _ann_approx_oracle())
 def ann_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = ann_lsh_topk(spark, sf_dir).select(
         F.lit("lsh").alias("method"), "query_id", "vec_id", "cosine", "rnk"
     )
-    ivf = ann_ivf_topk(spark, sf_dir).select(
-        F.lit("ivf").alias("method"), "query_id", "vec_id", "cosine", "rnk"
+    ivf = ann_ivf_flat_topk(spark, sf_dir).select(
+        F.lit("ivf_flat").alias("method"), "query_id", "vec_id", "cosine", "rnk"
     )
     return lsh.unionByName(ivf)
 

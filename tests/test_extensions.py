@@ -307,6 +307,26 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
             assert abs(c - exact_cos[pair]) < 1e-12
 
 
+def test_ivf_flat_recall_vs_bruteforce(spark):
+    """The deterministic IVF-flat quantizer (the hash-matched branch of
+    ann_approx_topk) must also recover a useful share of the exact
+    top-k — data-point centroids are a weaker quantizer than the
+    k-means refinement, so the bar is lower, but a collapse to ~0
+    recall would mean the cell assignment is broken even though the
+    oracle (which replays the same assignment) still matches."""
+    from mrbf_spark.catalog import queries
+    from mrbf_spark.functions.similarity import ann_ivf_flat_topk
+
+    exact = {}
+    for r in queries()["ann_bruteforce_topk"](spark, SF_SMOKE).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = {}
+    for r in ann_ivf_flat_topk(spark, SF_SMOKE).collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
 def test_multimodal_plumbing(spark):
     """Binary payload column + Arrow feature extraction: schema,
     determinism, and batch shape."""
@@ -610,6 +630,59 @@ def test_stratified_sample_rates_and_subset(spark):
         n, k = totals[lang], got.get(lang, 0)
         sd = (n * frac * (1 - frac)) ** 0.5
         assert abs(k - n * frac) <= 4 * sd + 1, (lang, k, n)
+
+
+def test_global_shuffle_shard_layout_and_writer(spark, tmp_path):
+    """Shuffle+shard export: the layout is a complete permutation
+    (every doc exactly once, pos dense per shard), shards are
+    hash-balanced, the layout is partitioning-invariant, and a written
+    shard read back sequentially replays the layout's pos order."""
+    from mrbf_spark.catalog import queries
+    from mrbf_spark.functions.sampling import (
+        N_SHARDS,
+        write_shuffled_shards,
+    )
+
+    layout = queries()["global_shuffle_shard"](spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_docs = docs.count()
+    assert len(layout) == n_docs
+    assert len({r["doc_id"] for r in layout}) == n_docs
+    by_shard = {}
+    for r in layout:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(N_SHARDS))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    sizes = [len(v) for v in by_shard.values()]
+    # 60-bit-uniform hash balance: no shard more than 2x the mean
+    assert max(sizes) <= 2 * (n_docs / N_SHARDS), sizes
+
+    # partitioning invariance: same layout from a repartitioned input
+    relayout = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in queries()["global_shuffle_shard"](spark, SF_SMOKE).collect()
+    }
+    assert relayout == {(r["doc_id"], r["shard"], r["pos"]) for r in layout}
+
+    # writer: each shard dir read back in file order == layout order
+    out = str(tmp_path / "shards")
+    write_shuffled_shards(docs.select("doc_id", "n_chars"), "doc_id", out)
+    pos_order = {
+        s: [
+            d
+            for d, p in sorted(
+                ((r["doc_id"], r["pos"]) for r in layout if r["shard"] == s),
+                key=lambda t: t[1],
+            )
+        ]
+        for s in by_shard
+    }
+    import pandas as pd
+
+    for s in by_shard:
+        got = pd.read_parquet(f"{out}/shard={s}")["doc_id"].tolist()
+        assert got == pos_order[s], f"shard {s} order mismatch"
 
 
 def test_streaming_dedup_drops_replayed_events(spark, tmp_path):
