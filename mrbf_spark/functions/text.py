@@ -71,10 +71,23 @@ TOKEN_COUNT_SQL = "CAST(LEN(STRING_SPLIT({e}, ' ')) AS BIGINT)"
 _BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
+# --- document fingerprint: md5 of whitespace-normalized lowercase
+# text — the canonical exact-dedup key. (Defined before token_stats,
+# which carries the fingerprint in its per-doc profile.)
+FINGERPRINT_SQL = "MD5(LOWER(REGEXP_REPLACE({e}, '[ ]+', ' ', 'g')))"
+
+
+def fingerprint_col(col: Column) -> Column:
+    return F.md5(F.lower(F.regexp_replace(col, "[ ]+", " ")))
+
+
 # --- per-document token statistics (M1 tokenize generalized), merged
-# with the BPE-ish subword count — both are per-row projections over
-# the same scan, so one query covers both operators (catalog kept ≤ the
-# driver's 50-query correctness window; VERDICT r1 §next-round #1).
+# with the BPE-ish subword count AND the normalized-text fingerprint —
+# all per-row projections over the same scan, so one query covers the
+# whole per-doc profile (catalog kept ≤ the driver's 50-query
+# correctness window; VERDICT r1 §next-round #1; the fingerprint
+# column absorbed the r1-r3 `doc_fingerprint` entry in r4 to free a
+# slot for dedup_incremental).
 @register(
     "token_stats",
     f"""
@@ -84,7 +97,8 @@ _BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
            {occurrences_sql('text', '.')} AS n_periods,
            {occurrences_sql('text', ',')} AS n_commas,
            CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS n_nonspace,
-           CAST(LEN(regexp_extract_all(text, '{_BPE_ISH}')) AS BIGINT) AS n_bpe_tokens
+           CAST(LEN(regexp_extract_all(text, '{_BPE_ISH}')) AS BIGINT) AS n_bpe_tokens,
+           {FINGERPRINT_SQL.format(e='text')} AS fingerprint
     FROM documents
     """,
 )
@@ -99,6 +113,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         occurrences(t, ",").alias("n_commas"),
         F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("long").alias("n_nonspace"),
         F.regexp_count(t, F.lit(_BPE_ISH)).cast("long").alias("n_bpe_tokens"),
+        fingerprint_col(t).alias("fingerprint"),
     )
 
 
@@ -193,16 +208,10 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- document fingerprint: md5 of whitespace-normalized lowercase
-# text — the canonical exact-dedup key.
-FINGERPRINT_SQL = "MD5(LOWER(REGEXP_REPLACE({e}, '[ ]+', ' ', 'g')))"
-
-
-def fingerprint_col(col: Column) -> Column:
-    return F.md5(F.lower(F.regexp_replace(col, "[ ]+", " ")))
-
-
-@register(
+# Builder since r4: the per-doc fingerprint rides in `token_stats`'s
+# profile (same scan, same column name), so the standalone projection
+# left the catalog to free a slot for dedup_incremental.
+@builder(
     "doc_fingerprint",
     f"""
     SELECT doc_id, {FINGERPRINT_SQL.format(e='text')} AS fingerprint

@@ -632,6 +632,39 @@ def test_stratified_sample_rates_and_subset(spark):
         assert abs(k - n * frac) <= 4 * sd + 1, (lang, k, n)
 
 
+def test_incremental_dedup_statuses(spark):
+    """Planted increments: a text copied from history must come back
+    dup_of_history with the historical keeper; two new copies in the
+    same batch resolve to one 'new' + one 'dup_in_batch'; a unique
+    text is 'new' and keeps itself."""
+    from mrbf_spark.functions.dedup import incremental_dedup
+    from mrbf_spark.functions.text import fingerprint_col
+
+    hist = spark.createDataFrame(
+        [(1, "old doc one"), (2, "old doc two"), (3, "old doc one")],
+        "doc_id long, text string",
+    )
+    index = (
+        hist.select(fingerprint_col(F.col("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("hist_id"))
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "OLD  doc one"),  # dup of history (normalized match)
+            (11, "fresh doc"),  # new, duplicated in-batch by 12
+            (12, "fresh doc"),
+            (13, "unique doc"),  # new
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in incremental_dedup(index, new).collect()}
+    assert got[10]["status"] == "dup_of_history" and got[10]["keep_id"] == 1
+    assert got[11]["status"] == "new" and got[11]["keep_id"] == 11
+    assert got[12]["status"] == "dup_in_batch" and got[12]["keep_id"] == 11
+    assert got[13]["status"] == "new" and got[13]["keep_id"] == 13
+
+
 def test_global_shuffle_shard_layout_and_writer(spark, tmp_path):
     """Shuffle+shard export: the layout is a complete permutation
     (every doc exactly once, pos dense per shard), shards are
