@@ -9,7 +9,11 @@ entry (so round-over-round regressions are visible per operator), plus
 the r01 headline names that were consolidated into merged entries —
 kept as importable builders so the bench key set only ever grows.
 `value` stays the 17-query headline total (same key set as r01) for a
-comparable top-line number.
+comparable top-line number. NB r4: the headline key dedup_minhash_lsh
+computes strictly more than in r1-r3 (the exact Jaccard-≥0.2 pair set
+with a hash-matched oracle, vs τ=0.5 LSH candidates) — the headline
+absorbs that by-design cost; `dedup_minhash_lsh_scalepath` times the
+r3-comparable probabilistic path.
 
 Each query executes its full plan into the noop sink (no driver-side
 collect cost) after a warm-up of the session.
@@ -53,6 +57,10 @@ HEADLINE = [
 def legacy_builders() -> dict:
     """r01 bench names whose catalog entries were consolidated away —
     still importable builders, timed so BENCH keys stay a superset."""
+    from mrbf_spark import tables as _tables
+    from mrbf_spark.functions import dedup as _dedup
+    from mrbf_spark.functions import sampling as _sampling
+    from mrbf_spark.functions import text as _text
     from mrbf_spark.operators import bloom_queries, relational, skew
     from mrbf_spark.streaming import windows
 
@@ -75,6 +83,21 @@ def legacy_builders() -> dict:
         "date_trunc_month": relational.date_trunc_month,
         "approx_aggregates": relational.approx_aggregates,
         "median_stats": relational.median_stats,
+        # consolidated later in r4 (slots freed for global_shuffle_shard
+        # and dedup_incremental); keys kept
+        "corpus_mixture": _sampling.corpus_mixture,
+        "stratified_sample": _sampling.stratified_sample,
+        "doc_fingerprint": _text.doc_fingerprint,
+        # NOT a consolidation: the catalog's dedup_minhash_lsh computes
+        # the EXACT Jaccard-≥0.2 pair set since r4 (hash-matched oracle,
+        # strictly more work than r3's τ=0.5 LSH candidates). This key
+        # times the probabilistic MinHash+LSH scale path at the r3
+        # operating point so the speed-comparable number stays in BENCH.
+        "dedup_minhash_lsh_scalepath": lambda spark, sf_dir: _dedup.minhash_candidates(
+            _tables.load_table(spark, sf_dir, "documents"),
+            threshold=0.5,
+            guaranteed=False,
+        ),
     }
 
 
