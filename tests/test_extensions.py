@@ -632,6 +632,33 @@ def test_stratified_sample_rates_and_subset(spark):
         assert abs(k - n * frac) <= 4 * sd + 1, (lang, k, n)
 
 
+def test_streaming_incremental_dedup_matches_batch(spark):
+    """The stateless stream-static classification must agree with the
+    batch dedup_incremental entry: 'dup_of_history' row-for-row (same
+    hist_id keeper), and 'candidate_new' exactly where the batch says
+    'new' or 'dup_in_batch'."""
+    from mrbf_spark.catalog import queries
+    from mrbf_spark.streaming.dedup_stream import streaming_incremental_dedup
+
+    q = streaming_incremental_dedup(spark, SF_SMOKE, query_name="inc_dedup_t")
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"]: r for r in spark.sql("SELECT * FROM inc_dedup_t").collect()}
+    finally:
+        q.stop()
+    batch = {
+        r["doc_id"]: r
+        for r in queries()["dedup_incremental"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(batch)
+    for doc_id, b in batch.items():
+        s = got[doc_id]
+        if b["status"] == "dup_of_history":
+            assert s["status"] == "dup_of_history" and s["hist_id"] == b["keep_id"]
+        else:
+            assert s["status"] == "candidate_new" and s["hist_id"] is None
+
+
 def test_incremental_dedup_statuses(spark):
     """Planted increments: a text copied from history must come back
     dup_of_history with the historical keeper; two new copies in the
