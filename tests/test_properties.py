@@ -121,6 +121,87 @@ def test_murmur2_transcriptions_agree_on_arbitrary_bytes(data, seed):
     assert murmur2_32(data, seed) == _murmur2_reference(data, seed)
 
 
+def test_incremental_dedup_matches_python_reference(spark):
+    """Random corpus with planted duplicate structure, split into
+    history/increment: incremental_dedup's statuses and keep_ids must
+    equal a direct Python computation of the same semantics (history
+    min-id per fingerprint, batch min-id, status precedence)."""
+    import hashlib
+    import re
+
+    import pyspark.sql.functions as F
+
+    from mrbf_spark.functions.dedup import incremental_dedup
+    from mrbf_spark.functions.text import fingerprint_col
+
+    corpus = st.lists(
+        st.text(alphabet="ab c", min_size=1, max_size=20), min_size=4, max_size=60
+    ).example()
+    rows = [(i, t) for i, t in enumerate(corpus)]
+    hist = [(i, t) for i, t in rows if i % 3 == 0]
+    inc = [(i, t) for i, t in rows if i % 3 != 0]
+
+    fp = lambda s: hashlib.md5(re.sub(" +", " ", s.lower()).encode()).hexdigest()
+    hist_min: dict[str, int] = {}
+    for i, t in hist:
+        hist_min[fp(t)] = min(hist_min.get(fp(t), i), i)
+    batch_min: dict[str, int] = {}
+    for i, t in inc:
+        batch_min[fp(t)] = min(batch_min.get(fp(t), i), i)
+    want = {}
+    for i, t in inc:
+        f = fp(t)
+        if f in hist_min:
+            want[i] = ("dup_of_history", hist_min[f])
+        elif i > batch_min[f]:
+            want[i] = ("dup_in_batch", batch_min[f])
+        else:
+            want[i] = ("new", i)
+
+    hist_df = spark.createDataFrame(hist, "doc_id long, text string")
+    inc_df = spark.createDataFrame(inc, "doc_id long, text string")
+    index = (
+        hist_df.select(fingerprint_col(F.col("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("hist_id"))
+    )
+    got = {
+        r["doc_id"]: (r["status"], r["keep_id"])
+        for r in incremental_dedup(index, inc_df).collect()
+    }
+    assert got == want
+
+
+def test_shard_key_balance_and_determinism(spark):
+    """global shuffle-shard keys: deterministic across evaluations and
+    uniform enough that no shard exceeds 2x the mean over a generated
+    id set (including negative and huge ids)."""
+    import pyspark.sql.functions as F
+
+    from mrbf_spark.functions.sampling import N_SHARDS, shard_key_col
+
+    ids = st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        min_size=64,
+        max_size=400,
+        unique=True,
+    ).example()
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = df.select(
+        "doc_id",
+        shard_key_col(F.col("doc_id")).alias("k"),
+        F.pmod(shard_key_col(F.col("doc_id")), F.lit(N_SHARDS)).alias("shard"),
+    )
+    a = {r["doc_id"]: (r["k"], r["shard"]) for r in out.collect()}
+    b = {r["doc_id"]: (r["k"], r["shard"]) for r in out.collect()}
+    assert a == b
+    counts: dict[int, int] = {}
+    for _, s in a.values():
+        counts[s] = counts.get(s, 0) + 1
+        assert 0 <= s < N_SHARDS
+    assert max(counts.values()) <= 2 * (len(ids) / N_SHARDS) + 1
+
+
 def test_top_run_count_matches_counter(spark):
     """The sorted-array max-run fold behind repetition_stats must equal
     collections.Counter's most_common on random token arrays (tokens
