@@ -10,6 +10,12 @@ parquet inputs and key/value columns.
     python -m mrbf_spark pipeline --input T.parquet --key rating --value movieId -p 0.01
     python -m mrbf_spark pipeline --input T.parquet --key rating --value movieId -p 0.01,0.05,0.1
 
+Training-data jobs (r4 extensions, not in the reference):
+
+    python -m mrbf_spark shard --input docs.parquet --n-shards 64 --out shards/
+    python -m mrbf_spark dedup-inc --input new.parquet --index fp_index.parquet --out statuses/
+    python -m mrbf_spark dedup-inc --input new.parquet --history corpus.parquet --out statuses/
+
 `pipeline` runs the whole four-job sequence in one Spark application
 (what the reference needs four spark-submits + a getmerge for); with a
 comma list of p values it sweeps them in one app (the reference's
@@ -115,6 +121,45 @@ def cmd_pipeline(args) -> None:
     print("\t".join(["avg"] + avgs))
 
 
+def cmd_shard(args) -> None:
+    from .functions.sampling import write_shuffled_shards
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    write_shuffled_shards(df, args.id_col, args.out, n_shards=args.n_shards)
+    print(f"shard: wrote {args.n_shards} shards to {args.out}")
+
+
+def cmd_dedup_inc(args) -> None:
+    from .functions.dedup import incremental_dedup
+    from .functions.text import fingerprint_col
+
+    spark = _spark(args)
+    new_docs = spark.read.parquet(args.input)
+    if args.index:
+        index = spark.read.parquet(args.index)
+    else:
+        # bootstrap: derive the index from a history corpus path
+        hist = spark.read.parquet(args.history)
+        index = (
+            hist.select(
+                fingerprint_col(F.col(args.text_col)).alias("fingerprint"),
+                F.col(args.id_col).alias("doc_id"),
+            )
+            .groupBy("fingerprint")
+            .agg(F.min("doc_id").alias("hist_id"))
+        )
+    out = incremental_dedup(
+        index,
+        new_docs.select(
+            F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
+        ),
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    for r in out.groupBy("status").count().collect():
+        print(f"{r['status']}\t{r['count']}")
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="mrbf_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -172,13 +217,38 @@ def main(argv: list[str] | None = None) -> int:
     p_pipe.add_argument("--seed", type=int, default=42)
     p_pipe.add_argument("--out", default=None)
 
+    p_shard = sub.add_parser(
+        "shard", help="reproducible shuffle+shard export (training shards)"
+    )
+    p_shard.add_argument("--input", required=True)
+    p_shard.add_argument("--id-col", default="doc_id")
+    p_shard.add_argument("--n-shards", type=int, default=8)
+    p_shard.add_argument("--out", required=True)
+
+    p_dinc = sub.add_parser(
+        "dedup-inc",
+        help="incremental dedup: classify an increment against a "
+        "history fingerprint index (give --index, or --history to "
+        "bootstrap one)",
+    )
+    p_dinc.add_argument("--input", required=True, help="increment parquet")
+    p_dinc.add_argument("--index", default=None, help="(fingerprint, hist_id) parquet")
+    p_dinc.add_argument("--history", default=None, help="history corpus parquet")
+    p_dinc.add_argument("--id-col", default="doc_id")
+    p_dinc.add_argument("--text-col", default="text")
+    p_dinc.add_argument("--out", required=True)
+
     args = ap.parse_args(argv)
+    if args.cmd == "dedup-inc" and not (args.index or args.history):
+        ap.error("dedup-inc needs --index or --history")
     {
         "split": cmd_split,
         "linecount": cmd_linecount,
         "build": cmd_build,
         "test": cmd_test,
         "pipeline": cmd_pipeline,
+        "shard": cmd_shard,
+        "dedup-inc": cmd_dedup_inc,
     }[args.cmd](args)
     return 0
 

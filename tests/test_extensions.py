@@ -659,6 +659,44 @@ def test_streaming_incremental_dedup_matches_batch(spark):
             assert s["status"] == "candidate_new" and s["hist_id"] is None
 
 
+def test_cli_shard_and_dedup_inc(spark, tmp_path, capsys):
+    """The new CLI jobs run end-to-end: `shard` writes N shard dirs;
+    `dedup-inc` bootstraps an index from --history and classifies the
+    increment, matching the catalog entry's status census."""
+    import os
+
+    from mrbf_spark.__main__ import main
+    from mrbf_spark.catalog import queries
+    from mrbf_spark.functions.sampling import N_SHARDS
+    import pyspark.sql.functions as F2
+
+    docs = f"{SF_SMOKE}/documents.parquet"
+    out = str(tmp_path / "shards")
+    assert main(["shard", "--input", docs, "--out", out]) == 0
+    shard_dirs = {p for p in os.listdir(out) if p.startswith("shard=")}
+    assert len(shard_dirs) == N_SHARDS
+
+    hist = str(tmp_path / "hist")
+    inc = str(tmp_path / "inc")
+    d = load_table(spark, SF_SMOKE, "documents")
+    d.filter(F2.pmod(F2.col("doc_id"), F2.lit(10)) < 7).write.parquet(hist)
+    d.filter(F2.pmod(F2.col("doc_id"), F2.lit(10)) >= 7).write.parquet(inc)
+    res = str(tmp_path / "res")
+    assert main(["dedup-inc", "--input", inc, "--history", hist, "--out", res]) == 0
+    got = {
+        r["status"]: r["n"]
+        for r in spark.read.parquet(res).groupBy("status").agg(F2.count(F2.lit(1)).alias("n")).collect()
+    }
+    want = {
+        r["status"]: r["n"]
+        for r in queries()["dedup_incremental"](spark, SF_SMOKE)
+        .groupBy("status")
+        .agg(F2.count(F2.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_incremental_dedup_statuses(spark):
     """Planted increments: a text copied from history must come back
     dup_of_history with the historical keeper; two new copies in the
