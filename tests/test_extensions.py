@@ -659,6 +659,59 @@ def test_streaming_incremental_dedup_matches_batch(spark):
             assert s["status"] == "candidate_new" and s["hist_id"] is None
 
 
+BM25_QUERY = ["table", "scan", "fast"]
+
+
+def test_bm25_matches_duckdb(spark):
+    """BM25 fixed-point parity: the Spark expression and the DuckDB
+    twin (identical association order, TRUNC before the BIGINT cast)
+    must agree cell-for-cell — the in-suite version of the catalog's
+    oracle gate for this library op."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(
+        0,
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "tools"
+        ),
+    )
+    from check_correctness import compare, duck_con
+
+    from mrbf_spark.functions.retrieval import bm25_duckdb_sql, bm25_topk
+
+    spark_pdf = bm25_topk(
+        load_table(spark, SF_SMOKE, "documents"), BM25_QUERY
+    ).toPandas()
+    con = duck_con(SF_SMOKE)  # hold the ref: the relation is lazy
+    duck_pdf = con.sql(bm25_duckdb_sql(BM25_QUERY)).df()
+    problems = compare("bm25", spark_pdf, duck_pdf)
+    assert not problems, problems
+
+
+def test_bm25_ranking_semantics(spark):
+    """A doc stuffed with the query terms must outrank docs without
+    them; docs with zero hit terms never appear; scores decrease with
+    rank."""
+    from mrbf_spark.functions.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "table scan fast table scan fast table"),
+            (2, "table of contents unrelated words here"),
+            (3, "completely different text about nothing"),
+            (4, "fast fast fast scan"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(docs, BM25_QUERY, k=10).orderBy("rnk").collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 3 not in ids  # zero hit terms
+    assert ids[0] in (1, 4) and 2 == ids[-1]
+    scores = [r["score_q"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
 def test_cli_shard_and_dedup_inc(spark, tmp_path, capsys):
     """The new CLI jobs run end-to-end: `shard` writes N shard dirs;
     `dedup-inc` bootstraps an index from --history and classifies the
