@@ -82,19 +82,20 @@ def bm25_topk(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hit_terms"), F.sum("q").alias("score_q"))
     )
+    # orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    # top-k then a k-row driver merge, no single-partition Window (a
+    # global row_number would funnel every scored doc through one
+    # task). rnk is then a row_number over just the k survivors.
+    top = scored.orderBy(F.col("score_q").desc(), "doc_id").limit(k)
     from pyspark.sql import Window as W
 
     w = W.orderBy(F.col("score_q").desc(), "doc_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(
-            "doc_id",
-            "n_hit_terms",
-            "score_q",
-            (F.col("score_q").cast("double") / F.lit(float(BM25_SCALE))).alias("score"),
-            "rnk",
-        )
+    return top.select(
+        "doc_id",
+        "n_hit_terms",
+        "score_q",
+        (F.col("score_q").cast("double") / F.lit(float(BM25_SCALE))).alias("score"),
+        F.row_number().over(w).alias("rnk"),
     )
 
 
