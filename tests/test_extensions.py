@@ -659,6 +659,50 @@ def test_streaming_incremental_dedup_matches_batch(spark):
             assert s["status"] == "candidate_new" and s["hist_id"] is None
 
 
+def test_checkpointed_ingest_exactly_once_across_restart(spark, tmp_path):
+    """File→file streaming with a checkpoint must deliver each input
+    row exactly once across a stop/restart: drain half the input,
+    restart the query on the same checkpoint with the rest added, and
+    confirm the sink equals the batch read with zero duplicates; a
+    third idle restart adds nothing."""
+    import os
+    import shutil
+
+    from mrbf_spark.streaming.ingest import checkpointed_ingest
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "n_chars")
+    staged = str(tmp_path / "staged")
+    docs.repartition(4).write.parquet(staged)
+    parts = sorted(
+        p for p in os.listdir(staged) if p.endswith(".parquet")
+    )
+    assert len(parts) == 4
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for p in parts[:2]:
+        shutil.copy(os.path.join(staged, p), os.path.join(src, p))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    schema = spark.read.parquet(staged).schema
+
+    q = checkpointed_ingest(spark, src, schema, out, ckpt)
+    q.awaitTermination()
+    first = spark.read.parquet(out).count()
+    assert 0 < first < docs.count()
+
+    for p in parts[2:]:
+        shutil.copy(os.path.join(staged, p), os.path.join(src, p))
+    q2 = checkpointed_ingest(spark, src, schema, out, ckpt)
+    q2.awaitTermination()
+    got = spark.read.parquet(out).groupBy("doc_id").count()
+    assert got.filter(F.col("count") > 1).count() == 0  # no duplicates
+    assert got.count() == docs.count()  # no loss
+
+    q3 = checkpointed_ingest(spark, src, schema, out, ckpt)  # idle restart
+    q3.awaitTermination()
+    assert spark.read.parquet(out).count() == docs.count()
+
+
 BM25_QUERY = ["table", "scan", "fast"]
 
 
