@@ -114,3 +114,71 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry since r4 — slot freed by the relational consolidations;
     DuckDB parity also asserted in-suite by tests/test_packing.py)."""
     return packed_layout(load_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------ chunking
+
+# The inverse layout op: split long documents into overlapping
+# fixed-size token chunks (the RAG / context-window preprocessing
+# staple). Pure per-row Generate — no shuffle at all; at 100 TB this
+# is a map-only pass whose output volume is input × (1 + overlap/
+# stride). Deterministic and SQL-expressible; parity pinned in-suite
+# (tests/test_extensions.py::test_chunk_documents_matches_duckdb).
+CHUNK_SIZE = 32
+CHUNK_OVERLAP = 8
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP
+) -> DataFrame:
+    """(doc_id, chunk_id, chunk_tokens, chunk_text): chunk i starts at
+    token 1 + i·stride (stride = chunk_size − overlap); the number of
+    chunks is max(1, ceil((n − overlap)/stride)) so every token is
+    covered, consecutive chunks share `overlap` tokens, and the final
+    (possibly short) chunk is never fully contained in its
+    predecessor. Docs shorter than chunk_size yield one chunk."""
+    assert 0 <= overlap < chunk_size, "overlap must be in [0, chunk_size)"
+    stride = chunk_size - overlap
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((n - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride)).cast("int"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.slice(toks, i * stride + 1, chunk_size).alias("ct"),
+        ),
+    )
+    ex = docs.select("doc_id", F.explode(chunks).alias("c"))
+    return ex.select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.size("c.ct").cast("long").alias("chunk_tokens"),
+        F.concat_ws(" ", F.col("c.ct")).alias("chunk_text"),
+    )
+
+
+def chunk_documents_duckdb_sql(
+    chunk_size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP
+) -> str:
+    """DuckDB twin of chunk_documents over the `documents` view."""
+    stride = chunk_size - overlap
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    ch AS (SELECT doc_id,
+                  unnest(generate_series(0,
+                    greatest(1, CAST(FLOOR((len(t) - {overlap} + {stride - 1})
+                                           / {stride}) AS INT)) - 1)) AS chunk_id,
+                  t
+           FROM toks)
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(len(t[chunk_id * {stride} + 1 : chunk_id * {stride} + {chunk_size}])
+                AS BIGINT) AS chunk_tokens,
+           array_to_string(t[chunk_id * {stride} + 1
+                             : chunk_id * {stride} + {chunk_size}], ' ')
+             AS chunk_text
+    FROM ch
+    """

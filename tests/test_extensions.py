@@ -703,6 +703,49 @@ def test_checkpointed_ingest_exactly_once_across_restart(spark, tmp_path):
     assert spark.read.parquet(out).count() == docs.count()
 
 
+def test_chunk_documents_matches_duckdb(spark):
+    """Overlapping token chunking parity: chunk ids, sizes, and texts
+    must match the DuckDB twin cell-for-cell; adjacent chunks share
+    exactly `overlap` tokens."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(
+        0,
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "tools"
+        ),
+    )
+    from check_correctness import compare, duck_con
+
+    from mrbf_spark.functions.packing import (
+        CHUNK_OVERLAP,
+        CHUNK_SIZE,
+        chunk_documents,
+        chunk_documents_duckdb_sql,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    spark_pdf = chunk_documents(docs).toPandas()
+    con = duck_con(SF_SMOKE)
+    duck_pdf = con.sql(chunk_documents_duckdb_sql()).df()
+    problems = compare("chunks", spark_pdf, duck_pdf)
+    assert not problems, problems
+
+    # overlap invariant on a doc with several chunks
+    rows = sorted(
+        (
+            r
+            for r in chunk_documents(docs).collect()
+            if r["doc_id"] == spark_pdf.groupby("doc_id").size().idxmax()
+        ),
+        key=lambda r: r["chunk_id"],
+    )
+    for a, b in zip(rows, rows[1:]):
+        ta, tb = a["chunk_text"].split(" "), b["chunk_text"].split(" ")
+        assert ta[CHUNK_SIZE - CHUNK_OVERLAP :] == tb[: CHUNK_OVERLAP]
+
+
 BM25_QUERY = ["table", "scan", "fast"]
 
 
