@@ -139,3 +139,94 @@ def lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     consolidations; DuckDB parity also asserted in-suite by
     tests/test_lm.py)."""
     return lm_score(load_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------- perplexity buckets
+
+# CCNet's head/middle/tail split: rank every document by its LM
+# cross-entropy and cut the ranking into PPL_BUCKETS equal tertiles —
+# the mixture knob a curation pipeline turns ("keep head+middle").
+# Rank tertiles, not quantile thresholds: cross_entropy is bit-exact
+# across engines (the fixed-point design above) so a (score, doc_id)
+# rank is fully deterministic, while interpolated percentile
+# boundaries differ subtly between engines.
+PPL_BUCKETS = 3
+_PPL_LABELS = ("head", "middle", "tail")
+
+
+def _distributed_rank(df: DataFrame, order_cols: list[str]) -> DataFrame:
+    """df + a global 1-based `rank` over order_cols WITHOUT a
+    single-partition window — the packed_layout 3-phase shape:
+    range-repartition on the order columns (sampled boundaries, the
+    global-sort machinery), parallel per-partition row_number, then
+    one count per partition to the driver, prefix-summed and
+    broadcast back as offsets. The order key must be unique (pass a
+    tiebreaker column) or cross-partition ties make the rank
+    partition-placement-dependent."""
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    parts = df.repartitionByRange(*order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = W.partitionBy("__pid").orderBy(*order_cols)
+    local = parts.withColumn("__rn", F.row_number().over(w))
+    totals = sorted(
+        (r["__pid"], r["c"])
+        for r in parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, c in totals:
+        offsets.append((pid, acc))
+        acc += int(c)
+    off = spark.createDataFrame(offsets, "__pid int, __offset bigint")
+    return (
+        local.join(F.broadcast(off), "__pid")
+        .withColumn("rank", (F.col("__rn") + F.col("__offset")).cast("long"))
+        .drop("__pid", "__rn", "__offset")
+    )
+
+
+def perplexity_buckets(docs: DataFrame, k: int = PPL_BUCKETS) -> DataFrame:
+    """(doc_id, cross_entropy, rank, bucket, label): rank-tertile
+    bucket per doc — bucket = floor((rank−1)·k/n), clamped to k−1
+    (the same closed form the DuckDB twin computes; NTILE is avoided
+    because its remainder distribution differs from this formula).
+    One bounded driver action (per-partition counts) beyond the LM
+    scan; no single-task stage."""
+    scores = lm_score(docs).select("doc_id", "cross_entropy")
+    ranked = _distributed_rank(scores, ["cross_entropy", "doc_id"])
+    n = ranked.count()
+    bucket = F.least(
+        F.lit(k - 1),
+        F.floor((F.col("rank") - 1) * F.lit(k) / F.lit(float(n))).cast("int"),
+    ).cast("int")
+    labels = F.array(*[F.lit(x) for x in _PPL_LABELS[:k]])
+    return ranked.select(
+        "doc_id",
+        "cross_entropy",
+        "rank",
+        bucket.alias("bucket"),
+        F.element_at(labels, bucket + 1).alias("label"),
+    )
+
+
+def perplexity_buckets_duckdb_sql(k: int = PPL_BUCKETS) -> str:
+    """DuckDB twin of perplexity_buckets (composes the LM oracle)."""
+    case = " ".join(
+        f"WHEN {i} THEN '{_PPL_LABELS[i]}'" for i in range(k)
+    )
+    return f"""
+    WITH lm AS ({_LM_ORACLE}),
+    ranked AS (SELECT doc_id, cross_entropy,
+                      CAST(ROW_NUMBER() OVER (ORDER BY cross_entropy, doc_id)
+                           AS BIGINT) AS rank,
+                      COUNT(*) OVER () AS n
+               FROM lm)
+    SELECT doc_id, cross_entropy, rank,
+           CAST(LEAST({k - 1}, CAST(FLOOR((rank - 1) * {k} / CAST(n AS DOUBLE))
+                                    AS INT)) AS INT) AS bucket,
+           CASE CAST(LEAST({k - 1}, CAST(FLOOR((rank - 1) * {k} / CAST(n AS DOUBLE))
+                                         AS INT)) AS INT) {case} END AS label
+    FROM ranked
+    """

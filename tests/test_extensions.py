@@ -703,6 +703,43 @@ def test_checkpointed_ingest_exactly_once_across_restart(spark, tmp_path):
     assert spark.read.parquet(out).count() == docs.count()
 
 
+def test_perplexity_buckets_match_duckdb(spark):
+    """Rank-tertile perplexity buckets parity (composes the LM oracle)
+    plus invariants: buckets are contiguous in rank, sizes within 1 of
+    n/3, and the distributed rank is a 1..n permutation."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(
+        0,
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "tools"
+        ),
+    )
+    from check_correctness import compare, duck_con
+
+    from mrbf_spark.functions.lm import (
+        PPL_BUCKETS,
+        perplexity_buckets,
+        perplexity_buckets_duckdb_sql,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    spark_pdf = perplexity_buckets(docs).toPandas()
+    con = duck_con(SF_SMOKE)
+    duck_pdf = con.sql(perplexity_buckets_duckdb_sql()).df()
+    problems = compare("ppl_buckets", spark_pdf, duck_pdf)
+    assert not problems, problems
+
+    n = len(spark_pdf)
+    assert sorted(spark_pdf["rank"]) == list(range(1, n + 1))
+    sizes = spark_pdf.groupby("bucket").size()
+    assert set(sizes.index) == set(range(PPL_BUCKETS))
+    assert sizes.max() - sizes.min() <= 1
+    by_rank = spark_pdf.sort_values("rank")["bucket"].tolist()
+    assert by_rank == sorted(by_rank)  # contiguous in rank
+
+
 def test_chunk_documents_matches_duckdb(spark):
     """Overlapping token chunking parity: chunk ids, sizes, and texts
     must match the DuckDB twin cell-for-cell; adjacent chunks share
