@@ -207,6 +207,26 @@ def global_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def consistent_sample_k(
+    df: DataFrame, id_col: str, k: int, seed: int = SHARD_SEED
+) -> DataFrame:
+    """Deterministic fixed-size uniform sample: the k rows with the
+    smallest md5 shuffle key (min-wise / bottom-k consistent sampling).
+    Engine-portable and stable across re-reads and repartitionings —
+    unlike `sample()`/`TABLESAMPLE`, whose membership depends on
+    partition order — and monotone in k (the k=100 sample contains the
+    k=50 sample), which lets a pipeline grow an eval slice without
+    resampling. Compiles to TakeOrderedAndProject: per-partition
+    bottom-k, k-row driver merge, no global sort."""
+    key = shard_key_col(F.col(id_col))
+    return (
+        df.withColumn("__k", key)
+        .orderBy("__k", id_col)
+        .limit(k)
+        .drop("__k")
+    )
+
+
 def write_shuffled_shards(df: DataFrame, doc_id: str, path: str, n_shards: int = N_SHARDS) -> None:
     """Materialize the shuffle+shard layout: one directory per shard
     (parquet partitionBy), rows sorted by the shuffle key inside each

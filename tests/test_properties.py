@@ -202,6 +202,36 @@ def test_shard_key_balance_and_determinism(spark):
     assert max(counts.values()) <= 2 * (len(ids) / N_SHARDS) + 1
 
 
+def test_consistent_sample_k_monotone_and_deterministic(spark):
+    """Bottom-k consistent sample: deterministic across repartition,
+    monotone in k (k=20 ⊂ k=50), exactly k rows, and equal to the
+    DuckDB twin (ORDER BY the same md5 key LIMIT k)."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from mrbf_spark.functions.sampling import SHARD_SEED, consistent_sample_k
+    from mrbf_spark.tables import load_table
+
+    SF = "/root/testdata/sf0.001"
+    d = load_table(spark, SF, "documents")
+    s50 = {r["doc_id"] for r in consistent_sample_k(d, "doc_id", 50).collect()}
+    s20 = {r["doc_id"] for r in consistent_sample_k(d, "doc_id", 20).collect()}
+    again = {
+        r["doc_id"]
+        for r in consistent_sample_k(d.repartition(13), "doc_id", 50).collect()
+    }
+    assert len(s50) == 50 and len(s20) == 20
+    assert s20 <= s50
+    assert again == s50
+
+    duck = duckdb.connect().execute(
+        f"""SELECT doc_id FROM read_parquet('{SF}/documents.parquet')
+            ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{SHARD_SEED}'),
+                                     1, 15))::BIGINT, doc_id LIMIT 50"""
+    ).fetchall()
+    assert {r[0] for r in duck} == s50
+
+
 def test_top_run_count_matches_counter(spark):
     """The sorted-array max-run fold behind repetition_stats must equal
     collections.Counter's most_common on random token arrays (tokens
