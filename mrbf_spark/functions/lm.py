@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..registry import register
+from ..registry import register, scoped_cache
 from ..tables import load_table
 
 LM_SCALE = 1_000_000_000  # 1e9 fixed-point, matches _decimal_dot
@@ -70,7 +70,16 @@ def lm_score(docs: DataFrame) -> DataFrame:
     trunc(1e9·ln p) as BIGINT; nll_q = −Σ cnt·term_q (exact);
     cross_entropy = nll_q / 1e9 / n_bigrams (pure IEEE division of
     exactly-representable values — deterministic given the longs)."""
-    bg = _doc_bigrams(docs)
+    # Cache + materialize the doc-bigram table before fan-out: it
+    # feeds THREE consumers (the scored main side, the model
+    # broadcast, and ctx via model), and the model/ctx sides sit
+    # behind broadcast exchanges, so without the cache the corpus
+    # tokenize+explode+group replays once per consumer — measured 3
+    # corpus scans at sf0.1 (the simhash self-join lesson). A lazy
+    # cache is raced by the concurrent broadcast builds; count() wins
+    # the slot first.
+    bg = scoped_cache(_doc_bigrams(docs))
+    bg.count()
     model = bg.groupBy("prev", "cur").agg(F.sum("cnt").alias("c_bg"))
     ctx = model.groupBy("prev").agg(F.sum("c_bg").alias("c_prev"))
     # V = corpus vocab (distinct tokens anywhere, including docs with
