@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .core import build_bloom_filters, fp_report, probe_bloom_filters
+from ..registry import scoped_cache
 
 DEFAULT_P = 0.01
 SPLIT_SEED = 42
@@ -68,7 +69,9 @@ def bloom_fp_pipeline(
     from .sizing import num_hashes
 
     train, test = train_test_split(df, seed=seed)
-    filters = build_bloom_filters(train, key_col, value_col, p).cache()
+    # scoped_cache: released when the next catalog query begins, not
+    # pinned for the session (r3 ADVICE cache-hygiene pattern).
+    filters = scoped_cache(build_bloom_filters(train, key_col, value_col, p))
     probed = probe_bloom_filters(
         test, key_col, value_col, filters, k=num_hashes(p), broadcast=True
     )
@@ -95,7 +98,7 @@ def bloom_fp_sweep(
     from .sizing import num_hashes
 
     train, test = train_test_split(df, seed=seed)
-    train, test = train.cache(), test.cache()
+    train, test = scoped_cache(train), scoped_cache(test)
     reports = []
     for p in ps:
         filters = build_bloom_filters(train, key_col, value_col, p)

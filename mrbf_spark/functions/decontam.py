@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..bloom.core import build_bloom_filters, num_hashes, probe_bloom_filters
-from ..registry import register
+from ..registry import register, scoped_cache
 from ..tables import load_table
 
 NGRAM_N = 3
@@ -90,9 +90,12 @@ def decontaminate_docs(
     corpus_grams = doc_ngrams(corpus, n)
     eval_grams = doc_ngrams(eval_docs, n).select("g").distinct()
 
-    filters = build_bloom_filters(
-        eval_grams.withColumn("__g", F.lit("eval")), "__g", "g", p
-    ).cache()
+    # scoped_cache, not .cache(): released when the next catalog query
+    # starts instead of pinning executor storage for the session
+    # (the r3 ADVICE leak pattern, fixed here as in bloom_queries).
+    filters = scoped_cache(
+        build_bloom_filters(eval_grams.withColumn("__g", F.lit("eval")), "__g", "g", p)
+    )
     survivors = probe_bloom_filters(
         corpus_grams.withColumn("__g", F.lit("eval")),
         "__g",

@@ -840,9 +840,9 @@ _CC_MAX_ITERS = 25
 
 def _cluster_edges(docs: DataFrame) -> DataFrame:
     """(doc_a, doc_b) undirected dedup edges, doc_a < doc_b."""
-    shingled = docs.select(
-        "doc_id", shingles_col(F.col("text"), 3).alias("shingles")
-    ).cache()
+    shingled = scoped_cache(
+        docs.select("doc_id", shingles_col(F.col("text"), 3).alias("shingles"))
+    )
     inv = shingled.select("doc_id", F.explode("shingles").alias("s"))
     rare = (
         inv.groupBy("s")
@@ -938,12 +938,11 @@ def assign_clusters(docs: DataFrame, edges: DataFrame) -> DataFrame:
     """(doc_id, cluster_id) for every doc, cluster_id = min doc_id of
     its connected component over `edges` (doc_a, doc_b). See
     dedup_clusters for the iteration's scale properties."""
-    esym = (
+    esym = scoped_cache(
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
             edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
-        .cache()
     )
     labels = (
         esym.select(F.col("src").alias("doc_id"))
