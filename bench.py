@@ -59,6 +59,9 @@ def legacy_builders() -> dict:
     still importable builders, timed so BENCH keys stay a superset."""
     from mrbf_spark import tables as _tables
     from mrbf_spark.functions import dedup as _dedup
+    from mrbf_spark.functions import lm as _lm
+    from mrbf_spark.functions import packing as _packing
+    from mrbf_spark.functions import retrieval as _retrieval
     from mrbf_spark.functions import sampling as _sampling
     from mrbf_spark.functions import text as _text
     from mrbf_spark.operators import bloom_queries, relational, skew
@@ -97,6 +100,17 @@ def legacy_builders() -> dict:
             _tables.load_table(spark, sf_dir, "documents"),
             threshold=0.5,
             guaranteed=False,
+        ),
+        # r4 library-tier ops (in-suite DuckDB parity instead of a
+        # catalog slot) — timed so BENCH covers the whole surface.
+        "bm25_topk": lambda spark, sf_dir: _retrieval.bm25_topk(
+            _tables.load_table(spark, sf_dir, "documents"), ["table", "scan", "fast"]
+        ),
+        "chunk_documents": lambda spark, sf_dir: _packing.chunk_documents(
+            _tables.load_table(spark, sf_dir, "documents")
+        ),
+        "perplexity_buckets": lambda spark, sf_dir: _lm.perplexity_buckets(
+            _tables.load_table(spark, sf_dir, "documents")
         ),
     }
 
