@@ -1,0 +1,195 @@
+"""Gopher-style document quality rules over the documents table — the
+rule-based filter battery (Rae et al. 2021, "Scaling Language Models:
+Methods, Analysis & Insights from Training Gopher", App. A) that every
+large-scale pretraining curation pipeline runs before model-based
+scoring. Complements the repo's heuristic quality_score
+(functions/text.py): that one is a weighted score, this one is the
+published hard-threshold rule set, reported per rule so a pipeline can
+audit WHY a document was dropped.
+
+Rules (names + thresholds from the paper, adapted to this corpus):
+  r_nwords:   MIN_WORDS <= word count <= MAX_WORDS
+  r_mwl:      3 <= mean word length <= 10
+  r_symbol:   symbol-to-word ratio ('#' chars + '...' occurrences) <= 0.1
+  r_bullet:   <= 90% of lines start with a bullet ('-', '*', '•')
+  r_ellipsis: <= 30% of lines end with '...' / '…'
+  r_alpha:    >= 80% of words contain at least one alphabetic character
+  r_stop:     >= MIN_STOPWORDS of the 8 Gopher stopwords appear as words
+  gopher_pass = AND of all seven
+
+Determinism / parity design: every ratio threshold is evaluated as an
+EXACT integer cross-multiplication (e.g. mean-word-length <= 10 is
+`sum_word_len <= 10 * n_words`), so no float ever enters a rule —
+the DuckDB twin (quality_rules_duckdb_sql) agrees bit-for-bit on any
+engine. The reported *_q ratio columns are 1e6 fixed-point BIGINT
+integer divisions (both engines truncate on non-negative operands),
+also exact. Zero-word / zero-line docs get ratio -1 and fail / pass
+vacuously exactly as the twin does.
+
+100 TB shape: one corpus scan, zero shuffles, zero joins — every rule
+is a whole-stage-codegen higher-order-function expression over the
+text column, so the operator is embarrassingly parallel and reads at
+scan speed. (The catalog's curation_pipeline composes the same way.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import occurrences, occurrences_sql
+
+FIXED = 1_000_000  # 1e6 fixed point for the reported ratio columns
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+# The paper's 50-word floor would empty this synthetic corpus (short
+# docs by construction); the FLOOR is a parameter, the RULE is the op.
+MIN_WORDS, MAX_WORDS = 5, 100_000
+MWL_MIN, MWL_MAX = 3, 10  # mean word length bounds
+BULLET_NUM, BULLET_DEN = 9, 10  # bullet-line ratio <= 9/10
+ELLIPSIS_NUM, ELLIPSIS_DEN = 3, 10  # ellipsis-line ratio <= 3/10
+ALPHA_NUM, ALPHA_DEN = 4, 5  # alpha-word ratio >= 4/5
+# Paper value is 2; the synthetic corpus's stopword vocabulary only
+# ever yields 0-1 hits, so (like MIN_WORDS) the floor is adapted to
+# keep the rule discriminative here: 392/500 pass at sf0.001.
+MIN_STOPWORDS = 1
+
+_WS = "[ \\n\\t]+"  # word separator (regex, shared with the twin)
+
+
+def _counts(docs: DataFrame) -> DataFrame:
+    words = F.filter(F.split(F.col("text"), _WS), lambda x: x != F.lit(""))
+    lines = F.filter(F.split(F.col("text"), "\\n"), lambda l: F.trim(l) != F.lit(""))
+    is_bullet = lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•")  # noqa: E731
+    is_ellipsis = lambda l: F.endswith(F.rtrim(l), F.lit("...")) | F.endswith(  # noqa: E731
+        F.rtrim(l), F.lit("…")
+    )
+    stop_flags = F.transform(
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        lambda s: F.array_contains(F.transform(words, F.lower), s).cast("long"),
+    )
+    lsum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        lsum(F.transform(words, lambda x: F.length(x).cast("long"))).alias(
+            "sum_word_len"
+        ),
+        F.size(F.filter(words, lambda x: x.rlike("[a-zA-Z]")))
+        .cast("long")
+        .alias("alpha_words"),
+        (occurrences(F.col("text"), "#") + occurrences(F.col("text"), "..."))
+        .cast("long")
+        .alias("symbol_hits"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.filter(lines, is_bullet)).cast("long").alias("bullet_lines"),
+        F.size(F.filter(lines, is_ellipsis)).cast("long").alias("ellipsis_lines"),
+        lsum(stop_flags).alias("stop_hits"),
+    )
+
+
+def quality_rules(docs: DataFrame) -> DataFrame:
+    """Per-doc Gopher rule battery: measured counts, 1e6 fixed-point
+    ratios, one boolean per rule, and the final gopher_pass."""
+    c = _counts(docs)
+    nw, nl = F.col("n_words"), F.col("n_lines")
+    fixq = lambda num, den: F.coalesce(  # noqa: E731
+        F.expr(f"({num} * {FIXED}) div nullif({den}, 0)"), F.lit(-1).cast("long")
+    )
+    rules = {
+        "r_nwords": (nw >= MIN_WORDS) & (nw <= MAX_WORDS),
+        # 3 <= sum/n <= 10  ⇔  3n <= sum AND sum <= 10n (n > 0)
+        "r_mwl": (nw > 0)
+        & (F.col("sum_word_len") >= MWL_MIN * nw)
+        & (F.col("sum_word_len") <= MWL_MAX * nw),
+        # symbols/words <= 0.1  ⇔  10*symbols <= words
+        "r_symbol": (nw > 0) & (10 * F.col("symbol_hits") <= nw),
+        # vacuously true on zero-line docs, like the twin
+        "r_bullet": (nl == 0)
+        | (BULLET_DEN * F.col("bullet_lines") <= BULLET_NUM * nl),
+        "r_ellipsis": (nl == 0)
+        | (ELLIPSIS_DEN * F.col("ellipsis_lines") <= ELLIPSIS_NUM * nl),
+        "r_alpha": (nw > 0) & (ALPHA_DEN * F.col("alpha_words") >= ALPHA_NUM * nw),
+        "r_stop": F.col("stop_hits") >= MIN_STOPWORDS,
+    }
+    out = c.select(
+        "*",
+        fixq("sum_word_len", "n_words").alias("mwl_q"),
+        fixq("symbol_hits", "n_words").alias("symbol_ratio_q"),
+        fixq("bullet_lines", "n_lines").alias("bullet_frac_q"),
+        fixq("ellipsis_lines", "n_lines").alias("ellipsis_frac_q"),
+        fixq("alpha_words", "n_words").alias("alpha_frac_q"),
+        *[v.alias(k) for k, v in rules.items()],
+    )
+    return out.withColumn(
+        "gopher_pass",
+        F.lit(True) & F.expr(" AND ".join(rules)),
+    )
+
+
+def quality_rules_duckdb_sql() -> str:
+    """The DuckDB twin — same word/line definitions, same exact
+    integer cross-multiplied rules, same fixed-point divisions."""
+    stop_terms = " + ".join(
+        f"CAST(list_contains(list_transform(words, x -> lower(x)), '{s}') AS BIGINT)"
+        for s in GOPHER_STOPWORDS
+    )
+    sym = (
+        f"CAST({occurrences_sql('text', '#')} + "
+        f"{occurrences_sql('text', '...')} AS BIGINT)"
+    )
+    return f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '{_WS}'),
+                         x -> x <> '') AS words,
+             list_filter(string_split(text, chr(10)),
+                         l -> trim(l) <> '') AS lines
+      FROM documents),
+    counts AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0)
+                  AS BIGINT) AS sum_word_len,
+             CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+                  AS BIGINT) AS alpha_words,
+             {sym} AS symbol_hits,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines,
+                  l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•')))
+                  AS BIGINT) AS bullet_lines,
+             CAST(len(list_filter(lines,
+                  l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+                  AS BIGINT) AS ellipsis_lines,
+             CAST({stop_terms} AS BIGINT) AS stop_hits
+      FROM split),
+    ruled AS (
+      SELECT *,
+        coalesce((sum_word_len * {FIXED}) // nullif(n_words, 0),
+                 CAST(-1 AS BIGINT)) AS mwl_q,
+        coalesce((symbol_hits * {FIXED}) // nullif(n_words, 0),
+                 CAST(-1 AS BIGINT)) AS symbol_ratio_q,
+        coalesce((bullet_lines * {FIXED}) // nullif(n_lines, 0),
+                 CAST(-1 AS BIGINT)) AS bullet_frac_q,
+        coalesce((ellipsis_lines * {FIXED}) // nullif(n_lines, 0),
+                 CAST(-1 AS BIGINT)) AS ellipsis_frac_q,
+        coalesce((alpha_words * {FIXED}) // nullif(n_words, 0),
+                 CAST(-1 AS BIGINT)) AS alpha_frac_q,
+        n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS} AS r_nwords,
+        n_words > 0 AND sum_word_len >= {MWL_MIN} * n_words
+                    AND sum_word_len <= {MWL_MAX} * n_words AS r_mwl,
+        n_words > 0 AND 10 * symbol_hits <= n_words AS r_symbol,
+        n_lines = 0 OR {BULLET_DEN} * bullet_lines
+                       <= {BULLET_NUM} * n_lines AS r_bullet,
+        n_lines = 0 OR {ELLIPSIS_DEN} * ellipsis_lines
+                       <= {ELLIPSIS_NUM} * n_lines AS r_ellipsis,
+        n_words > 0 AND {ALPHA_DEN} * alpha_words
+                        >= {ALPHA_NUM} * n_words AS r_alpha,
+        stop_hits >= {MIN_STOPWORDS} AS r_stop
+      FROM counts)
+    SELECT *,
+           r_nwords AND r_mwl AND r_symbol AND r_bullet AND r_ellipsis
+                    AND r_alpha AND r_stop AS gopher_pass
+    FROM ruled
+    """
