@@ -61,6 +61,8 @@ def legacy_builders() -> dict:
     from mrbf_spark.functions import dedup as _dedup
     from mrbf_spark.functions import lm as _lm
     from mrbf_spark.functions import packing as _packing
+    from mrbf_spark.functions import quality_rules as _quality_rules
+    from mrbf_spark.functions import validation as _validation
     from mrbf_spark.functions import retrieval as _retrieval
     from mrbf_spark.functions import sampling as _sampling
     from mrbf_spark.functions import text as _text
@@ -111,6 +113,13 @@ def legacy_builders() -> dict:
         ),
         "perplexity_buckets": lambda spark, sf_dir: _lm.perplexity_buckets(
             _tables.load_table(spark, sf_dir, "documents")
+        ),
+        "quality_rules": lambda spark, sf_dir: _quality_rules.quality_rules(
+            _tables.load_table(spark, sf_dir, "documents")
+        ),
+        "validate_events": lambda spark, sf_dir: _validation.validate_events(
+            _tables.load_table(spark, sf_dir, "events"),
+            _tables.load_table(spark, sf_dir, "customer"),
         ),
     }
 

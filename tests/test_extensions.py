@@ -1208,3 +1208,138 @@ def test_stream_stream_join_equals_batch(spark):
     for r in batch.collect():
         delta = (r["purchase_ts"] - r["click_ts"]).total_seconds()
         assert 0 <= delta < 1800
+
+
+def test_quality_rules_matches_duckdb(spark):
+    """Gopher rule battery parity: every count, fixed-point ratio, and
+    rule boolean must agree cell-for-cell with the DuckDB twin — the
+    rules are exact integer cross-multiplications, so any mismatch is
+    a word/line-definition drift, not float noise."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(
+        0,
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "tools"
+        ),
+    )
+    from check_correctness import compare, duck_con
+
+    from mrbf_spark.functions.quality_rules import (
+        quality_rules,
+        quality_rules_duckdb_sql,
+    )
+
+    spark_pdf = quality_rules(load_table(spark, SF_SMOKE, "documents")).toPandas()
+    con = duck_con(SF_SMOKE)
+    duck_pdf = con.sql(quality_rules_duckdb_sql()).df()
+    problems = compare("quality_rules", spark_pdf, duck_pdf)
+    assert not problems, problems
+    # the battery must discriminate on this corpus, not rubber-stamp
+    assert 0 < spark_pdf["gopher_pass"].sum() < len(spark_pdf)
+
+
+def test_quality_rules_planted_failures(spark):
+    """Each rule fires on a doc constructed to violate exactly it."""
+    from mrbf_spark.functions.quality_rules import quality_rules
+
+    planted = [
+        (1, "the " + " ".join(f"w{i:02d}ord" for i in range(20))),  # clean
+        (2, "the a b"),  # too few words
+        (3, "the " + " ".join("x" * 40 for _ in range(10))),  # mwl too high
+        (4, "the " + "# " * 30 + " ".join(f"ok{i}word" for i in range(10))),  # symbols
+        (5, "the intro\n" + "\n".join(f"- item{i} here" for i in range(20))),  # bullets
+        (6, "the one...\nmore lines...\nyet more...\nok line here"),  # ellipsis
+        (7, "the " + " ".join("123456" for _ in range(20))),  # non-alpha words
+        (8, " ".join(f"zz{i}word" for i in range(20))),  # no stopwords
+    ]
+    df = spark.createDataFrame(planted, "doc_id long, text string")
+    rows = {r["doc_id"]: r.asDict() for r in quality_rules(df).collect()}
+    assert rows[1]["gopher_pass"]
+    expect_broken = {
+        2: "r_nwords",
+        3: "r_mwl",
+        4: "r_symbol",
+        5: "r_bullet",
+        6: "r_ellipsis",
+        7: "r_alpha",
+        8: "r_stop",
+    }
+    for doc_id, rule in expect_broken.items():
+        assert not rows[doc_id][rule], (doc_id, rule, rows[doc_id])
+        assert not rows[doc_id]["gopher_pass"]
+
+
+def test_validate_events_matches_duckdb(spark):
+    """Deequ-style validation suite parity: one row per constraint,
+    exact integer violation counts, cell-for-cell vs the DuckDB twin."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(
+        0,
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "tools"
+        ),
+    )
+    from check_correctness import compare, duck_con
+
+    from mrbf_spark.functions.validation import (
+        validate_events,
+        validate_events_duckdb_sql,
+    )
+
+    spark_pdf = validate_events(
+        load_table(spark, SF_SMOKE, "events"), load_table(spark, SF_SMOKE, "customer")
+    ).toPandas()
+    con = duck_con(SF_SMOKE)
+    duck_pdf = con.sql(validate_events_duckdb_sql()).df()
+    problems = compare("validate_events", spark_pdf, duck_pdf)
+    assert not problems, problems
+    assert len(spark_pdf) == 11 and spark_pdf["ok"].all()
+
+
+def test_validate_events_planted_violations(spark):
+    """Every constraint fires on a batch built to violate exactly it,
+    and the violation COUNT is exact (not just the boolean)."""
+    from datetime import datetime
+
+    from mrbf_spark.functions.validation import validate_events
+
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, datetime(2024, 1, 1), 10, "click", 1.0, '{"k": 1}'),
+        (1, datetime(2024, 1, 2), 10, "click", 1.0, '{"k": 2}'),  # dup PK
+        (2, datetime(2024, 1, 3), None, "view", 2.0, '{"k": 3}'),  # null user
+        (3, datetime(2024, 1, 4), 10, "view", None, '{"k": 4}'),  # null value
+        (4, datetime(2024, 1, 5), 10, "view", 3.0, None),  # null props
+        (5, datetime(2024, 1, 6), 10, "view", -7.0, '{"k": 5}'),  # negative
+        (6, datetime(2024, 1, 7), 10, "view", 9999.0, '{"k": 6}'),  # over cap
+        (7, datetime(2024, 1, 8), 10, "hover", 4.0, '{"k": 7}'),  # bad type
+        (8, datetime(2031, 1, 1), 10, "view", 5.0, '{"k": 8}'),  # ts too late
+        (9, datetime(2024, 1, 9), 10, "view", 6.0, "not json"),  # bad json
+        (10, datetime(2024, 1, 10), 999, "view", 7.0, '{"k": 9}'),  # fk miss
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    customer = spark.createDataFrame([(10,)], "c_custkey long")
+    rep = {
+        r["check"]: r["violations"] for r in validate_events(events, customer).collect()
+    }
+    assert rep["row_count_min"] > 0  # 11 rows < MIN_ROWS floor
+    assert rep["pk_unique_event_id"] == 1
+    assert rep["complete_user_id"] == 1
+    assert rep["complete_value"] == 1
+    assert rep["complete_props"] == 1
+    assert rep["value_nonnegative"] == 1
+    assert rep["value_below_cap"] == 1
+    assert rep["event_type_allowed"] == 1
+    assert rep["ts_in_range"] == 1
+    # 'not json' AND the null-props row both fail json extraction
+    assert rep["props_json_valid"] == 2
+    # null user_id never matches the dim; 999 is genuinely absent
+    assert rep["fk_user_in_customer"] == 2
