@@ -121,6 +121,9 @@ def legacy_builders() -> dict:
             _tables.load_table(spark, sf_dir, "events"),
             _tables.load_table(spark, sf_dir, "customer"),
         ),
+        "profile_events": lambda spark, sf_dir: _validation.profile_table(
+            _tables.load_table(spark, sf_dir, "events")
+        ),
     }
 
 

@@ -134,3 +134,118 @@ def validate_events_duckdb_sql() -> str:
       UNION ALL SELECT 'fk_user_in_customer', fk_viol FROM fk)
     SELECT "check", violations, violations = 0 AS ok FROM rep
     """
+
+
+# ---------------------------------------------------------------------------
+# Generic per-column profiler — the "profile" half of profile-then-
+# validate (Deequ's ColumnProfiler / ANALYZE TABLE analog). One output
+# row per profiled column with engine-exact metrics only:
+#   n, nulls, n_distinct         exact counts
+#   min_q / max_q                BIGINT fixed point: ints as-is,
+#                                floats trunc(1e6·x), timestamps epoch
+#                                micros, strings -> NULL
+#   avg_len_q                    strings only: (Σ length · 1e6) // n
+# so the report hash-matches DuckDB with zero float formatting risk.
+#
+# 100 TB shape: like validate_events, the whole profile is ONE
+# aggregate over one column-pruned scan; the k count_distincts plan as
+# one Expand (k+1 rows in flight per input row — the standard exact-
+# distinct cost; swap approx_count_distinct when 2% error is fine).
+# ---------------------------------------------------------------------------
+
+PROFILE_FIXED = 1_000_000
+
+
+def _profile_kind(dt: str) -> str:
+    if dt in ("tinyint", "smallint", "int", "bigint", "long"):
+        return "int"
+    if dt in ("float", "double"):
+        return "float"
+    if dt.startswith("decimal"):
+        return "float"
+    if dt.startswith("timestamp"):
+        return "timestamp"
+    return "string"
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """(column, dtype, n, nulls, n_distinct, min_q, max_q, avg_len_q)
+    — one row per column, all-BIGINT metrics (see block comment)."""
+    kinds = {f.name: _profile_kind(f.dataType.simpleString()) for f in df.schema}
+    cols = cols or [f.name for f in df.schema]
+    nl = F.lit(None).cast("long")
+    aggs, rows = [], []
+    for c in cols:
+        k = kinds[c]
+        col = F.col(c)
+        if k == "int":
+            fx = col.cast("long")
+        elif k == "float":
+            fx = (col.cast("double") * PROFILE_FIXED).cast("long")
+        elif k == "timestamp":
+            fx = F.unix_micros(col.cast("timestamp"))
+        else:
+            fx = None
+        aggs += [
+            F.count(col).alias(f"{c}__nn"),
+            F.count_distinct(col).alias(f"{c}__nd"),
+        ]
+        aggs += [] if fx is None else [
+            F.min(fx).alias(f"{c}__min"),
+            F.max(fx).alias(f"{c}__max"),
+        ]
+        if k == "string":
+            aggs.append(F.sum(F.length(col)).cast("long").alias(f"{c}__len"))
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(k).alias("dtype"),
+                F.col("__n").alias("n"),
+                (F.col("__n") - F.col(f"{c}__nn")).alias("nulls"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                (nl if fx is None else F.col(f"{c}__min")).alias("min_q"),
+                (nl if fx is None else F.col(f"{c}__max")).alias("max_q"),
+                (
+                    F.expr(f"`{c}__len` * {PROFILE_FIXED} div nullif(`{c}__nn`, 0)")
+                    if k == "string"
+                    else nl
+                ).alias("avg_len_q"),
+            )
+        )
+    one = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    return one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def profile_duckdb_sql(table: str, kinds: list[tuple[str, str]]) -> str:
+    """DuckDB twin: pass [(column, kind)] with kind as _profile_kind
+    reports it (the test derives this from the Spark schema, so both
+    engines profile the same columns the same way)."""
+    parts = []
+    for c, k in kinds:
+        if k == "int":
+            fx = f'CAST("{c}" AS BIGINT)'
+        elif k == "float":
+            # TRUNC before the cast: DuckDB's double->BIGINT cast
+            # rounds, Spark's truncates (the BM25 twin's rule)
+            fx = f'CAST(TRUNC(CAST("{c}" AS DOUBLE) * {PROFILE_FIXED}) AS BIGINT)'
+        elif k == "timestamp":
+            fx = f'epoch_us("{c}")'
+        else:
+            fx = None
+        mn = f"MIN({fx})" if fx else "CAST(NULL AS BIGINT)"
+        mx = f"MAX({fx})" if fx else "CAST(NULL AS BIGINT)"
+        al = (
+            f'(CAST(SUM(LENGTH("{c}")) AS BIGINT) * {PROFILE_FIXED})'
+            f' // nullif(COUNT("{c}"), 0)'
+            if k == "string"
+            else "CAST(NULL AS BIGINT)"
+        )
+        parts.append(
+            f"""SELECT '{c}' AS "column", '{k}' AS dtype,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) - COUNT("{c}") AS BIGINT) AS nulls,
+                   CAST(COUNT(DISTINCT "{c}") AS BIGINT) AS n_distinct,
+                   {mn} AS min_q, {mx} AS max_q, {al} AS avg_len_q
+            FROM {table}"""
+        )
+    return "\nUNION ALL\n".join(parts)

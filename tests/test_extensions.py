@@ -1343,3 +1343,56 @@ def test_validate_events_planted_violations(spark):
     assert rep["props_json_valid"] == 2
     # null user_id never matches the dim; 999 is genuinely absent
     assert rep["fk_user_in_customer"] == 2
+
+
+def test_profile_table_matches_duckdb(spark):
+    """Generic column profiler parity on two differently-shaped tables
+    (mixed int/float/timestamp/string columns) — metrics are integer
+    fixed-point only, so any mismatch is a semantics drift."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(
+        0,
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "tools"
+        ),
+    )
+    from check_correctness import compare, duck_con
+
+    from mrbf_spark.functions.validation import (
+        _profile_kind,
+        profile_duckdb_sql,
+        profile_table,
+    )
+
+    con = duck_con(SF_SMOKE)
+    for t in ["events", "documents", "orders"]:
+        df = load_table(spark, SF_SMOKE, t)
+        kinds = [(f.name, _profile_kind(f.dataType.simpleString())) for f in df.schema]
+        spark_pdf = profile_table(df).toPandas()
+        duck_pdf = con.sql(profile_duckdb_sql(t, kinds)).df()
+        problems = compare(f"profile_{t}", spark_pdf, duck_pdf)
+        assert not problems, (t, problems)
+        assert len(spark_pdf) == len(df.columns)
+
+
+def test_profile_table_null_and_type_semantics(spark):
+    """Nulls are counted, excluded from distinct/min/max, and an
+    all-null column profiles without error."""
+    from mrbf_spark.functions.validation import PROFILE_FIXED, profile_table
+
+    df = spark.createDataFrame(
+        [(1, 2.5, "ab"), (2, None, None), (3, -1.25, "abcd"), (None, 2.5, None)],
+        "i long, x double, s string",
+    )
+    prof = {r["column"]: r.asDict() for r in profile_table(df).collect()}
+    assert prof["i"]["nulls"] == 1 and prof["i"]["n_distinct"] == 3
+    assert prof["i"]["min_q"] == 1 and prof["i"]["max_q"] == 3
+    assert prof["x"]["nulls"] == 1 and prof["x"]["n_distinct"] == 2
+    assert prof["x"]["min_q"] == int(-1.25 * PROFILE_FIXED)  # trunc toward zero
+    assert prof["x"]["max_q"] == int(2.5 * PROFILE_FIXED)
+    assert prof["s"]["nulls"] == 2 and prof["s"]["avg_len_q"] == 3 * PROFILE_FIXED
+    allnull = spark.createDataFrame([(None,), (None,)], "y double")
+    row = profile_table(allnull).collect()[0]
+    assert row["nulls"] == 2 and row["n_distinct"] == 0 and row["min_q"] is None
