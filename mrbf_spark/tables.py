@@ -136,7 +136,9 @@ def _read_nanos_events(spark: SparkSession, path: str) -> DataFrame:
         raise
 
 
-def load_events_stream(spark: SparkSession, path: str) -> DataFrame:
+def load_events_stream(
+    spark: SparkSession, path: str, options: dict[str, str] | None = None
+) -> DataFrame:
     """``readStream`` over an events parquet path/glob with the same
     vintage-adaptive ``ts`` normalization as the batch loader.
 
@@ -184,7 +186,12 @@ def load_events_stream(spark: SparkSession, path: str) -> DataFrame:
             T.StructField("props", T.StringType()),
         ]
     )
-    raw = spark.readStream.schema(schema).format("parquet").load(path)
+    raw = (
+        spark.readStream.options(**(options or {}))
+        .schema(schema)
+        .format("parquet")
+        .load(path)
+    )
     if ts_type == "bigint":
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if ts_type != "timestamp":

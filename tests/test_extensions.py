@@ -1396,3 +1396,100 @@ def test_profile_table_null_and_type_semantics(spark):
     allnull = spark.createDataFrame([(None,), (None,)], "y double")
     row = profile_table(allnull).collect()[0]
     assert row["nulls"] == 2 and row["n_distinct"] == 0 and row["min_q"] is None
+
+
+def test_streaming_validate_matches_batch(spark, tmp_path):
+    """One micro-batch over the whole events file must produce exactly
+    the batch-tier report (same 11 checks, same violation counts)."""
+    from mrbf_spark.functions.validation import validate_events
+    from mrbf_spark.streaming.validate_stream import streaming_validate_events
+
+    customer = load_table(spark, SF_SMOKE, "customer")
+    q = streaming_validate_events(
+        spark,
+        f"{SF_SMOKE}/events.parque[t]",
+        customer,
+        str(tmp_path / "report"),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=0,  # whole file in one batch
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["check"], r["violations"], r["ok"])
+        for r in spark.read.parquet(str(tmp_path / "report")).collect()
+    }
+    want = {
+        (r["check"], r["violations"], r["ok"])
+        for r in validate_events(
+            load_table(spark, SF_SMOKE, "events"), customer
+        ).collect()
+    }
+    assert got == want and len(got) == 11
+
+
+def test_streaming_validate_gates_per_batch(spark, tmp_path):
+    """With one file per trigger, each increment is validated in
+    isolation: the poisoned file's batch reports its violations, the
+    clean file's batch reports none (beyond the small-batch row floor)."""
+    import os
+    import time
+    from datetime import datetime
+
+    from mrbf_spark.streaming.validate_stream import streaming_validate_events
+
+    mk = lambda eid, uid, val: (  # noqa: E731
+        eid, datetime(2024, 1, 1 + eid % 20), uid, "click", val, '{"k": 1}'
+    )
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    clean = spark.createDataFrame([mk(i, 10, 1.0) for i in range(8)], schema)
+    # dup PK (99 twice) + one negative value
+    poisoned = spark.createDataFrame(
+        [mk(99, 10, 1.0), mk(99, 10, 2.0), mk(101, 10, -5.0)], schema
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # Spark's default parquet timestamp encoding (INT96) probes as
+    # nanos in the loader's footer check; write micros like the
+    # driver testdata so the stream schema matches the files.
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        clean.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+        poisoned.coalesce(1).write.mode("append").parquet(src)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
+        else:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    customer = spark.createDataFrame([(10,)], "c_custkey long")
+    q = streaming_validate_events(
+        spark,
+        f"{src}/*.parquet",
+        customer,
+        str(tmp_path / "report"),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    rep = spark.read.parquet(str(tmp_path / "report"))
+    by_batch = {}
+    for r in rep.collect():
+        by_batch.setdefault(r["batch_id"], {})[r["check"]] = r["violations"]
+    assert len(by_batch) == 2
+    flagged = [
+        b
+        for b, checks in by_batch.items()
+        if checks["pk_unique_event_id"] == 1 and checks["value_nonnegative"] == 1
+    ]
+    assert len(flagged) == 1
+    clean_b = (set(by_batch) - set(flagged)).pop()
+    ok_checks = {
+        k: v for k, v in by_batch[clean_b].items() if k != "row_count_min"
+    }
+    assert all(v == 0 for v in ok_checks.values()), by_batch[clean_b]
+    # the row floor fires on both tiny increments — by design
+    assert by_batch[clean_b]["row_count_min"] > 0
