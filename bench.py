@@ -63,6 +63,7 @@ def legacy_builders() -> dict:
     from mrbf_spark.functions import packing as _packing
     from mrbf_spark.functions import quality_rules as _quality_rules
     from mrbf_spark.functions import validation as _validation
+    from mrbf_spark.functions import diffing as _diffing
     from mrbf_spark.functions import retrieval as _retrieval
     from mrbf_spark.functions import sampling as _sampling
     from mrbf_spark.functions import text as _text
@@ -124,6 +125,7 @@ def legacy_builders() -> dict:
         "profile_events": lambda spark, sf_dir: _validation.profile_table(
             _tables.load_table(spark, sf_dir, "events")
         ),
+        "snapshot_diff": _diffing.diff_events,
     }
 
 

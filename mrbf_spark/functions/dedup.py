@@ -827,46 +827,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SQL-portable (no Spark-private hash families), so the whole component
 # computation is oracle-checked against a DuckDB recursive CTE:
 #   exact edges:  same normalized-text fingerprint;
-#   near edges:   exact word-3-gram Jaccard ≥ CLUSTER_TAU over
-#                 candidates sharing a RARE shingle (global frequency
-#                 2..RARE_MAX) — the classic inverted-index blocking:
-#                 pair fan-out per shingle is ≤ C(RARE_MAX, 2), and
-#                 common shingles generate no pairs at all, so the
-#                 candidate set stays bounded at corpus scale.
+#   near edges:   the COMPLETE exact word-3-gram Jaccard-≥CLUSTER_TAU
+#                 pair set via the inverted-index co-count
+#                 (exact_jaccard_pairs, hashed keys). r4: replaced the
+#                 r3 rare-shingle blocking + array-verify — carrying
+#                 full shingle arrays through two joins measured
+#                 ~10 s at sf0.1 vs ~3 s for the co-count, AND the
+#                 blocked edge set was an ill-specified subset (pairs
+#                 had to share a df≤10 shingle); semantics are now
+#                 exactly "J ≥ τ", the same guarantee the
+#                 dedup_minhash_lsh entry carries. Boilerplate-hot
+#                 corpora: pass max_df through (see
+#                 exact_jaccard_pairs' skew ledger) or exact-dedup
+#                 first — the registered entry needs neither at
+#                 catalog scale.
 CLUSTER_TAU = 0.5
-RARE_MAX = 10
 _CC_MAX_ITERS = 25
 
 
 def _cluster_edges(docs: DataFrame) -> DataFrame:
     """(doc_a, doc_b) undirected dedup edges, doc_a < doc_b."""
-    shingled = scoped_cache(
-        docs.select("doc_id", shingles_col(F.col("text"), 3).alias("shingles"))
-    )
-    inv = shingled.select("doc_id", F.explode("shingles").alias("s"))
-    rare = (
-        inv.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter((F.col("__n") >= 2) & (F.col("__n") <= RARE_MAX))
-        .select("s")
-    )
-    rare_inv = inv.join(rare, "s")
-    a, b = rare_inv.alias("a"), rare_inv.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    sh_a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sh_b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    near = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
-        .filter(jaccard_col(F.col("sh_a"), F.col("sh_b")) >= CLUSTER_TAU)
-        .select("doc_a", "doc_b")
+    near = exact_jaccard_pairs(docs, CLUSTER_TAU, hashed=True).select(
+        "doc_a", "doc_b"
     )
     fp = docs.select("doc_id", fingerprint_col(F.col("text")).alias("f"))
     fa, fb = fp.alias("fa"), fp.alias("fb")
@@ -886,17 +868,10 @@ def _cluster_edges(docs: DataFrame) -> DataFrame:
                                  for i in generate_series(1, greatest(len(t)-2, 1))])
                     AS shingles
            FROM toks),
-    inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-    rare AS (SELECT s FROM inv GROUP BY s HAVING COUNT(*) BETWEEN 2 AND {RARE_MAX}),
-    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-             FROM inv a JOIN rare r ON a.s = r.s JOIN inv b ON b.s = r.s
-             WHERE a.doc_id < b.doc_id),
-    near AS (SELECT c.doc_a, c.doc_b
-             FROM cand c
-             JOIN sh sa ON sa.doc_id = c.doc_a
-             JOIN sh sb ON sb.doc_id = c.doc_b
-             WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-                     / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+    near AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.shingles, b.shingles)))
                    >= {CLUSTER_TAU}),
     fp AS (SELECT doc_id, {FINGERPRINT_SQL.format(e='text')} AS f FROM documents),
     exact_e AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -913,7 +888,7 @@ def _cluster_edges(docs: DataFrame) -> DataFrame:
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc duplicate-cluster id (= min doc_id of the connected
-    component) over exact + rare-shingle-Jaccard edges.
+    component) over exact-fingerprint + complete Jaccard-≥τ edges.
 
     Spark side is iterative min-label propagation — the standard
     distributed connected-components loop (GraphX/GraphFrames CC
@@ -938,6 +913,12 @@ def assign_clusters(docs: DataFrame, edges: DataFrame) -> DataFrame:
     """(doc_id, cluster_id) for every doc, cluster_id = min doc_id of
     its connected component over `edges` (doc_a, doc_b). See
     dedup_clusters for the iteration's scale properties."""
+    # Materialize the edge pipeline ONCE before the symmetric union:
+    # its two branches otherwise race a lazy cache and both recompute
+    # the full candidate join (the exact_jaccard_pairs docstring's
+    # measured-2× trap, same cure).
+    edges = scoped_cache(edges)
+    edges.count()
     esym = scoped_cache(
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(

@@ -1,0 +1,117 @@
+"""Snapshot diffing — classify every primary key across two snapshots
+of a table as added / removed / changed / unchanged (the
+datacompy / Delta-CDF "what changed between versions" primitive a
+training-data pipeline needs for incremental rebuilds and audits).
+
+100 TB shape: each side is reduced to (pk, xxhash64(row)) AT SCAN
+TIME, so the full-outer shuffle carries 16 bytes per row instead of
+the row — the join cost is the two digest exchanges on the pk, and
+wide tables diff at the same shuffle cost as narrow ones. The digest
+interleaves per-column null flags (xxhash64 alone skips nulls, which
+would alias null-shifted rows) and the 2^-64 per-pk collision odds only ever misreport a change as
+unchanged — acceptable for an audit diff; use the exact column
+comparison (the oracle's IS DISTINCT FROM form) when a legal-grade
+diff is required.
+
+The parity test builds both snapshots deterministically from the
+events table (dropped pks, added pks, and an updated value column,
+all arithmetic on event_id), and the DuckDB twin classifies with
+IS DISTINCT FROM — an INDEPENDENT formulation, so the test checks the
+digest logic against real column equality, not against itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# deterministic snapshot derivation knobs (shared with the twin)
+DROP_OLD = 97, 3  # pk % 97 == 3 missing from OLD  -> 'added'
+DROP_NEW = 89, 7  # pk % 89 == 7 missing from NEW  -> 'removed'
+BUMP_NEW = 11, 0  # pk % 11 == 0 value doubled in NEW -> 'changed'
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, pk: str) -> DataFrame:
+    """(pk, status) for every pk in either snapshot; status in
+    added | removed | changed | unchanged. Compares all non-pk
+    columns via a scan-time xxhash64 row digest."""
+    cols = [c for c in old.columns if c != pk]
+    if [c for c in new.columns if c != pk] != cols:
+        raise ValueError("snapshots must share a schema")
+    # xxhash64 SKIPS null inputs (the accumulator passes through), so
+    # ('a', NULL) and (NULL, 'a') would otherwise digest identically —
+    # interleave per-column null flags to pin each value to its column.
+    hash_in = [x for c in cols for x in (F.col(c), F.col(c).isNull().cast("int"))]
+    o = old.select(F.col(pk), F.xxhash64(*hash_in).alias("oh"))
+    n = new.select(F.col(pk), F.xxhash64(*hash_in).alias("nh"))
+    return (
+        o.join(n, pk, "full_outer")
+        .select(
+            pk,
+            F.when(F.col("oh").isNull(), F.lit("added"))
+            .when(F.col("nh").isNull(), F.lit("removed"))
+            .when(F.col("oh") == F.col("nh"), F.lit("unchanged"))
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+        )
+    )
+
+
+def diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-style instantiation: diff two deterministic event
+    snapshots (see module docstring) — per-pk rows for every changed
+    status plus one summary row per status (incl. unchanged count)."""
+    from ..tables import load_table
+
+    base = load_table(spark, sf_dir, "events")
+    old = base.filter(F.pmod(F.col("event_id"), F.lit(DROP_OLD[0])) != DROP_OLD[1])
+    new = base.filter(
+        F.pmod(F.col("event_id"), F.lit(DROP_NEW[0])) != DROP_NEW[1]
+    ).withColumn(
+        "value",
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(BUMP_NEW[0])) == BUMP_NEW[1],
+            F.col("value") * 2,
+        ).otherwise(F.col("value")),
+    )
+    d = snapshot_diff(old, new, "event_id")
+    detail = d.filter(F.col("status") != "unchanged").select(
+        F.lit("detail").alias("part"), "event_id", "status",
+        F.lit(1).cast("long").alias("n"),
+    )
+    summary = d.groupBy("status").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("summary").alias("part"),
+        F.lit(-1).cast("long").alias("event_id"),
+        "status",
+        "n",
+    )
+    return detail.unionByName(summary)
+
+
+def diff_events_duckdb_sql() -> str:
+    """Independent-formulation twin: classifies by direct column
+    comparison (IS DISTINCT FROM), not by replaying the digest."""
+    return f"""
+    WITH old AS (
+      SELECT * FROM events WHERE event_id % {DROP_OLD[0]} <> {DROP_OLD[1]}),
+    new AS (
+      SELECT event_id, ts, user_id, event_type,
+             CASE WHEN event_id % {BUMP_NEW[0]} = {BUMP_NEW[1]}
+                  THEN value * 2 ELSE value END AS value, props
+      FROM events WHERE event_id % {DROP_NEW[0]} <> {DROP_NEW[1]}),
+    d AS (
+      SELECT coalesce(o.event_id, n.event_id) AS event_id,
+             CASE WHEN o.event_id IS NULL THEN 'added'
+                  WHEN n.event_id IS NULL THEN 'removed'
+                  WHEN (o.ts IS DISTINCT FROM n.ts)
+                    OR (o.user_id IS DISTINCT FROM n.user_id)
+                    OR (o.event_type IS DISTINCT FROM n.event_type)
+                    OR (o.value IS DISTINCT FROM n.value)
+                    OR (o.props IS DISTINCT FROM n.props)
+                  THEN 'changed' ELSE 'unchanged' END AS status
+      FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id)
+    SELECT 'detail' AS part, event_id, status, CAST(1 AS BIGINT) AS n
+    FROM d WHERE status <> 'unchanged'
+    UNION ALL
+    SELECT 'summary', CAST(-1 AS BIGINT), status, CAST(COUNT(*) AS BIGINT)
+    FROM d GROUP BY status
+    """

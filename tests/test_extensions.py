@@ -1148,16 +1148,18 @@ def test_connected_components_transitive(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
 
 
-def test_cluster_edges_rare_shingle_blocking(spark):
-    """Near-identical docs pair (rare shared shingles + jaccard ≥ τ);
-    docs sharing only a corpus-common shingle generate no candidate."""
-    from mrbf_spark.functions.dedup import _cluster_edges, RARE_MAX
+def test_cluster_edges_jaccard_threshold(spark):
+    """Near-identical docs pair (jaccard ≥ τ); docs sharing only one
+    boilerplate shingle (J = 1/5 < τ) generate no edge — the r4
+    complete co-count edges enforce the threshold itself, not a
+    blocking heuristic."""
+    from mrbf_spark.functions.dedup import _cluster_edges
 
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     near = base.replace("kappa", "lambda")
-    # >RARE_MAX docs all sharing the shingle "common words here ..." —
-    # that shingle is not rare, so it must not generate pairs
-    common = [(100 + i, f"common words here tail{i} filler{i}") for i in range(RARE_MAX + 2)]
+    # 12 docs all sharing exactly one shingle "common words here" —
+    # pairwise jaccard 1/5, far below CLUSTER_TAU, so no edges
+    common = [(100 + i, f"common words here tail{i} filler{i}") for i in range(12)]
     docs = spark.createDataFrame(
         [(1, base), (2, near)] + common, "doc_id long, text string"
     )
@@ -1493,3 +1495,69 @@ def test_streaming_validate_gates_per_batch(spark, tmp_path):
     assert all(v == 0 for v in ok_checks.values()), by_batch[clean_b]
     # the row floor fires on both tiny increments — by design
     assert by_batch[clean_b]["row_count_min"] > 0
+
+
+def test_snapshot_diff_matches_duckdb(spark):
+    """Digest-based diff vs the oracle's direct IS DISTINCT FROM
+    classification — independent formulations must agree on every pk."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(
+        0,
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "tools"
+        ),
+    )
+    from check_correctness import compare, duck_con
+
+    from mrbf_spark.functions.diffing import diff_events, diff_events_duckdb_sql
+
+    spark_pdf = diff_events(spark, SF_SMOKE).toPandas()
+    con = duck_con(SF_SMOKE)
+    duck_pdf = con.sql(diff_events_duckdb_sql()).df()
+    problems = compare("snapshot_diff", spark_pdf, duck_pdf)
+    assert not problems, problems
+    summ = dict(
+        spark_pdf[spark_pdf.part == "summary"][["status", "n"]].itertuples(
+            index=False, name=None
+        )
+    )
+    # the deterministic derivation plants all four statuses
+    assert set(summ) == {"added", "removed", "changed", "unchanged"}
+
+
+def test_snapshot_diff_semantics(spark):
+    """Hand-built snapshots: every status lands on exactly the right
+    pk, including a null-vs-value column change (the concat_ws
+    null-swallowing trap xxhash64 avoids)."""
+    from mrbf_spark.functions.diffing import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, None, 4.0)],
+        "pk long, s string, x double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (4, "", 4.0), (5, "e", 5.0)],
+        "pk long, s string, x double",
+    )
+    got = {r["pk"]: r["status"] for r in snapshot_diff(old, new, "pk").collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",  # null -> 2.0
+        3: "removed",
+        4: "changed",  # null string -> empty string must NOT collide
+        5: "added",
+    }
+
+
+def test_snapshot_diff_null_shift_not_aliased(spark):
+    """('q', NULL) vs (NULL, 'q') in adjacent same-typed columns must
+    classify as changed — the digest's interleaved null flags prevent
+    xxhash64's null-skip from aliasing the two rows."""
+    from mrbf_spark.functions.diffing import snapshot_diff
+
+    old = spark.createDataFrame([(7, "q", None)], "pk long, a string, b string")
+    new = spark.createDataFrame([(7, None, "q")], "pk long, a string, b string")
+    [row] = snapshot_diff(old, new, "pk").collect()
+    assert row["status"] == "changed"
