@@ -15,6 +15,9 @@ Training-data jobs (r4 extensions, not in the reference):
     python -m mrbf_spark shard --input docs.parquet --n-shards 64 --out shards/
     python -m mrbf_spark dedup-inc --input new.parquet --index fp_index.parquet --out statuses/
     python -m mrbf_spark dedup-inc --input new.parquet --history corpus.parquet --out statuses/
+    python -m mrbf_spark profile --input any.parquet
+    python -m mrbf_spark validate --input events.parquet --dim customer.parquet  # exit 1 on failure
+    python -m mrbf_spark diff --old v1.parquet --new v2.parquet --pk doc_id --out d/
 
 `pipeline` runs the whole four-job sequence in one Spark application
 (what the reference needs four spark-submits + a getmerge for); with a
@@ -160,6 +163,53 @@ def cmd_dedup_inc(args) -> None:
         print(f"{r['status']}\t{r['count']}")
 
 
+def cmd_profile(args) -> None:
+    from .functions.validation import profile_table
+
+    spark = _spark(args)
+    prof = profile_table(spark.read.parquet(args.input))
+    if args.out:
+        prof.write.mode("overwrite").parquet(args.out)
+    for r in prof.collect():
+        print(
+            f"{r['column']}\t{r['dtype']}\tn={r['n']}\tnulls={r['nulls']}"
+            f"\tdistinct={r['n_distinct']}\tmin_q={r['min_q']}"
+            f"\tmax_q={r['max_q']}\tavg_len_q={r['avg_len_q']}"
+        )
+
+
+def cmd_validate(args) -> int:
+    from .functions.validation import validate_events
+
+    spark = _spark(args)
+    report = validate_events(
+        spark.read.parquet(args.input), spark.read.parquet(args.dim)
+    )
+    rows = report.collect()
+    if args.out:
+        report.write.mode("overwrite").parquet(args.out)
+    failed = 0
+    for r in rows:
+        mark = "ok" if r["ok"] else "FAIL"
+        failed += 0 if r["ok"] else 1
+        print(f"{mark}\t{r['check']}\tviolations={r['violations']}")
+    # CI-gate semantics: nonzero exit when any constraint fails
+    return 1 if failed else 0
+
+
+def cmd_diff(args) -> None:
+    from .functions.diffing import snapshot_diff
+
+    spark = _spark(args)
+    d = snapshot_diff(
+        spark.read.parquet(args.old), spark.read.parquet(args.new), args.pk
+    )
+    if args.out:
+        d.write.mode("overwrite").parquet(args.out)
+    for r in d.groupBy("status").count().orderBy("status").collect():
+        print(f"{r['status']}\t{r['count']}")
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="mrbf_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -238,10 +288,32 @@ def main(argv: list[str] | None = None) -> int:
     p_dinc.add_argument("--text-col", default="text")
     p_dinc.add_argument("--out", required=True)
 
+    p_prof = sub.add_parser(
+        "profile", help="per-column profile of any parquet table"
+    )
+    p_prof.add_argument("--input", required=True)
+    p_prof.add_argument("--out", default=None)
+
+    p_val = sub.add_parser(
+        "validate",
+        help="run the events constraint suite; exit 1 if any check fails",
+    )
+    p_val.add_argument("--input", required=True, help="events parquet")
+    p_val.add_argument("--dim", required=True, help="customer dim parquet")
+    p_val.add_argument("--out", default=None)
+
+    p_diff = sub.add_parser(
+        "diff", help="snapshot diff: classify pks across two table versions"
+    )
+    p_diff.add_argument("--old", required=True)
+    p_diff.add_argument("--new", required=True)
+    p_diff.add_argument("--pk", default="doc_id")
+    p_diff.add_argument("--out", default=None)
+
     args = ap.parse_args(argv)
     if args.cmd == "dedup-inc" and not (args.index or args.history):
         ap.error("dedup-inc needs --index or --history")
-    {
+    rc = {
         "split": cmd_split,
         "linecount": cmd_linecount,
         "build": cmd_build,
@@ -249,8 +321,11 @@ def main(argv: list[str] | None = None) -> int:
         "pipeline": cmd_pipeline,
         "shard": cmd_shard,
         "dedup-inc": cmd_dedup_inc,
+        "profile": cmd_profile,
+        "validate": cmd_validate,
+        "diff": cmd_diff,
     }[args.cmd](args)
-    return 0
+    return int(rc or 0)
 
 
 if __name__ == "__main__":

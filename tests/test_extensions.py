@@ -1561,3 +1561,43 @@ def test_snapshot_diff_null_shift_not_aliased(spark):
     new = spark.createDataFrame([(7, None, "q")], "pk long, a string, b string")
     [row] = snapshot_diff(old, new, "pk").collect()
     assert row["status"] == "changed"
+
+
+def test_cli_profile_validate_diff(spark, tmp_path, capsys):
+    """The r4 data-ops CLI jobs run end-to-end: `profile` prints one
+    line per column, `validate` exits 0 on clean data and 1 on a
+    poisoned batch (the CI-gate contract), `diff` writes per-pk
+    statuses and prints the summary census."""
+    from mrbf_spark.__main__ import main
+
+    events = f"{SF_SMOKE}/events.parquet"
+    customer = f"{SF_SMOKE}/customer.parquet"
+
+    assert main(["profile", "--input", events]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if "\tn=" in l]
+    assert len(lines) == 6  # one per events column
+
+    assert main(["validate", "--input", events, "--dim", customer]) == 0
+    # poison: duplicate PK + negative value -> nonzero exit
+    bad = str(tmp_path / "bad")
+    df = load_table(spark, SF_SMOKE, "events").limit(200)
+    df.union(df.limit(1)).withColumn(
+        "value", F.when(F.col("event_id") % 50 == 0, -1.0).otherwise(F.col("value"))
+    ).write.parquet(bad)
+    assert main(["validate", "--input", bad, "--dim", customer]) == 1
+
+    old = str(tmp_path / "old")
+    new = str(tmp_path / "new")
+    d = load_table(spark, SF_SMOKE, "documents")
+    d.filter(F.col("doc_id") < 400).write.parquet(old)
+    d.filter(F.col("doc_id") >= 100).write.parquet(new)
+    out = str(tmp_path / "diffout")
+    assert main(["diff", "--old", old, "--new", new, "--pk", "doc_id", "--out", out]) == 0
+    got = {
+        r["status"]: r["n"]
+        for r in spark.read.parquet(out)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == {"added": 100, "removed": 100, "unchanged": 300}
