@@ -191,6 +191,7 @@ _BNLJ_ALLOWED = {
     "ann_approx_topk",
     "embedding_neardup",  # one-row hyperplane-matrix broadcast attach
     "tpch_suite",  # q22's one-row scalar-threshold broadcast attach
+    "validate_events",  # 1-row scan-agg × 1-row fk-agg report crossJoin
 }
 
 
@@ -232,8 +233,8 @@ def test_catalog_plan_hygiene(spark):
 
 def test_cluster_edges_join_is_bounded_equi(spark):
     """dedup_clusters candidate generation must stay an equi-join on
-    the rare-shingle key — a nested-loop/cartesian here is the
-    O(corpus²) failure mode the rare-frequency cut exists to prevent."""
+    the shingle key (the co-count inverted index) — a nested-loop/
+    cartesian here is the O(corpus²) failure mode the index prevents."""
     from mrbf_spark.functions.dedup import _cluster_edges
 
     docs = load_table(spark, SF_SMOKE, "documents")
@@ -251,3 +252,30 @@ def test_ann_candidate_path_is_jvm_only(spark):
     plan = physical_plan(QS["ann_approx_topk"](spark, SF_SMOKE))
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "PythonUDF"):
         assert marker not in plan, f"ann_approx_topk plan contains {marker}"
+
+
+def test_library_tier_plan_hygiene(spark):
+    """The same scale-anti-pattern sweep over the library/builder tier
+    (bench.legacy_builders): ops outside the 50-entry driver window
+    get the same no-CartesianProduct / no-row-at-a-time-Python /
+    no-unexpected-BNLJ bar as the catalog."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(
+        0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    from bench import legacy_builders
+
+    failures = []
+    for name, fn in legacy_builders().items():
+        if name in QS:
+            continue
+        plan = physical_plan(fn(spark, SF_SMOKE))
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: row-at-a-time Python UDF")
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+            failures.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+    assert not failures, failures
