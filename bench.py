@@ -190,9 +190,21 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": round(sum(timings[n] for n in headline), 3),
         "unit": "sec",
-        "queries": timings,
+        # stdout carries the 17 headline queries only: the driver's
+        # tail capture is ~2 KB and the full ~80-key map overflowed it
+        # (BENCH_r04 parsed: null) — the complete per-query map goes to
+        # bench_full.json + stderr instead.
+        "queries": {n: timings[n] for n in headline},
+        "n_queries_total": len(timings),
+        "queries_full": "bench_full.json",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    full = dict(out)
+    full["queries"] = timings
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    print(json.dumps(full), file=sys.stderr)
     print(json.dumps(out))
 
 

@@ -169,6 +169,9 @@ def cmd_profile(args) -> None:
     spark = _spark(args)
     prof = profile_table(spark.read.parquet(args.input))
     if args.out:
+        # cache around the two actions so the profile aggregate runs
+        # once, not once per action (ADVICE r4)
+        prof = prof.cache()
         prof.write.mode("overwrite").parquet(args.out)
     for r in prof.collect():
         print(
@@ -205,6 +208,9 @@ def cmd_diff(args) -> None:
         spark.read.parquet(args.old), spark.read.parquet(args.new), args.pk
     )
     if args.out:
+        # cache around the two actions so the diff's full-outer join
+        # runs once, not once per action (ADVICE r4)
+        d = d.cache()
         d.write.mode("overwrite").parquet(args.out)
     for r in d.groupBy("status").count().orderBy("status").collect():
         print(f"{r['status']}\t{r['count']}")

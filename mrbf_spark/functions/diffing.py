@@ -33,16 +33,27 @@ BUMP_NEW = 11, 0  # pk % 11 == 0 value doubled in NEW -> 'changed'
 def snapshot_diff(old: DataFrame, new: DataFrame, pk: str) -> DataFrame:
     """(pk, status) for every pk in either snapshot; status in
     added | removed | changed | unchanged. Compares all non-pk
-    columns via a scan-time xxhash64 row digest."""
+    columns via a scan-time xxhash64 row digest.
+
+    Precondition: pk is unique within each snapshot (the validator's
+    pk_unique check is the paired gate) — duplicate pks would fan out
+    through the full-outer join and classify per-pairing."""
     cols = [c for c in old.columns if c != pk]
     if [c for c in new.columns if c != pk] != cols:
         raise ValueError("snapshots must share a schema")
     # xxhash64 SKIPS null inputs (the accumulator passes through), so
     # ('a', NULL) and (NULL, 'a') would otherwise digest identically —
     # interleave per-column null flags to pin each value to its column.
-    hash_in = [x for c in cols for x in (F.col(c), F.col(c).isNull().cast("int"))]
-    o = old.select(F.col(pk), F.xxhash64(*hash_in).alias("oh"))
-    n = new.select(F.col(pk), F.xxhash64(*hash_in).alias("nh"))
+    # A pk-only table has nothing to compare (xxhash64() with zero args
+    # is an AnalysisException): classify purely on pk presence via a
+    # constant digest.
+    if cols:
+        hash_in = [x for c in cols for x in (F.col(c), F.col(c).isNull().cast("int"))]
+        digest = F.xxhash64(*hash_in)
+    else:
+        digest = F.lit(0).cast("long")
+    o = old.select(F.col(pk), digest.alias("oh"))
+    n = new.select(F.col(pk), digest.alias("nh"))
     return (
         o.join(n, pk, "full_outer")
         .select(

@@ -52,6 +52,11 @@ def validate_events(events: DataFrame, customer: DataFrame) -> DataFrame:
         ).alias("bad_ts"),
         viol(F.get_json_object("props", "$.k").isNull()).alias("bad_json"),
     )
+    # NB the json check name says what is actually tested: extraction
+    # of key 'k' — well-formed JSON without 'k' counts as a violation
+    # too (this corpus always carries 'k'; a schema-free
+    # well-formedness probe would need try_parse_json / json_valid,
+    # which Spark and DuckDB don't expose compatibly).
     fk = (
         events.select("user_id")
         .join(
@@ -71,7 +76,7 @@ def validate_events(events: DataFrame, customer: DataFrame) -> DataFrame:
         ("value_below_cap", F.col("cap_value")),
         ("event_type_allowed", F.col("bad_type")),
         ("ts_in_range", F.col("bad_ts")),
-        ("props_json_valid", F.col("bad_json")),
+        ("props_has_k", F.col("bad_json")),
         ("fk_user_in_customer", F.col("fk_viol")),
     ]
     report = F.explode(
@@ -130,7 +135,7 @@ def validate_events_duckdb_sql() -> str:
       UNION ALL SELECT 'value_below_cap', cap_value FROM scan
       UNION ALL SELECT 'event_type_allowed', bad_type FROM scan
       UNION ALL SELECT 'ts_in_range', bad_ts FROM scan
-      UNION ALL SELECT 'props_json_valid', bad_json FROM scan
+      UNION ALL SELECT 'props_has_k', bad_json FROM scan
       UNION ALL SELECT 'fk_user_in_customer', fk_viol FROM fk)
     SELECT "check", violations, violations = 0 AS ok FROM rep
     """
@@ -165,12 +170,24 @@ def _profile_kind(dt: str) -> str:
         return "float"
     if dt.startswith("timestamp"):
         return "timestamp"
-    return "string"
+    if dt == "boolean":
+        return "bool"
+    if dt == "date":
+        return "date"
+    if dt == "string":
+        return "string"
+    # array/map/struct/binary/...: length/distinct/min/max are not
+    # analysis-safe across engines (count_distinct fails on maps,
+    # LENGTH on arrays) — profile presence only (n, nulls).
+    return "other"
 
 
 def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """(column, dtype, n, nulls, n_distinct, min_q, max_q, avg_len_q)
-    — one row per column, all-BIGINT metrics (see block comment)."""
+    — one row per column, all-BIGINT metrics (see block comment).
+    Scalar columns get the full metric set; complex columns
+    (array/map/struct/binary) profile presence only — n and nulls —
+    since distinct/length/min/max aren't analysis-safe on them."""
     kinds = {f.name: _profile_kind(f.dataType.simpleString()) for f in df.schema}
     cols = cols or [f.name for f in df.schema]
     nl = F.lit(None).cast("long")
@@ -178,18 +195,19 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     for c in cols:
         k = kinds[c]
         col = F.col(c)
-        if k == "int":
+        if k == "int" or k == "bool":
             fx = col.cast("long")
         elif k == "float":
             fx = (col.cast("double") * PROFILE_FIXED).cast("long")
         elif k == "timestamp":
             fx = F.unix_micros(col.cast("timestamp"))
+        elif k == "date":
+            fx = F.unix_date(col)  # days since epoch, exact
         else:
             fx = None
-        aggs += [
-            F.count(col).alias(f"{c}__nn"),
-            F.count_distinct(col).alias(f"{c}__nd"),
-        ]
+        aggs.append(F.count(col).alias(f"{c}__nn"))
+        if k != "other":
+            aggs.append(F.count_distinct(col).alias(f"{c}__nd"))
         aggs += [] if fx is None else [
             F.min(fx).alias(f"{c}__min"),
             F.max(fx).alias(f"{c}__max"),
@@ -202,7 +220,7 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
                 F.lit(k).alias("dtype"),
                 F.col("__n").alias("n"),
                 (F.col("__n") - F.col(f"{c}__nn")).alias("nulls"),
-                F.col(f"{c}__nd").alias("n_distinct"),
+                (nl if k == "other" else F.col(f"{c}__nd")).alias("n_distinct"),
                 (nl if fx is None else F.col(f"{c}__min")).alias("min_q"),
                 (nl if fx is None else F.col(f"{c}__max")).alias("max_q"),
                 (
@@ -222,7 +240,7 @@ def profile_duckdb_sql(table: str, kinds: list[tuple[str, str]]) -> str:
     engines profile the same columns the same way)."""
     parts = []
     for c, k in kinds:
-        if k == "int":
+        if k == "int" or k == "bool":
             fx = f'CAST("{c}" AS BIGINT)'
         elif k == "float":
             # TRUNC before the cast: DuckDB's double->BIGINT cast
@@ -230,10 +248,17 @@ def profile_duckdb_sql(table: str, kinds: list[tuple[str, str]]) -> str:
             fx = f'CAST(TRUNC(CAST("{c}" AS DOUBLE) * {PROFILE_FIXED}) AS BIGINT)'
         elif k == "timestamp":
             fx = f'epoch_us("{c}")'
+        elif k == "date":
+            fx = f'CAST("{c}" - DATE \'1970-01-01\' AS BIGINT)'
         else:
             fx = None
         mn = f"MIN({fx})" if fx else "CAST(NULL AS BIGINT)"
         mx = f"MAX({fx})" if fx else "CAST(NULL AS BIGINT)"
+        nd = (
+            "CAST(NULL AS BIGINT)"
+            if k == "other"
+            else f'CAST(COUNT(DISTINCT "{c}") AS BIGINT)'
+        )
         al = (
             f'(CAST(SUM(LENGTH("{c}")) AS BIGINT) * {PROFILE_FIXED})'
             f' // nullif(COUNT("{c}"), 0)'
@@ -244,7 +269,7 @@ def profile_duckdb_sql(table: str, kinds: list[tuple[str, str]]) -> str:
             f"""SELECT '{c}' AS "column", '{k}' AS dtype,
                    CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(COUNT(*) - COUNT("{c}") AS BIGINT) AS nulls,
-                   CAST(COUNT(DISTINCT "{c}") AS BIGINT) AS n_distinct,
+                   {nd} AS n_distinct,
                    {mn} AS min_q, {mx} AS max_q, {al} AS avg_len_q
             FROM {table}"""
         )

@@ -29,6 +29,26 @@ from ..functions.validation import validate_events
 from ..tables import load_events_stream
 
 
+def write_batch_report(
+    batch_df: DataFrame, batch_id: int, customer: DataFrame, report_dir: str
+) -> None:
+    """Validate one micro-batch and write its 11-row report
+    IDEMPOTENTLY: the log is partitioned by batch_id and each write
+    dynamically overwrites only its own batch_id partition, so a
+    failed-and-retried micro-batch (foreachBatch is at-least-once for
+    non-idempotent sinks) replaces its rows instead of duplicating
+    them (ADVICE r4)."""
+    report = validate_events(batch_df, customer).select(
+        F.lit(batch_id).cast("long").alias("batch_id"), "*"
+    )
+    (
+        report.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(report_dir)
+    )
+
+
 def streaming_validate_events(
     spark: SparkSession,
     src_glob: str,
@@ -37,9 +57,10 @@ def streaming_validate_events(
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
 ):
-    """Start an availableNow stream that appends one 11-row constraint
-    report per micro-batch to ``report_dir`` (columns: batch_id,
-    check, violations, ok). Returns the StreamingQuery."""
+    """Start an availableNow stream that writes one 11-row constraint
+    report per micro-batch to ``report_dir`` (columns: check,
+    violations, ok, partitioned by batch_id). Returns the
+    StreamingQuery."""
     opts = (
         {"maxFilesPerTrigger": str(max_files_per_trigger)}
         if max_files_per_trigger
@@ -48,10 +69,7 @@ def streaming_validate_events(
     ev = load_events_stream(spark, src_glob, options=opts)
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
-        report = validate_events(batch_df, customer).select(
-            F.lit(batch_id).cast("long").alias("batch_id"), "*"
-        )
-        report.write.mode("append").parquet(report_dir)
+        write_batch_report(batch_df, batch_id, customer, report_dir)
 
     return (
         ev.writeStream.foreachBatch(gate)

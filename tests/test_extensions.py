@@ -1341,8 +1341,8 @@ def test_validate_events_planted_violations(spark):
     assert rep["value_below_cap"] == 1
     assert rep["event_type_allowed"] == 1
     assert rep["ts_in_range"] == 1
-    # 'not json' AND the null-props row both fail json extraction
-    assert rep["props_json_valid"] == 2
+    # 'not json' AND the null-props row both fail key extraction
+    assert rep["props_has_k"] == 2
     # null user_id never matches the dim; 999 is genuinely absent
     assert rep["fk_user_in_customer"] == 2
 
@@ -1561,6 +1561,72 @@ def test_snapshot_diff_null_shift_not_aliased(spark):
     new = spark.createDataFrame([(7, None, "q")], "pk long, a string, b string")
     [row] = snapshot_diff(old, new, "pk").collect()
     assert row["status"] == "changed"
+
+
+def test_snapshot_diff_pk_only_table(spark):
+    """A table whose only column is the pk diffs on presence alone
+    (constant digest — xxhash64 with zero args would be an
+    AnalysisException; ADVICE r4)."""
+    from mrbf_spark.functions.diffing import snapshot_diff
+
+    old = spark.createDataFrame([(1,), (2,)], "pk long")
+    new = spark.createDataFrame([(2,), (3,)], "pk long")
+    got = {r["pk"]: r["status"] for r in snapshot_diff(old, new, "pk").collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "added"}
+
+
+def test_profile_table_complex_and_temporal_types(spark):
+    """array/map columns profile presence-only (n, nulls) instead of
+    failing analysis; bool and date columns get exact min/max
+    (ADVICE r4)."""
+    from datetime import date
+
+    from mrbf_spark.functions.validation import profile_table
+
+    df = spark.createDataFrame(
+        [
+            (1, [1, 2], {"a": 1}, True, date(2024, 1, 5)),
+            (2, [], None, False, date(2023, 12, 31)),
+            (3, None, {"b": 2}, None, None),
+        ],
+        "i long, arr array<int>, m map<string,int>, flag boolean, d date",
+    )
+    prof = {r["column"]: r.asDict() for r in profile_table(df).collect()}
+    assert prof["arr"]["dtype"] == "other" and prof["m"]["dtype"] == "other"
+    assert prof["arr"]["n"] == 3 and prof["arr"]["nulls"] == 1
+    assert prof["m"]["nulls"] == 1 and prof["m"]["n_distinct"] is None
+    assert prof["arr"]["min_q"] is None and prof["arr"]["avg_len_q"] is None
+    assert prof["flag"]["dtype"] == "bool"
+    assert (prof["flag"]["min_q"], prof["flag"]["max_q"]) == (0, 1)
+    assert prof["d"]["dtype"] == "date"
+    assert prof["d"]["min_q"] == (date(2023, 12, 31) - date(1970, 1, 1)).days
+    assert prof["d"]["max_q"] == (date(2024, 1, 5) - date(1970, 1, 1)).days
+    assert prof["d"]["nulls"] == 1 and prof["d"]["n_distinct"] == 2
+
+
+def test_streaming_validate_report_idempotent(spark, tmp_path):
+    """Replaying a micro-batch (foreachBatch's at-least-once retry)
+    must overwrite its own batch_id partition, not append duplicate
+    report rows (ADVICE r4)."""
+    from datetime import datetime
+
+    from mrbf_spark.streaming.validate_stream import write_batch_report
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    batch = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 10, "click", 1.0, '{"k": 1}')], schema
+    )
+    customer = spark.createDataFrame([(10,)], "c_custkey long")
+    report_dir = str(tmp_path / "report")
+    write_batch_report(batch, 0, customer, report_dir)
+    write_batch_report(batch, 0, customer, report_dir)  # the retry
+    write_batch_report(batch, 1, customer, report_dir)  # a later batch
+    rep = spark.read.parquet(report_dir)
+    assert rep.count() == 22  # 11 per surviving batch, no duplicates
+    assert rep.filter("batch_id = 0").count() == 11
 
 
 def test_cli_profile_validate_diff(spark, tmp_path, capsys):
