@@ -163,15 +163,17 @@ PPL_BUCKETS = 3
 _PPL_LABELS = ("head", "middle", "tail")
 
 
-def _distributed_rank(df: DataFrame, order_cols: list[str]) -> DataFrame:
-    """df + a global 1-based `rank` over order_cols WITHOUT a
-    single-partition window — the packed_layout 3-phase shape:
-    range-repartition on the order columns (sampled boundaries, the
-    global-sort machinery), parallel per-partition row_number, then
-    one count per partition to the driver, prefix-summed and
-    broadcast back as offsets. The order key must be unique (pass a
-    tiebreaker column) or cross-partition ties make the rank
-    partition-placement-dependent."""
+def _distributed_rank(df: DataFrame, order_cols: list[str]) -> tuple[DataFrame, int]:
+    """(df + a global 1-based `rank` over order_cols, total row count)
+    WITHOUT a single-partition window — the packed_layout 3-phase
+    shape: range-repartition on the order columns (sampled boundaries,
+    the global-sort machinery), parallel per-partition row_number,
+    then one count per partition to the driver, prefix-summed and
+    broadcast back as offsets. The exact total falls out of the same
+    prefix sum (the final accumulator), so callers never need a
+    second counting pass over the ranked plan (VERDICT r4). The order
+    key must be unique (pass a tiebreaker column) or cross-partition
+    ties make the rank partition-placement-dependent."""
     from pyspark.sql import Window as W
 
     spark = df.sparkSession
@@ -189,11 +191,12 @@ def _distributed_rank(df: DataFrame, order_cols: list[str]) -> DataFrame:
         offsets.append((pid, acc))
         acc += int(c)
     off = spark.createDataFrame(offsets, "__pid int, __offset bigint")
-    return (
+    ranked = (
         local.join(F.broadcast(off), "__pid")
         .withColumn("rank", (F.col("__rn") + F.col("__offset")).cast("long"))
         .drop("__pid", "__rn", "__offset")
     )
+    return ranked, acc
 
 
 def perplexity_buckets(docs: DataFrame, k: int = PPL_BUCKETS) -> DataFrame:
@@ -202,10 +205,13 @@ def perplexity_buckets(docs: DataFrame, k: int = PPL_BUCKETS) -> DataFrame:
     (the same closed form the DuckDB twin computes; NTILE is avoided
     because its remainder distribution differs from this formula).
     One bounded driver action (per-partition counts) beyond the LM
-    scan; no single-task stage."""
-    scores = lm_score(docs).select("doc_id", "cross_entropy")
-    ranked = _distributed_rank(scores, ["cross_entropy", "doc_id"])
-    n = ranked.count()
+    scan; no single-task stage. The score table is scoped-cached: the
+    rank pass and the returned plan both consume it, and without the
+    cache each action replays the whole LM pipeline (VERDICT r4)."""
+    from ..registry import scoped_cache
+
+    scores = scoped_cache(lm_score(docs).select("doc_id", "cross_entropy"))
+    ranked, n = _distributed_rank(scores, ["cross_entropy", "doc_id"])
     bucket = F.least(
         F.lit(k - 1),
         F.floor((F.col("rank") - 1) * F.lit(k) / F.lit(float(n))).cast("int"),
