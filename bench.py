@@ -94,6 +94,14 @@ def legacy_builders() -> dict:
         "corpus_mixture": _sampling.corpus_mixture,
         "stratified_sample": _sampling.stratified_sample,
         "doc_fingerprint": _text.doc_fingerprint,
+        # consolidated in r5 (slots freed to promote the library tier
+        # into the driver-checked catalog); keys kept so BENCH timings
+        # stay comparable round over round
+        "repetition_stats": _text.repetition_stats,
+        "quality_lang": _text.quality_lang,
+        "session_window_agg": windows.session_window_agg,
+        "lm_cross_entropy": _lm.lm_cross_entropy,
+        "sequence_packing": _packing.sequence_packing,
         # NOT a consolidation: the catalog's dedup_minhash_lsh computes
         # the EXACT Jaccard-≥0.2 pair set since r4 (hash-matched oracle,
         # strictly more work than r3's τ=0.5 LSH candidates). This key

