@@ -66,6 +66,7 @@ def legacy_builders() -> dict:
     from mrbf_spark.functions import diffing as _diffing
     from mrbf_spark.functions import retrieval as _retrieval
     from mrbf_spark.functions import sampling as _sampling
+    from mrbf_spark.functions import sketches as _sketches
     from mrbf_spark.functions import text as _text
     from mrbf_spark.operators import bloom_queries, relational, skew
     from mrbf_spark.streaming import windows
@@ -134,6 +135,10 @@ def legacy_builders() -> dict:
             _tables.load_table(spark, sf_dir, "events")
         ),
         "snapshot_diff": _diffing.diff_events,
+        # r5 deterministic sketch family (registered via
+        # stats_aggregates parts; timed standalone here)
+        "kmv_distinct": _sketches.kmv_distinct,
+        "cms_frequencies": _sketches.cms_frequencies,
     }
 
 

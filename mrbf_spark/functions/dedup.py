@@ -25,6 +25,12 @@ from ..registry import register, scoped_cache
 from ..tables import load_table
 from .text import FINGERPRINT_SQL, fingerprint_col
 
+# Broadcast ceiling for the exact-Jaccard max_df drop-list (hot
+# shingles, bounded by |index|/max_df): 1M 8-byte keys ≈ 8 MB payload,
+# comfortably under any executor's broadcast budget.
+_MAX_HOT_BROADCAST_ROWS = 1_000_000
+
+
 # ---------------------------------------------------------------- exact
 
 
@@ -487,9 +493,35 @@ def exact_jaccard_pairs(
         "doc_id", F.size("shingles").alias("n"), F.explode_outer("shingles").alias("s")
     )
     if max_df is not None:
+        # Apply the cap as a broadcast ANTI-join on the DROP-list, not
+        # a shuffled semi-join on the keep-list. The keep-list is the
+        # long tail (most shingles are rare) — joining on it shuffles
+        # the whole inverted index by shingle, and the hot shingle's
+        # f·N rows land in ONE reduce partition before the cap drops
+        # them (the 2.03× skew ratio in SCALING.md r4). The drop-list
+        # is bounded by |index|/max_df and on any real corpus is the
+        # boilerplate set — broadcasting it keeps the cap map-side, so
+        # the hot rows die in place without ever shuffling on the hot
+        # key. The census groupBy itself is partial-agg'd (hot shingle
+        # collapses to one row per map task). Plan-time count guards
+        # the broadcast ceiling; past it, fall back to the shuffled
+        # keep-list semi-join (identical semantics: every index row's
+        # shingle appears in the census, so anti(df>D) == semi(df<=D)).
         dfs = inv.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
-        inv = inv.join(dfs.filter(F.col("__df") <= max_df), "s", "left_semi")
-    inv = scoped_cache(inv)
+        hot = scoped_cache(dfs.filter(F.col("__df") > max_df).select("s"))
+        if hot.count() <= _MAX_HOT_BROADCAST_ROWS:
+            inv = inv.join(F.broadcast(hot), "s", "left_anti")
+        else:
+            inv = inv.join(dfs.filter(F.col("__df") <= max_df), "s", "left_semi")
+    # Cache the index ALREADY hash-partitioned by shingle: the cached
+    # relation's outputPartitioning satisfies the self-join's
+    # requirement on BOTH aliases, so the join adds zero Exchange
+    # (plan-pinned in tests). One uniform shuffle here replaces two
+    # post-cache shuffles — and under max_df it runs on the CAPPED
+    # rows, after the broadcast anti-join dropped the hot shingles
+    # map-side (the r4 semi-join shuffled the pre-cap index, hot key
+    # included — SCALING.md's 2× skew ratio was exactly that).
+    inv = scoped_cache(inv.repartition("s"))
     inv.count()  # materialize — see docstring
     a, b = inv.alias("a"), inv.alias("b")
     raw = a.join(

@@ -1,0 +1,296 @@
+"""Deterministic, mergeable sketches over a portable hash family.
+
+The classic scale primitives — distinct-count and frequency sketches —
+re-done the way this repo does everything probabilistic: the random
+oracle is md5 over a seeded string key, so the sketch is a PURE
+function of the data. That buys (a) driver hash-match against a DuckDB
+replay of the identical pipeline (most sketch libraries can only be
+range-tested), (b) reproducibility across runs/partitionings/engines,
+(c) mergeability you can property-test exactly (sketch(A ∪ B) ==
+merge(sketch(A), sketch(B)) as VALUES, not distributions).
+
+Two sketches:
+
+* KMV (k-minimum-values) distinct count — Bar-Yossef et al. 2002,
+  "Counting distinct elements in a data stream". Keep the k smallest
+  hash values per group; with the hash uniform on [0, 2^60), the kth
+  smallest h_(k) estimates n̂ = (k−1)·2^60 / h_(k). Relative error
+  ~1/√k. The whole sketch is the k values themselves — mergeable by
+  "union then re-take k smallest".
+
+  Plan shape (100 TB): distinct (group, h) is a partial-aggregated
+  dedup (hot groups collapse map-side); the per-group k-smallest is a
+  rank window that Spark rewrites to WindowGroupLimit — a map-side
+  partial top-k per group BEFORE the shuffle (same optimization the
+  catalog pins for topk_order_limit), so no group's full distinct set
+  ever sorts on one task. The exact-distinct comparison column is the
+  verification harness, not the product (at 100 TB you'd drop it —
+  it is the cost the sketch exists to avoid).
+
+* Count-min frequency sketch — Cormode & Muthukrishnan 2005. depth×
+  width counter grid; counter(i, b) = Σ rows with hash_i(item) ≡ b
+  (mod width); est(item) = min_i counter(i, hash_i(item)). Never
+  underestimates; overestimates by collision mass ≤ 2·n/width with
+  prob ≥ 1 − 2^−depth per probe.
+
+  Plan shape: the grid build is ONE groupBy(depth_i, bucket) over
+  rows exploded ×depth — partial aggregation collapses every input
+  partition to ≤ depth·width rows regardless of input size or item
+  skew (a hot item hammers ONE counter per row of the grid — the
+  hottest possible key costs the same 4 KB grid). The probe side
+  joins a bounded candidate list against the depth·width grid —
+  broadcast-sized by construction.
+
+No counterpart in the reference repo (its one sketch is the Bloom
+filter, bloom/core.py); this extends the same membership-sketch idea
+to cardinality and frequency, the other two pillars of approximate
+query processing at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..registry import builder
+from ..tables import load_table
+
+SKETCH_SEED = 7
+KMV_K = 64
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_PROBE_TOPN = 10
+
+# 16^15 = 2^60: the hash domain — first 15 hex chars of md5, exactly
+# representable in BIGINT (and in a double's integer range product
+# rules both engines share).
+_DOMAIN = 1 << 60
+
+_NULL_L = "CAST(NULL AS BIGINT)"
+_NULL_D = "CAST(NULL AS DOUBLE)"
+_NULL_I = "CAST(NULL AS INTEGER)"
+
+
+def _h60(col, salt: str):
+    """Portable 60-bit hash: conv(substr(md5('<salt>:<v>'), 1, 15), 16, 10).
+    Same construction as sampling.shard_key_col — non-negative, so %
+    and pmod agree across engines."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), col.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def _h60_sql(expr: str, salt: str) -> str:
+    return (
+        f"('0x' || substr(md5('{salt}' || ':' || CAST({expr} AS VARCHAR)), 1, 15))"
+        "::BIGINT"
+    )
+
+
+# ------------------------------------------------------------- KMV
+
+
+def kmv_sketch(df: DataFrame, group_col: str, item_col: str, k: int = KMV_K) -> DataFrame:
+    """The raw sketch: per group, the k smallest distinct 60-bit item
+    hashes, ranked. (group, rnk, h) — this is the mergeable state."""
+    hashed = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            _h60(F.col(item_col), f"kmv{SKETCH_SEED}").alias("h"),
+        )
+        .groupBy("grp", "h")
+        .agg(F.lit(1))  # distinct via partial-agg (no Expand)
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        hashed.select("grp", "h", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """merge(sketch(A), sketch(B)) = union, re-dedup, re-take k
+    smallest — the associative/commutative KMV merge."""
+    u = a.select("grp", "h").unionByName(b.select("grp", "h")).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        u.select("grp", "h", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+    """(grp, kmv_n, kth_min, est): n̂ = (k−1)·2^60/h_(k) when the
+    sketch is full, else the sketch size itself (it saw every hash).
+    est is a double (IEEE division — both engines identical given
+    identical integer inputs, the jaccard precedent)."""
+    agg = sketch.groupBy("grp").agg(
+        F.max("rnk").alias("kmv_n"), F.max("h").alias("kth_min")
+    )
+    return agg.select(
+        "grp",
+        "kmv_n",
+        "kth_min",
+        F.when(F.col("kmv_n") < k, F.col("kmv_n").cast("double")).otherwise(
+            F.lit(float(k - 1)) * F.lit(float(_DOMAIN)) / F.col("kth_min").cast("double")
+        ).alias("est"),
+    )
+
+
+_KMV_SQL = f"""
+    WITH kmv_hashed AS (
+        SELECT DISTINCT event_type AS grp,
+               {_h60_sql('user_id', f'kmv{SKETCH_SEED}')} AS h
+        FROM events
+    ),
+    kmv_ranked AS (
+        SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rnk
+        FROM kmv_hashed
+    ),
+    kmv_agg AS (
+        SELECT grp, MAX(rnk) AS kmv_n, MAX(h) AS kth_min
+        FROM kmv_ranked WHERE rnk <= {KMV_K} GROUP BY grp
+    ),
+    kmv_exact AS (
+        SELECT event_type AS grp, COUNT(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY event_type
+    )
+    SELECT a.grp AS key, e.n_exact AS n, a.kth_min AS stat,
+           CAST(CASE WHEN a.kmv_n < {KMV_K} THEN CAST(a.kmv_n AS DOUBLE)
+                ELSE {float(KMV_K - 1)} * {float(_DOMAIN)} / CAST(a.kth_min AS DOUBLE)
+                END AS DOUBLE) AS v,
+           CAST(abs(CASE WHEN a.kmv_n < {KMV_K} THEN CAST(a.kmv_n AS DOUBLE)
+                    ELSE {float(KMV_K - 1)} * {float(_DOMAIN)} / CAST(a.kth_min AS DOUBLE)
+                    END - e.n_exact) / e.n_exact <= 0.35 AS INTEGER) AS ok
+    FROM kmv_agg a JOIN kmv_exact e ON a.grp = e.grp
+"""
+
+
+@builder("kmv_distinct", _KMV_SQL)
+def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type distinct-user estimate: (key, n=exact distinct,
+    stat=kth smallest hash [the sketch statistic, integer-exact],
+    v=estimate, ok=within the 0.35 error envelope for k=64). Exact
+    distinct rides along as the verification column (see module doc)."""
+    ev = load_table(spark, sf_dir, "events")
+    est = kmv_estimate(kmv_sketch(ev, "event_type", "user_id"))
+    exact = (
+        ev.groupBy(F.col("event_type").alias("grp"), "user_id")
+        .agg(F.lit(1))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return est.join(exact, "grp").select(
+        F.col("grp").alias("key"),
+        F.col("n_exact").alias("n"),
+        F.col("kth_min").alias("stat"),
+        F.col("est").alias("v"),
+        (F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact") <= 0.35)
+        .cast("int")
+        .alias("ok"),
+    )
+
+
+# ------------------------------------------------------------- CMS
+
+
+def cms_counters(df: DataFrame, item_col: str, depth: int = CMS_DEPTH,
+                 width: int = CMS_WIDTH) -> DataFrame:
+    """(i, bucket, cnt): the depth×width counter grid. One exploded
+    groupBy; partial agg bounds every map task's output at depth·width
+    rows whatever the item skew."""
+    rows = df.select(F.col(item_col).cast("string").alias("item"))
+    i = F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("i")
+    return (
+        rows.select("item", i)
+        .select(
+            "i",
+            F.pmod(_h60(F.col("item"), F.concat(F.lit(f"cms{SKETCH_SEED}d"), F.col("i").cast("string"))), F.lit(width)).alias("bucket"),
+        )
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_probe(counters: DataFrame, items: DataFrame, item_col: str = "item",
+              depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """(item, cms_n): min over the depth rows of each probe item's
+    counter. items is a bounded candidate list; the join is
+    item×depth vs the ≤depth·width grid — broadcast-sized."""
+    i = F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("i")
+    probes = items.select(F.col(item_col).cast("string").alias("item")).select(
+        "item", i
+    ).select(
+        "item",
+        "i",
+        F.pmod(_h60(F.col("item"), F.concat(F.lit(f"cms{SKETCH_SEED}d"), F.col("i").cast("string"))), F.lit(width)).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy("item")
+        .agg(F.min("cnt").alias("cms_n"))
+    )
+
+
+def _cms_bucket_sql(i_expr: str, item_expr: str) -> str:
+    return (
+        f"(('0x' || substr(md5('cms{SKETCH_SEED}d' || CAST({i_expr} AS VARCHAR)"
+        f" || ':' || CAST({item_expr} AS VARCHAR)), 1, 15))::BIGINT % {CMS_WIDTH})"
+    )
+
+
+_CMS_SQL = f"""
+    WITH cms_rows AS (
+        SELECT CAST(user_id AS VARCHAR) AS user_id, i
+        FROM events, (SELECT UNNEST(range({CMS_DEPTH})) AS i)
+    ),
+    cms_grid AS (
+        SELECT i, {_cms_bucket_sql('i', 'user_id')} AS bucket, COUNT(*) AS cnt
+        FROM cms_rows GROUP BY 1, 2
+    ),
+    cms_top AS (
+        SELECT CAST(user_id AS VARCHAR) AS user_id, COUNT(*) AS true_n
+        FROM events GROUP BY 1
+        ORDER BY true_n DESC, CAST(user_id AS VARCHAR) ASC
+        LIMIT {CMS_PROBE_TOPN}
+    ),
+    cms_probe AS (
+        SELECT t.user_id, t.true_n, MIN(g.cnt) AS cms_n
+        FROM (SELECT user_id, true_n, i
+              FROM cms_top, (SELECT UNNEST(range({CMS_DEPTH})) AS i)) t
+        JOIN cms_grid g
+          ON g.i = t.i AND g.bucket = {_cms_bucket_sql('t.i', 't.user_id')}
+        GROUP BY t.user_id, t.true_n
+    )
+    SELECT user_id AS key, true_n AS n, cms_n AS stat, {_NULL_D} AS v,
+           CAST(cms_n >= true_n AS INTEGER) AS ok
+    FROM cms_probe
+"""
+
+
+@builder("cms_frequencies", _CMS_SQL)
+def cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min probe of the exact top-10 users: (key=user_id,
+    n=true count, stat=CMS estimate, ok=never-underestimates flag —
+    a CMS invariant, so always 1). The exact top-10 is the probe
+    harness (a real pipeline probes candidates from elsewhere); the
+    grid build is the scale path under test."""
+    ev = load_table(spark, sf_dir, "events")
+    grid = cms_counters(ev, "user_id")
+    top = (
+        ev.groupBy(F.col("user_id").cast("string").alias("item"))
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.desc("true_n"), F.asc("item"))
+        .limit(CMS_PROBE_TOPN)
+    )
+    probed = cms_probe(grid, top)
+    return top.join(probed, "item").select(
+        F.col("item").alias("key"),
+        F.col("true_n").alias("n"),
+        F.col("cms_n").alias("stat"),
+        F.lit(None).cast("double").alias("v"),
+        (F.col("cms_n") >= F.col("true_n")).cast("int").alias("ok"),
+    )

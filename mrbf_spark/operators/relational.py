@@ -1775,41 +1775,70 @@ def median_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- statistical-aggregate family in one registration (r4): HLL/
-# percentile sketches with exact error bounds + exact disc/cont
-# medians; slot freed for pii_redaction.
+# Imported for the BUILDER_SQL side effect (kmv_distinct /
+# cms_frequencies oracles), composed into stats_aggregates below.
+from ..functions import sketches as _sketches  # noqa: E402,F401
+
+# --- statistical-aggregate family in one registration (r4, widened
+# r5): HLL/percentile sketches with exact error bounds + exact
+# disc/cont medians + the deterministic KMV distinct and count-min
+# frequency sketches (functions/sketches.py — portable md5 hash
+# family, so the whole sketch pipeline replays in the oracle).
+# Generic union slots: key (string), n (BIGINT), stat (BIGINT:
+# exact_parts / kth-min hash / CMS estimate), ok1/ok2 (nullable INT
+# flags — the hash-proven NULL-slot pattern, bool+NULL pandas dtypes
+# differ between the engines' toPandas paths), v1/v2 (doubles:
+# medians / KMV estimate).
 @register(
     "stats_aggregates",
     f"""
-    SELECT 'approx' AS part, l_returnflag, n, exact_parts,
-           CAST(approx_parts_ok AS INTEGER) AS approx_parts_ok,
-           CAST(approx_median_ok AS INTEGER) AS approx_median_ok,
-           {_NULL_D} AS median_price, {_NULL_D} AS median_qty
+    SELECT 'approx' AS part, l_returnflag AS key, n, exact_parts AS stat,
+           CAST(approx_parts_ok AS INTEGER) AS ok1,
+           CAST(approx_median_ok AS INTEGER) AS ok2,
+           {_NULL_D} AS v1, {_NULL_D} AS v2
     FROM ({BUILDER_SQL['approx_aggregates']})
     UNION ALL
-    SELECT 'median' AS part, l_returnflag, n, {_NULL_L} AS exact_parts,
-           {_NULL_I} AS approx_parts_ok, {_NULL_I} AS approx_median_ok,
-           median_price, median_qty
+    SELECT 'median' AS part, l_returnflag AS key, n, {_NULL_L} AS stat,
+           {_NULL_I} AS ok1, {_NULL_I} AS ok2,
+           median_price AS v1, median_qty AS v2
     FROM ({BUILDER_SQL['median_stats']})
+    UNION ALL
+    SELECT 'kmv' AS part, key, n, stat, ok AS ok1, {_NULL_I} AS ok2,
+           v AS v1, {_NULL_D} AS v2
+    FROM ({BUILDER_SQL['kmv_distinct']})
+    UNION ALL
+    SELECT 'cms' AS part, key, n, stat, ok AS ok1, {_NULL_I} AS ok2,
+           {_NULL_D} AS v1, {_NULL_D} AS v2
+    FROM ({BUILDER_SQL['cms_frequencies']})
     """,
 )
 def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ok-flags ride as nullable INTEGER, not BOOLEAN: nullable ints are
-    # the hash-proven NULL-slot pattern (temporal_joins), bool+NULL
-    # pandas dtypes differ between the two engines' toPandas paths.
+    from ..functions.sketches import cms_frequencies, kmv_distinct
+
     ni = F.lit(None).cast("int")
     a = approx_aggregates(spark, sf_dir).select(
-        F.lit("approx").alias("part"), "l_returnflag", "n", "exact_parts",
-        F.col("approx_parts_ok").cast("int").alias("approx_parts_ok"),
-        F.col("approx_median_ok").cast("int").alias("approx_median_ok"),
-        _nd().alias("median_price"), _nd().alias("median_qty"),
+        F.lit("approx").alias("part"), F.col("l_returnflag").alias("key"),
+        "n", F.col("exact_parts").alias("stat"),
+        F.col("approx_parts_ok").cast("int").alias("ok1"),
+        F.col("approx_median_ok").cast("int").alias("ok2"),
+        _nd().alias("v1"), _nd().alias("v2"),
     )
     m = median_stats(spark, sf_dir).select(
-        F.lit("median").alias("part"), "l_returnflag", "n",
-        _nl().alias("exact_parts"), ni.alias("approx_parts_ok"),
-        ni.alias("approx_median_ok"), "median_price", "median_qty",
+        F.lit("median").alias("part"), F.col("l_returnflag").alias("key"),
+        "n", _nl().alias("stat"), ni.alias("ok1"), ni.alias("ok2"),
+        F.col("median_price").alias("v1"), F.col("median_qty").alias("v2"),
     )
-    return a.unionByName(m)
+    k = kmv_distinct(spark, sf_dir).select(
+        F.lit("kmv").alias("part"), "key", "n", "stat",
+        F.col("ok").alias("ok1"), ni.alias("ok2"),
+        F.col("v").alias("v1"), _nd().alias("v2"),
+    )
+    c = cms_frequencies(spark, sf_dir).select(
+        F.lit("cms").alias("part"), "key", "n", "stat",
+        F.col("ok").alias("ok1"), ni.alias("ok2"),
+        _nd().alias("v1"), _nd().alias("v2"),
+    )
+    return a.unionByName(m).unionByName(k).unionByName(c)
 
 
 # --- temporal join family: as-of (running last_value vs DuckDB's

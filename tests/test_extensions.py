@@ -175,6 +175,30 @@ def test_exact_jaccard_max_df_drops_boilerplate_keeps_neardups(spark):
     assert capped[(100, 101)] == exact[(100, 101)]
 
 
+def test_exact_jaccard_max_df_semi_join_fallback_identical(spark, monkeypatch):
+    """Past the drop-list broadcast ceiling the cap falls back to the
+    shuffled keep-list semi-join; both paths must emit the identical
+    pair set (anti(df>D) == semi(df<=D) since every index row's shingle
+    appears in the census)."""
+    from mrbf_spark.functions import dedup
+
+    hot = "the same boilerplate text repeated verbatim across the corpus shard"
+    base = " ".join(f"u{i}" for i in range(30))
+    near = base.replace("u29", "v29")
+    rows = [(i, hot) for i in range(60)] + [(100, base), (101, near)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bcast = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.exact_jaccard_pairs(docs, 0.2, max_df=10).collect()
+    }
+    monkeypatch.setattr(dedup, "_MAX_HOT_BROADCAST_ROWS", 0)
+    semi = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.exact_jaccard_pairs(docs, 0.2, max_df=10).collect()
+    }
+    assert bcast == semi == {(100, 101): bcast[(100, 101)]}
+
+
 def test_exact_jaccard_hashed_equals_string(spark):
     """exact_jaccard_pairs(hashed=True) — the 8-byte-shuffle-key scale
     variant gated on the corpus injectivity certificate — must return

@@ -280,3 +280,46 @@ def test_library_tier_plan_hygiene(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
             failures.append(f"{name}: unexpected BroadcastNestedLoopJoin")
     assert not failures, failures
+
+
+def _walk_exec(node):
+    yield node
+    for i in range(node.children().size()):
+        yield from _walk_exec(node.children().apply(i))
+
+
+def test_jaccard_selfjoin_reuses_cached_partitioning(spark):
+    """exact_jaccard_pairs caches the inverted index repartition('s'):
+    the cached relation's outputPartitioning must satisfy BOTH sides
+    of the shingle self-join, so the join subtree adds ZERO Exchange
+    above the InMemoryTableScans (one uniform shuffle at cache time
+    replaces two post-cache shuffles — r5, SCALING.md). Broadcast and
+    AQE are disabled to force the SMJ shape the big-data path takes."""
+    from mrbf_spark.functions.dedup import exact_jaccard_pairs
+
+    old_bt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        docs = load_table(spark, SF_SMOKE, "documents")
+        df = exact_jaccard_pairs(docs, 0.2, max_df=50)
+        plan = df._jdf.queryExecution().executedPlan()
+        smj = [
+            n
+            for n in _walk_exec(plan)
+            if n.getClass().getSimpleName() == "SortMergeJoinExec"
+        ]
+        assert smj, "self-join did not take the SMJ path"
+        for side in range(2):
+            names = [
+                n.getClass().getSimpleName()
+                for n in _walk_exec(smj[0].children().apply(side))
+            ]
+            # InMemoryTableScanExec is a LEAF: the walk never descends
+            # into the cached relation's own (exchange-bearing) plan.
+            assert "InMemoryTableScanExec" in names, names
+            assert not any("Exchange" in nm for nm in names), names
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bt)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)

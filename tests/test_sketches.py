@@ -1,0 +1,113 @@
+"""Deterministic sketch family (functions/sketches.py): KMV distinct
+and count-min frequency. The md5 hash family makes every property
+testable as exact VALUE equality, not a distributional claim."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mrbf_spark.functions.sketches import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    KMV_K,
+    cms_counters,
+    cms_probe,
+    kmv_estimate,
+    kmv_merge,
+    kmv_sketch,
+)
+
+
+@pytest.fixture(scope="module")
+def items(spark):
+    # 3 groups × overlapping item universes; > KMV_K distinct in g0 so
+    # the estimation path engages, < KMV_K in g2 so the exact path does.
+    rows = (
+        [("g0", i) for i in range(500) for _ in (0, 1)]
+        + [("g1", i) for i in range(64, 364)]
+        + [("g2", i) for i in range(40)]
+    )
+    return spark.createDataFrame(rows, "grp string, item long")
+
+
+def test_kmv_estimate_within_envelope_and_exact_below_k(items):
+    est = {r["grp"]: r for r in kmv_estimate(kmv_sketch(items, "grp", "item")).collect()}
+    # g2 has 40 < k distinct: the sketch saw every hash, estimate exact.
+    assert est["g2"]["kmv_n"] == 40 and est["g2"]["est"] == 40.0
+    # g0/g1 engage the (k-1)·2^60/h_(k) estimator: within 4/√k ≈ 50%.
+    for grp, true_n in (("g0", 500), ("g1", 300)):
+        assert est[grp]["kmv_n"] == KMV_K
+        assert abs(est[grp]["est"] - true_n) / true_n < 0.5, (grp, est[grp]["est"])
+
+
+def test_kmv_merge_equals_sketch_of_union(items):
+    """sketch(A ∪ B) == merge(sketch(A), sketch(B)) as exact values —
+    the mergeability that makes KMV a shuffle-free distributed agg."""
+    a = items.filter(F.col("item") % 2 == 0)
+    b = items.filter(F.col("item") % 2 == 1)
+    merged = {
+        (r["grp"], r["rnk"]): r["h"]
+        for r in kmv_merge(kmv_sketch(a, "grp", "item"), kmv_sketch(b, "grp", "item")).collect()
+    }
+    direct = {
+        (r["grp"], r["rnk"]): r["h"]
+        for r in kmv_sketch(items, "grp", "item").collect()
+    }
+    assert merged == direct
+
+
+def test_kmv_partition_invariant(items):
+    one = {(r["grp"], r["rnk"]): r["h"] for r in kmv_sketch(items.coalesce(1), "grp", "item").collect()}
+    many = {(r["grp"], r["rnk"]): r["h"] for r in kmv_sketch(items.repartition(13), "grp", "item").collect()}
+    assert one == many
+
+
+def test_cms_never_underestimates_and_exact_when_sparse(spark):
+    # 30 distinct items in a 4×512 grid: collisions possible but the
+    # min over 4 rows almost surely isolates; CMS >= truth ALWAYS.
+    rows = [(f"u{i % 30}",) for i in range(3000)]
+    df = spark.createDataFrame(rows, "item string")
+    truth = {r["item"]: r["n"] for r in df.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()}
+    grid = cms_counters(df, "item")
+    probes = spark.createDataFrame([(k,) for k in truth], "item string")
+    got = {r["item"]: r["cms_n"] for r in cms_probe(grid, probes).collect()}
+    assert set(got) == set(truth)
+    assert all(got[k] >= truth[k] for k in truth)
+    # total grid mass per depth row == row count (counters partition the stream)
+    mass = {
+        r["i"]: r["s"]
+        for r in grid.groupBy("i").agg(F.sum("cnt").alias("s")).collect()
+    }
+    assert mass == {i: 3000 for i in range(CMS_DEPTH)}
+
+
+def test_cms_grid_merge_is_counter_addition(spark):
+    """CMS(A ∪ B) == elementwise CMS(A) + CMS(B): the merge is a
+    groupBy-sum over grids — associative, partition-invariant."""
+    rows = [(f"u{i % 50}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, "item string")
+    a = df.filter(F.abs(F.hash("item")) % 2 == 0)
+    b = df.filter(F.abs(F.hash("item")) % 2 == 1)
+    summed = {
+        (r["i"], r["bucket"]): r["cnt"]
+        for r in cms_counters(a, "item")
+        .unionByName(cms_counters(b, "item"))
+        .groupBy("i", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    direct = {
+        (r["i"], r["bucket"]): r["cnt"] for r in cms_counters(df, "item").collect()
+    }
+    assert summed == direct
+
+
+def test_stats_aggregates_sketch_parts_flags_green(spark):
+    """The registered union's kmv/cms parts at sf0.001: every ok flag
+    is 1 (KMV inside its envelope, CMS never underestimates)."""
+    from mrbf_spark.operators.relational import stats_aggregates
+
+    rows = stats_aggregates(spark, "/root/testdata/sf0.001").collect()
+    parts = {r["part"] for r in rows}
+    assert {"approx", "median", "kmv", "cms"} <= parts
+    sk = [r for r in rows if r["part"] in ("kmv", "cms")]
+    assert sk and all(r["ok1"] == 1 for r in sk)
