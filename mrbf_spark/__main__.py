@@ -216,6 +216,28 @@ def cmd_diff(args) -> None:
         print(f"{r['status']}\t{r['count']}")
 
 
+def cmd_zorder(args) -> None:
+    from .functions.layout import write_zordered
+
+    spark = _spark(args)
+    c1, c2 = args.cols.split(",")
+    write_zordered(
+        spark.read.parquet(args.input), args.out, c1.strip(), c2.strip(),
+        n_files=args.files,
+    )
+    print(f"z-ordered {args.input} by ({c1},{c2}) into {args.files} files at {args.out}")
+
+
+def cmd_compact(args) -> None:
+    from .functions.layout import compact_to_target
+
+    spark = _spark(args)
+    n = compact_to_target(
+        spark.read.parquet(args.input), args.out, target_bytes=args.target_mb << 20
+    )
+    print(f"compacted {args.input} -> {n} file(s) at {args.out}")
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="mrbf_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -316,6 +338,23 @@ def main(argv: list[str] | None = None) -> int:
     p_diff.add_argument("--pk", default="doc_id")
     p_diff.add_argument("--out", default=None)
 
+    p_zo = sub.add_parser(
+        "zorder",
+        help="rewrite a parquet table Z-order-clustered on two columns "
+        "(multi-dimensional row-group pruning)",
+    )
+    p_zo.add_argument("--input", required=True)
+    p_zo.add_argument("--out", required=True)
+    p_zo.add_argument("--cols", required=True, help="two columns: c1,c2")
+    p_zo.add_argument("--files", type=int, default=8)
+
+    p_cpt = sub.add_parser(
+        "compact", help="coalesce small files toward a target file size"
+    )
+    p_cpt.add_argument("--input", required=True)
+    p_cpt.add_argument("--out", required=True)
+    p_cpt.add_argument("--target-mb", type=int, default=128)
+
     args = ap.parse_args(argv)
     if args.cmd == "dedup-inc" and not (args.index or args.history):
         ap.error("dedup-inc needs --index or --history")
@@ -330,6 +369,8 @@ def main(argv: list[str] | None = None) -> int:
         "profile": cmd_profile,
         "validate": cmd_validate,
         "diff": cmd_diff,
+        "zorder": cmd_zorder,
+        "compact": cmd_compact,
     }[args.cmd](args)
     return int(rc or 0)
 

@@ -1,0 +1,96 @@
+"""Streaming sketch maintenance — the streaming face of
+functions/sketches.py.
+
+The point of a mergeable sketch at 100 TB is that you never recompute
+it: each arriving increment is sketched ALONE (bounded work — the
+increment's rows, not the accumulated table's) and merged into a tiny
+persisted sketch store. KMV's merge ("union the hash sets, re-take
+the k smallest per group") is associative, commutative and
+idempotent-on-duplicates, so the maintained store is EXACTLY the
+sketch of everything seen — not an approximation of it. That gives
+this module a property most streaming-sketch stacks can't test:
+stream == batch as exact VALUES (tests/test_sketch_stream.py), the
+same determinism the md5 hash family buys everywhere else in the
+repo.
+
+Shape: file-source stream drained through ``foreachBatch`` (the
+sketch store is a multi-aggregate read-modify-write — the documented
+escape hatch, same as validate_stream.py). Per batch: sketch the
+increment (one partial-agg'd distinct + a WindowGroupLimit top-k over
+≤ groups×k rows), read the ≤ groups×k-row store, kmv_merge, rewrite
+the store. State is the store itself — no Spark state store, no
+watermark; the store stays k rows per group forever, so batch cost is
+independent of history size.
+
+Idempotence: the store write goes to a batch_id-stamped subdirectory
+and a replayed batch (foreachBatch is at-least-once) overwrites its
+own directory, then the read side takes the LATEST complete batch —
+the same last-writer-wins discipline as the checkpointed ingest.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.sketches import KMV_K, kmv_merge, kmv_sketch
+from ..tables import load_events_stream
+
+_STORE_SCHEMA = "grp string, h long, rnk int"
+
+
+def read_sketch_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    """Latest complete store version, or None before the first batch."""
+    try:
+        versions = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(store_dir)
+            if d.startswith("v=")
+        )
+    except FileNotFoundError:
+        return None
+    for v in reversed(versions):
+        path = os.path.join(store_dir, f"v={v}")
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return spark.read.schema(_STORE_SCHEMA).parquet(path)
+    return None
+
+
+def merge_batch_into_store(
+    batch_df: DataFrame, batch_id: int, store_dir: str,
+    group_col: str = "event_type", item_col: str = "user_id", k: int = KMV_K,
+) -> None:
+    spark = batch_df.sparkSession
+    inc = kmv_sketch(batch_df, group_col, item_col, k)
+    prev = read_sketch_store(spark, store_dir)
+    merged = inc if prev is None else kmv_merge(prev, inc, k)
+    out = os.path.join(store_dir, f"v={batch_id}")
+    merged.select("grp", "h", "rnk").write.mode("overwrite").parquet(out)
+
+
+def streaming_kmv_distinct(
+    spark: SparkSession,
+    src_glob: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """availableNow stream maintaining the per-event_type distinct-user
+    KMV store. Returns the started query; await with .awaitTermination()."""
+    opts = (
+        {"maxFilesPerTrigger": str(max_files_per_trigger)}
+        if max_files_per_trigger
+        else None
+    )
+    ev = load_events_stream(spark, src_glob, options=opts)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        merge_batch_into_store(batch_df, batch_id, store_dir)
+
+    return (
+        ev.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -72,7 +72,21 @@ def _parquet_ts_unit(path: str) -> str | None:
         p = os.path.join(p, parts[0])
     try:
         field = pq.read_schema(p).field("ts")
-    except (OSError, KeyError, pa.ArrowInvalid):
+        # pyarrow surfaces legacy INT96 timestamps as timestamp[ns],
+        # but Spark reads INT96 natively — routing it to the
+        # nanosAsLong branch would fail at task time with a
+        # bigint-vs-INT96 mismatch. Check the PHYSICAL type to tell
+        # them apart (Spark's own parquet writes default to INT96, so
+        # any self-written events copy hits this).
+        meta = pq.ParquetFile(p).metadata
+        idx = meta.schema.names.index("ts") if "ts" in meta.schema.names else -1
+        if (
+            idx >= 0
+            and meta.num_row_groups > 0
+            and meta.row_group(0).column(idx).physical_type == "INT96"
+        ):
+            return "int96"
+    except (OSError, KeyError, ValueError, pa.ArrowInvalid):
         return None
     return field.type.unit if pa.types.is_timestamp(field.type) else None
 

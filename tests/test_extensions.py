@@ -1691,3 +1691,31 @@ def test_cli_profile_validate_diff(spark, tmp_path, capsys):
         .collect()
     }
     assert got == {"added": 100, "removed": 100, "unchanged": 300}
+
+
+def test_cli_zorder_and_compact(spark, tmp_path, capsys):
+    """The r5 layout CLI jobs run end-to-end: `zorder` rewrites a
+    table clustered on two columns (data-identical, requested file
+    count), `compact` merges a fragmented table into one file."""
+    import glob as _glob
+
+    from mrbf_spark.__main__ import main
+
+    src = str(tmp_path / "src")
+    load_table(spark, SF_SMOKE, "events").write.parquet(src)
+
+    zout = str(tmp_path / "zout")
+    assert (
+        main(["zorder", "--input", src, "--out", zout,
+              "--cols", "user_id,value", "--files", "4"]) == 0
+    )
+    assert len(_glob.glob(zout + "/part-*.parquet")) == 4
+    assert (
+        spark.read.parquet(zout).agg(F.sum("event_id")).collect()
+        == spark.read.parquet(src).agg(F.sum("event_id")).collect()
+    )
+
+    cout = str(tmp_path / "cout")
+    assert main(["compact", "--input", src, "--out", cout]) == 0
+    assert len(_glob.glob(cout + "/part-*.parquet")) == 1
+    assert spark.read.parquet(cout).count() == spark.read.parquet(src).count()

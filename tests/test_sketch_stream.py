@@ -1,0 +1,82 @@
+"""Streaming KMV sketch maintenance (streaming/sketch_stream.py):
+stream == batch as exact values, and batch cost independent of
+history (the store never exceeds groups×k rows)."""
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from mrbf_spark.functions.sketches import KMV_K, kmv_sketch
+from mrbf_spark.streaming.sketch_stream import (
+    read_sketch_store,
+    streaming_kmv_distinct,
+)
+from mrbf_spark.tables import load_table
+
+from conftest import SF_SMOKE
+
+
+def test_streaming_kmv_store_equals_batch_sketch(spark, tmp_path):
+    """Drain the events table file-by-file through the sketch
+    maintainer; the final store must equal the batch KMV sketch of the
+    WHOLE table as exact (grp, rnk, h) values — the merge is lossless
+    by construction, so this is equality, not approximation."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    staged = str(tmp_path / "staged")
+    ev.repartition(3).write.parquet(staged)
+    parts = sorted(p for p in os.listdir(staged) if p.endswith(".parquet"))
+    assert len(parts) == 3
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for p in parts:
+        shutil.copy(os.path.join(staged, p), os.path.join(src, p))
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_kmv_distinct(spark, src, store, ckpt, max_files_per_trigger=1)
+    q.awaitTermination()
+
+    got = {
+        (r["grp"], r["rnk"]): r["h"]
+        for r in read_sketch_store(spark, store).collect()
+    }
+    want = {
+        (r["grp"], r["rnk"]): r["h"]
+        for r in kmv_sketch(
+            spark.read.parquet(staged), "event_type", "user_id"
+        ).collect()
+    }
+    assert got == want and got
+    # store is bounded: ≤ k rows per group whatever the history
+    per_grp = (
+        read_sketch_store(spark, store)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert all(r["n"] <= KMV_K for r in per_grp)
+
+
+def test_streaming_kmv_restart_is_idempotent(spark, tmp_path):
+    """Re-running the drained stream on the same checkpoint (no new
+    files) must leave the store unchanged — and a REPLAYED batch id
+    overwrites its own store version rather than corrupting it."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "src")
+    ev.repartition(2).write.parquet(src)
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+
+    q = streaming_kmv_distinct(spark, src, store, ckpt)
+    q.awaitTermination()
+    before = {
+        (r["grp"], r["rnk"]): r["h"]
+        for r in read_sketch_store(spark, store).collect()
+    }
+    q2 = streaming_kmv_distinct(spark, src, store, ckpt)  # idle restart
+    q2.awaitTermination()
+    after = {
+        (r["grp"], r["rnk"]): r["h"]
+        for r in read_sketch_store(spark, store).collect()
+    }
+    assert before == after
