@@ -94,3 +94,82 @@ def streaming_kmv_distinct(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ------------------------------------------------------ streaming CMS
+
+_CMS_STORE_SCHEMA = "i int, bucket long, cnt long"
+
+
+def read_cms_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    """Latest complete CMS grid version, or None before the first batch."""
+    try:
+        versions = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(store_dir)
+            if d.startswith("v=")
+        )
+    except FileNotFoundError:
+        return None
+    for v in reversed(versions):
+        path = os.path.join(store_dir, f"v={v}")
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return spark.read.schema(_CMS_STORE_SCHEMA).parquet(path)
+    return None
+
+
+def merge_cms_batch_into_store(
+    batch_df: DataFrame, batch_id: int, store_dir: str, item_col: str = "user_id"
+) -> None:
+    """CMS merge is elementwise counter ADDITION — associative and
+    commutative, so the maintained grid equals the batch grid of
+    everything seen, exactly (tested). The store is ≤ depth×width rows
+    forever; per-batch cost is one partial-agg'd groupBy of the
+    increment plus a grid-sized union-sum."""
+    from pyspark.sql import functions as F
+
+    from ..functions.sketches import cms_counters
+
+    spark = batch_df.sparkSession
+    inc = cms_counters(batch_df, item_col)
+    prev = read_cms_store(spark, store_dir)
+    merged = (
+        inc
+        if prev is None
+        else inc.unionByName(prev)
+        .groupBy("i", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    out = os.path.join(store_dir, f"v={batch_id}")
+    merged.select(
+        F.col("i").cast("int"), F.col("bucket").cast("long"), F.col("cnt").cast("long")
+    ).write.mode("overwrite").parquet(out)
+
+
+def streaming_cms_frequencies(
+    spark: SparkSession,
+    src_glob: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """availableNow stream maintaining the user_id count-min grid."""
+    ev = load_events_stream(
+        spark,
+        src_glob,
+        options=(
+            {"maxFilesPerTrigger": str(max_files_per_trigger)}
+            if max_files_per_trigger
+            else None
+        ),
+    )
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        merge_cms_batch_into_store(batch_df, batch_id, store_dir)
+
+    return (
+        ev.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

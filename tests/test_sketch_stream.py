@@ -80,3 +80,41 @@ def test_streaming_kmv_restart_is_idempotent(spark, tmp_path):
         for r in read_sketch_store(spark, store).collect()
     }
     assert before == after
+
+
+def test_streaming_cms_store_equals_batch_grid(spark, tmp_path):
+    """Drain events through the CMS maintainer; the final grid must
+    equal the batch grid of the whole table cell-for-cell (counter
+    addition is lossless), and every probe keeps the CMS
+    never-underestimates invariant."""
+    from mrbf_spark.functions.sketches import cms_counters, cms_probe
+    from mrbf_spark.streaming.sketch_stream import (
+        read_cms_store,
+        streaming_cms_frequencies,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "src")
+    ev.repartition(3).write.parquet(src)
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+
+    q = streaming_cms_frequencies(spark, src, store, ckpt, max_files_per_trigger=1)
+    q.awaitTermination()
+
+    got = {
+        (r["i"], r["bucket"]): r["cnt"]
+        for r in read_cms_store(spark, store).collect()
+    }
+    want = {
+        (r["i"], r["bucket"]): r["cnt"]
+        for r in cms_counters(spark.read.parquet(src), "user_id").collect()
+    }
+    assert got == want and got
+
+    truth = (
+        ev.groupBy(F.col("user_id").cast("string").alias("item"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    est = cms_probe(read_cms_store(spark, store), truth.select("item"))
+    joined = truth.join(est, "item")
+    assert joined.filter(F.col("cms_n") < F.col("n")).count() == 0
