@@ -139,6 +139,7 @@ def legacy_builders() -> dict:
         # stats_aggregates parts; timed standalone here)
         "kmv_distinct": _sketches.kmv_distinct,
         "cms_frequencies": _sketches.cms_frequencies,
+        "quantile_sketch": _sketches.quantile_sketch,
     }
 
 

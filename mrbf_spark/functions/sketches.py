@@ -9,7 +9,7 @@ range-tested), (b) reproducibility across runs/partitionings/engines,
 (c) mergeability you can property-test exactly (sketch(A ∪ B) ==
 merge(sketch(A), sketch(B)) as VALUES, not distributions).
 
-Two sketches:
+Three sketches:
 
 * KMV (k-minimum-values) distinct count — Bar-Yossef et al. 2002,
   "Counting distinct elements in a data stream". Keep the k smallest
@@ -41,10 +41,17 @@ Two sketches:
   joins a bounded candidate list against the depth·width grid —
   broadcast-sized by construction.
 
+* Bottom-k quantile sketch — a deterministic uniform ROW sample:
+  keep the values of the k rows with the smallest hash of the row's
+  unique key, estimate quantiles by rank within the sample (discrete,
+  no interpolation — integer rank semantics both engines share).
+  Mergeable by union-then-retake, same as KMV. Plan shape identical
+  to KMV (map-side Partial WindowGroupLimit).
+
 No counterpart in the reference repo (its one sketch is the Bloom
 filter, bloom/core.py); this extends the same membership-sketch idea
-to cardinality and frequency, the other two pillars of approximate
-query processing at 100 TB.
+to cardinality, frequency, and quantiles — the other pillars of
+approximate query processing at 100 TB.
 """
 
 from __future__ import annotations
@@ -293,4 +300,135 @@ def cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cms_n").alias("stat"),
         F.lit(None).cast("double").alias("v"),
         (F.col("cms_n") >= F.col("true_n")).cast("int").alias("ok"),
+    )
+
+
+# ------------------------------------------------- quantile sketch
+
+
+QSK_K = 256
+
+
+def bottomk_sample(
+    df: DataFrame, group_col: str, value_col: str, key_expr: Column, k: int = QSK_K
+) -> DataFrame:
+    """Mergeable quantile-sketch state: per group, the values of the k
+    rows with the smallest 60-bit hash of the row's unique key — a
+    deterministic uniform row sample (the hash is a pure function of
+    row identity, so it is repartition-stable, replayable in SQL, and
+    mergeable by union-then-retake — same discipline as the KMV
+    sketch, over ROWS instead of distinct items).
+
+    (grp, h, value, rnk). Same plan shape as kmv_sketch: the rank
+    window rewrites to a map-side Partial WindowGroupLimit, so no
+    group's rows ever sort on one task."""
+    hashed = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("value"),
+        _h60(key_expr, f"qsk{SKETCH_SEED}").alias("h"),
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        hashed.select("grp", "h", "value", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def bottomk_merge(a: DataFrame, b: DataFrame, k: int = QSK_K) -> DataFrame:
+    """merge(sample(A), sample(B)) = union, re-take k smallest hashes —
+    equals sample(A ∪ B) exactly (hash collisions aside, 2^-60)."""
+    u = a.select("grp", "h", "value").unionByName(b.select("grp", "h", "value"))
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        u.select("grp", "h", "value", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def sample_median(sample: DataFrame) -> DataFrame:
+    """(grp, est): the rank-⌈m/2⌉ smallest sampled VALUE (discrete
+    median — integer rank semantics, bit-identical across engines; no
+    interpolation to disagree about). Ties broken by hash."""
+    w = Window.partitionBy("grp").orderBy("value", "h")
+    ranked = sample.select(
+        "grp", "value", F.row_number().over(w).alias("vr"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("m"),
+    )
+    return (
+        ranked.filter(F.col("vr") == F.floor((F.col("m") + 1) / 2))
+        .select("grp", F.col("value").alias("est"))
+    )
+
+
+_QSK_KEY_SQL = (
+    f"('0x' || substr(md5('qsk{SKETCH_SEED}' || ':' || CAST(l_orderkey * 10 + "
+    "l_linenumber AS VARCHAR)), 1, 15))::BIGINT"
+)
+
+_QSK_SQL = f"""
+    WITH qsk_hashed AS (
+        SELECT l_returnflag AS grp, CAST(l_extendedprice AS DOUBLE) AS value,
+               {_QSK_KEY_SQL} AS h
+        FROM lineitem
+    ),
+    qsk_sample AS (
+        SELECT * FROM (
+            SELECT grp, h, value,
+                   ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rnk
+            FROM qsk_hashed
+        ) WHERE rnk <= {QSK_K}
+    ),
+    qsk_med AS (
+        SELECT grp, value AS est FROM (
+            SELECT grp, h, value,
+                   ROW_NUMBER() OVER (PARTITION BY grp ORDER BY value, h) AS vr,
+                   COUNT(*) OVER (PARTITION BY grp) AS m
+            FROM qsk_sample
+        ) WHERE vr = (m + 1) // 2
+    ),
+    qsk_pos AS (
+        SELECT l.l_returnflag AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN l.l_extendedprice <= m.est THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_le
+        FROM lineitem l JOIN qsk_med m ON l.l_returnflag = m.grp
+        GROUP BY 1
+    )
+    SELECT p.grp AS key, p.n, p.n_le AS stat, m.est AS v,
+           CAST(abs(CAST(p.n_le AS DOUBLE) / p.n - 0.5) <= 0.12 AS INTEGER) AS ok
+    FROM qsk_pos p JOIN qsk_med m ON p.grp = m.grp
+"""
+
+
+@builder("quantile_sketch", _QSK_SQL)
+def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-l_returnflag median estimate from a deterministic bottom-k
+    row sample of lineitem (k=256): (key, n=group rows, stat=rows with
+    value ≤ estimate [the estimate's exact rank — the verification
+    statistic], v=estimated median, ok=the estimate's quantile
+    position within 0.5±0.12; sd of a k=256 sampled median position is
+    ~0.031, so the envelope is ~4σ). The exact-rank join is the
+    verification harness — at 100 TB you'd ship the estimate alone and
+    skip the full-data pass the sketch exists to avoid."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    med = sample_median(bottomk_sample(li, "l_returnflag", "l_extendedprice", key))
+    pos = (
+        li.select(F.col("l_returnflag").alias("grp"), "l_extendedprice")
+        .join(F.broadcast(med), "grp")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("est"), 1).otherwise(0)
+            ).cast("long").alias("n_le"),
+        )
+    )
+    return pos.join(F.broadcast(med), "grp").select(
+        F.col("grp").alias("key"),
+        "n",
+        F.col("n_le").alias("stat"),
+        F.col("est").alias("v"),
+        (
+            F.abs(F.col("n_le").cast("double") / F.col("n") - 0.5) <= 0.12
+        ).cast("int").alias("ok"),
     )

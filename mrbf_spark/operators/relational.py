@@ -1810,6 +1810,10 @@ from ..functions import sketches as _sketches  # noqa: E402,F401
     SELECT 'cms' AS part, key, n, stat, ok AS ok1, {_NULL_I} AS ok2,
            {_NULL_D} AS v1, {_NULL_D} AS v2
     FROM ({BUILDER_SQL['cms_frequencies']})
+    UNION ALL
+    SELECT 'qtl' AS part, key, n, stat, ok AS ok1, {_NULL_I} AS ok2,
+           v AS v1, {_NULL_D} AS v2
+    FROM ({BUILDER_SQL['quantile_sketch']})
     """,
 )
 def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1838,7 +1842,12 @@ def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ok").alias("ok1"), ni.alias("ok2"),
         _nd().alias("v1"), _nd().alias("v2"),
     )
-    return a.unionByName(m).unionByName(k).unionByName(c)
+    q = _sketches.quantile_sketch(spark, sf_dir).select(
+        F.lit("qtl").alias("part"), "key", "n", "stat",
+        F.col("ok").alias("ok1"), ni.alias("ok2"),
+        F.col("v").alias("v1"), _nd().alias("v2"),
+    )
+    return a.unionByName(m).unionByName(k).unionByName(c).unionByName(q)
 
 
 # --- temporal join family: as-of (running last_value vs DuckDB's

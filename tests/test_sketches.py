@@ -108,6 +108,58 @@ def test_stats_aggregates_sketch_parts_flags_green(spark):
 
     rows = stats_aggregates(spark, "/root/testdata/sf0.001").collect()
     parts = {r["part"] for r in rows}
-    assert {"approx", "median", "kmv", "cms"} <= parts
-    sk = [r for r in rows if r["part"] in ("kmv", "cms")]
+    assert {"approx", "median", "kmv", "cms", "qtl"} <= parts
+    sk = [r for r in rows if r["part"] in ("kmv", "cms", "qtl")]
     assert sk and all(r["ok1"] == 1 for r in sk)
+
+
+def test_bottomk_sample_merge_equals_sample_of_union(spark):
+    """sample(A ∪ B) == merge(sample(A), sample(B)) as exact
+    (grp, h, value) sets — the quantile sketch's mergeability."""
+    from mrbf_spark.functions.sketches import bottomk_merge, bottomk_sample
+
+    rows = [("g", i, float((i * 37) % 1000)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "grp string, rid long, value double")
+    key = F.col("rid")
+    a = df.filter(F.col("rid") % 2 == 0)
+    b = df.filter(F.col("rid") % 2 == 1)
+    merged = {
+        (r["grp"], r["h"], r["value"])
+        for r in bottomk_merge(
+            bottomk_sample(a, "grp", "value", key),
+            bottomk_sample(b, "grp", "value", key),
+        ).collect()
+    }
+    direct = {
+        (r["grp"], r["h"], r["value"])
+        for r in bottomk_sample(df, "grp", "value", key).collect()
+    }
+    assert merged == direct and len(direct) == 256
+
+
+def test_quantile_sketch_estimates_land_near_the_median(spark):
+    """The registered builder at sf0.001: every group's estimate sits
+    within the 0.5±0.12 quantile-position envelope (ok=1), and the
+    position statistic is consistent with (n, n_le)."""
+    from mrbf_spark.functions.sketches import quantile_sketch
+
+    rows = quantile_sketch(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["ok"] == 1, (r["key"], r["stat"], r["n"])
+        assert abs(r["stat"] / r["n"] - 0.5) <= 0.12
+
+
+def test_sample_median_rank_semantics(spark):
+    """Discrete median = value at rank ⌈m/2⌉ of the sample, ties by
+    hash — checked against a hand-computed tiny sample."""
+    from mrbf_spark.functions.sketches import sample_median
+
+    rows = [("g", h, float(v)) for h, v in [(1, 50.0), (2, 10.0), (3, 40.0), (4, 20.0), (5, 30.0)]]
+    s = spark.createDataFrame(rows, "grp string, h long, value double")
+    got = sample_median(s).collect()
+    assert [(r["grp"], r["est"]) for r in got] == [("g", 30.0)]
+    even = spark.createDataFrame(rows[:4], "grp string, h long, value double")
+    got2 = sample_median(even).collect()
+    # m=4 -> rank floor(5/2)=2 -> second smallest value = 20.0
+    assert [(r["grp"], r["est"]) for r in got2] == [("g", 20.0)]
