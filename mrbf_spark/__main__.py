@@ -216,6 +216,39 @@ def cmd_diff(args) -> None:
         print(f"{r['status']}\t{r['count']}")
 
 
+def cmd_sketch(args) -> None:
+    from .functions.sketches import (
+        cms_counters,
+        cms_probe,
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    if args.kind == "kmv":
+        est = kmv_estimate(kmv_sketch(df, args.group, args.item))
+        if args.out:
+            est.write.mode("overwrite").parquet(args.out)
+        for r in est.orderBy("grp").collect():
+            print(f"{r['grp']}\tdistinct~{r['est']:.1f}\t(k={r['kmv_n']})")
+    else:  # cms
+        from pyspark.sql import functions as F
+
+        grid = cms_counters(df, args.item)
+        top = (
+            df.groupBy(F.col(args.item).cast("string").alias("item"))
+            .agg(F.count(F.lit(1)).alias("true_n"))
+            .orderBy(F.desc("true_n"), F.asc("item"))
+            .limit(args.topn)
+        )
+        probed = cms_probe(grid, top).join(top, "item")
+        if args.out:
+            grid.write.mode("overwrite").parquet(args.out)
+        for r in probed.orderBy(F.desc("true_n"), "item").collect():
+            print(f"{r['item']}\tcms~{r['cms_n']}\ttrue={r['true_n']}")
+
+
 def cmd_zorder(args) -> None:
     from .functions.layout import write_zordered
 
@@ -338,6 +371,17 @@ def main(argv: list[str] | None = None) -> int:
     p_diff.add_argument("--pk", default="doc_id")
     p_diff.add_argument("--out", default=None)
 
+    p_sk = sub.add_parser(
+        "sketch",
+        help="KMV distinct estimate per group, or count-min top-N probe",
+    )
+    p_sk.add_argument("--input", required=True)
+    p_sk.add_argument("--kind", choices=["kmv", "cms"], default="kmv")
+    p_sk.add_argument("--group", default="event_type")
+    p_sk.add_argument("--item", default="user_id")
+    p_sk.add_argument("--topn", type=int, default=10)
+    p_sk.add_argument("--out", default=None)
+
     p_zo = sub.add_parser(
         "zorder",
         help="rewrite a parquet table Z-order-clustered on two columns "
@@ -369,6 +413,7 @@ def main(argv: list[str] | None = None) -> int:
         "profile": cmd_profile,
         "validate": cmd_validate,
         "diff": cmd_diff,
+        "sketch": cmd_sketch,
         "zorder": cmd_zorder,
         "compact": cmd_compact,
     }[args.cmd](args)

@@ -432,3 +432,60 @@ def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("n_le").cast("double") / F.col("n") - 0.5) <= 0.12
         ).cast("int").alias("ok"),
     )
+
+
+# ------------------------------------------------- KMV set algebra
+
+
+def kmv_jaccard(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Jaccard similarity between the DISTINCT-ITEM SETS behind two
+    KMV sketches, estimated from the sketches alone (Beyer et al.
+    2007, "On synopses for distinct-value estimation under multiset
+    operations"): take the k smallest hashes of the UNION sketch; the
+    fraction of those present in BOTH input sketches estimates
+    J(A, B). With the same hash family on both sides this needs no
+    access to the original data — sketch-vs-sketch set algebra.
+
+    Input: two (grp, h, rnk) sketches. Output per grp present in both:
+    (grp, k_union, n_both, jaccard_est) where n_both is integer-exact
+    given the sketches (the estimator's only error is sampling error
+    ~1/√k, property-bounded in tests). Plan: union + two broadcast-
+    sized joins over ≤ groups×k-row tables — driver-free, exact to
+    replay."""
+    u = kmv_merge(a, b, k).select("grp", "h")
+    both = (
+        u.join(a.select("grp", "h"), ["grp", "h"], "left_semi")
+        .join(b.select("grp", "h"), ["grp", "h"], "left_semi")
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ku = u.groupBy("grp").agg(F.count(F.lit(1)).alias("k_union"))
+    return (
+        ku.join(both, "grp", "left")
+        .select(
+            "grp",
+            "k_union",
+            F.coalesce(F.col("n_both"), F.lit(0)).alias("n_both"),
+            (
+                F.coalesce(F.col("n_both"), F.lit(0)).cast("double")
+                / F.col("k_union").cast("double")
+            ).alias("jaccard_est"),
+        )
+    )
+
+
+def kmv_intersection_estimate(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """|A ∩ B| ≈ Ĵ(A,B) · |A ∪ B|̂: the Jaccard estimate times the
+    union's KMV cardinality estimate — the standard composition
+    (both factors come from the same union sketch, so the estimates
+    are consistent)."""
+    j = kmv_jaccard(a, b, k)
+    u_est = kmv_estimate(kmv_merge(a, b, k), k).select(
+        "grp", F.col("est").alias("union_est")
+    )
+    return j.join(u_est, "grp").select(
+        "grp",
+        "jaccard_est",
+        "union_est",
+        (F.col("jaccard_est") * F.col("union_est")).alias("intersection_est"),
+    )

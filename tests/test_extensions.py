@@ -1719,3 +1719,22 @@ def test_cli_zorder_and_compact(spark, tmp_path, capsys):
     assert main(["compact", "--input", src, "--out", cout]) == 0
     assert len(_glob.glob(cout + "/part-*.parquet")) == 1
     assert spark.read.parquet(cout).count() == spark.read.parquet(src).count()
+
+
+def test_cli_sketch(spark, tmp_path, capsys):
+    """The r5 sketch CLI job: kmv prints one distinct-estimate line per
+    group; cms prints a top-N probe that never underestimates."""
+    from mrbf_spark.__main__ import main
+
+    events = f"{SF_SMOKE}/events.parquet"
+    assert main(["sketch", "--input", events, "--kind", "kmv"]) == 0
+    out = [l for l in capsys.readouterr().out.splitlines() if "distinct~" in l]
+    assert len(out) == 5  # one per event_type
+
+    assert main(["sketch", "--input", events, "--kind", "cms", "--topn", "5"]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if "cms~" in l]
+    assert len(lines) == 5
+    for l in lines:
+        cms_n = int(l.split("cms~")[1].split("\t")[0])
+        true_n = int(l.split("true=")[1])
+        assert cms_n >= true_n

@@ -163,3 +163,32 @@ def test_sample_median_rank_semantics(spark):
     got2 = sample_median(even).collect()
     # m=4 -> rank floor(5/2)=2 -> second smallest value = 20.0
     assert [(r["grp"], r["est"]) for r in got2] == [("g", 20.0)]
+
+
+def test_kmv_jaccard_estimates_set_overlap_from_sketches_alone(spark):
+    """Two item sets with known Jaccard (|A∩B|/|A∪B| = 500/2000 =
+    0.25): the sketch-vs-sketch estimate must land within the ~4/√k
+    sampling envelope, and disjoint sets must estimate ~0."""
+    from mrbf_spark.functions.sketches import (
+        kmv_intersection_estimate,
+        kmv_jaccard,
+        kmv_sketch,
+    )
+
+    a_rows = [("g", i) for i in range(1000)]
+    b_rows = [("g", i) for i in range(500, 2000)]
+    a = kmv_sketch(spark.createDataFrame(a_rows, "grp string, item long"), "grp", "item")
+    b = kmv_sketch(spark.createDataFrame(b_rows, "grp string, item long"), "grp", "item")
+    j = kmv_jaccard(a, b).collect()[0]
+    true_j = 500 / 2000
+    assert j["k_union"] == 64
+    assert abs(j["jaccard_est"] - true_j) <= 4 / (64 ** 0.5) * true_j + 0.05, j
+
+    inter = kmv_intersection_estimate(a, b).collect()[0]
+    assert abs(inter["intersection_est"] - 500) / 500 < 0.8  # two compounded ~12% errors
+    assert abs(inter["union_est"] - 2000) / 2000 < 0.5
+
+    c_rows = [("g", i) for i in range(10_000, 11_000)]
+    c = kmv_sketch(spark.createDataFrame(c_rows, "grp string, item long"), "grp", "item")
+    jd = kmv_jaccard(a, c).collect()[0]
+    assert jd["n_both"] == 0 and jd["jaccard_est"] == 0.0

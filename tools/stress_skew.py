@@ -151,6 +151,11 @@ def queries():
         exact_jaccard_pairs,
     )
     from mrbf_spark.functions.lm import lm_score, perplexity_buckets
+    from mrbf_spark.functions.sketches import (
+        cms_counters,
+        kmv_estimate,
+        kmv_sketch,
+    )
     from mrbf_spark.functions.retrieval import bm25_topk
     from mrbf_spark.functions.sampling import global_shuffle_shard
     from mrbf_spark.functions.substring_dedup import substring_dup_spans
@@ -201,6 +206,18 @@ def queries():
             ["boilerplate", "pipeline", "data"],
         )
 
+    def kmv(spark, sf_dir):
+        # hot-user stress: the 30%-hot user is ONE distinct item — the
+        # per-(grp, h) partial-agg dedup collapses it map-side.
+        return kmv_estimate(
+            kmv_sketch(load_table(spark, sf_dir, "events"), "event_type", "user_id")
+        )
+
+    def cms(spark, sf_dir):
+        # the hottest possible item just increments one counter per
+        # grid row — partial agg bounds every map task at depth×width.
+        return cms_counters(load_table(spark, sf_dir, "events"), "user_id")
+
     def substr_spans(spark, sf_dir):
         # never pairs docs (window census + per-doc islands), so the
         # hot text must cost only its share of flagged positions.
@@ -223,6 +240,8 @@ def queries():
         "lm_cross_entropy": (lm_entropy, "documents"),
         "perplexity_buckets": (ppl_buckets, "documents"),
         "bm25[hot_term]": (bm25_hot_term, "documents"),
+        "kmv_distinct": (kmv, "events"),
+        "cms_grid_build": (cms, "events"),
     }
 
 
