@@ -216,6 +216,51 @@ def cmd_diff(args) -> None:
         print(f"{r['status']}\t{r['count']}")
 
 
+def cmd_merge(args) -> None:
+    from pyspark.sql import functions as F
+
+    from .functions.diffing import merge_upsert
+
+    spark = _spark(args)
+    merged = merge_upsert(
+        spark.read.parquet(args.target),
+        spark.read.parquet(args.source),
+        args.pk,
+        delete_missing=args.delete_missing,
+    ).cache()  # one join feeds both the write and the census
+    if args.out:
+        (
+            merged.filter(F.col("__action") != "delete")
+            .drop("__action")
+            .write.mode("overwrite")
+            .parquet(args.out)
+        )
+    for r in (
+        merged.groupBy("__action").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("__action").collect()
+    ):
+        print(f"{r['__action']}\t{r['n']}")
+
+
+def cmd_split_safe(args) -> None:
+    from pyspark.sql import functions as F
+
+    from .functions.dedup import leakage_safe_split
+
+    spark = _spark(args)
+    split = leakage_safe_split(spark.read.parquet(args.input))
+    if args.out:
+        (
+            split.write.mode("overwrite")
+            .partitionBy("split")
+            .parquet(args.out)
+        )
+    for r in (
+        split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).orderBy("split").collect()
+    ):
+        print(f"{r['split']}\t{r['n']}")
+
+
 def cmd_sketch(args) -> None:
     from .functions.sketches import (
         cms_counters,
@@ -371,6 +416,25 @@ def main(argv: list[str] | None = None) -> int:
     p_diff.add_argument("--pk", default="doc_id")
     p_diff.add_argument("--out", default=None)
 
+    p_mg = sub.add_parser(
+        "merge",
+        help="MERGE INTO: upsert source into target by pk; writes the "
+        "merged table and prints the action census",
+    )
+    p_mg.add_argument("--target", required=True)
+    p_mg.add_argument("--source", required=True)
+    p_mg.add_argument("--pk", default="doc_id")
+    p_mg.add_argument("--out", default=None)
+    p_mg.add_argument("--delete-missing", action="store_true")
+
+    p_ss = sub.add_parser(
+        "split-safe",
+        help="leakage-safe train/val/test split: near-duplicates never "
+        "straddle a split boundary (cluster-keyed assignment)",
+    )
+    p_ss.add_argument("--input", required=True, help="documents parquet")
+    p_ss.add_argument("--out", default=None)
+
     p_sk = sub.add_parser(
         "sketch",
         help="KMV distinct estimate per group, or count-min top-N probe",
@@ -413,6 +477,8 @@ def main(argv: list[str] | None = None) -> int:
         "profile": cmd_profile,
         "validate": cmd_validate,
         "diff": cmd_diff,
+        "merge": cmd_merge,
+        "split-safe": cmd_split_safe,
         "sketch": cmd_sketch,
         "zorder": cmd_zorder,
         "compact": cmd_compact,

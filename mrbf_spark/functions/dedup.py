@@ -985,3 +985,78 @@ def assign_clusters(docs: DataFrame, edges: DataFrame) -> DataFrame:
             "doc_id", F.coalesce(F.col("__c"), F.col("doc_id")).alias("cluster_id")
         )
     )
+
+
+# ------------------------------------------------ leakage-safe split
+
+SPLIT_SEED = 11
+# percent boundaries for (train, val, test) — hash < 90 → train, etc.
+SPLIT_BOUNDS = (90, 95)
+
+
+def leakage_safe_split(docs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, split): a train/val/test split in which
+    near-duplicate and verbatim-duplicate documents NEVER straddle a
+    boundary — the split key is the dedup CLUSTER, not the document.
+
+    A per-document random split leaks training text into eval: a
+    train doc's near-copy lands in test with probability
+    2·p_train·p_test per duplicate pair, and contaminated eval scores
+    are the Lee et al. 2022 headline result. Assigning by connected
+    dedup component (exact-fingerprint ∪ Jaccard-≥τ edges, the
+    dedup_clusters engine) makes leakage structurally impossible at
+    any duplication rate, while singleton docs (the overwhelming
+    majority) still split i.i.d. — the realized fractions converge to
+    the targets because components are a vanishing fraction of docs.
+
+    The assignment is a pure function of the corpus: portable md5
+    over the cluster id against fixed percent bounds — reproducible
+    across runs/engines/partitionings, and replayable in SQL on top
+    of the recursive-CTE cluster oracle (in-suite DuckDB parity).
+
+    100 TB: clusters cost what dedup_clusters costs (edge-incident
+    docs only iterate); the split layer adds ONE map-side projection.
+    """
+    clusters = assign_clusters(docs, _cluster_edges(docs))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(f"split{SPLIT_SEED}"), F.col("cluster_id").cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    bucket = F.pmod(h, F.lit(100))
+    split = (
+        F.when(bucket < SPLIT_BOUNDS[0], F.lit("train"))
+        .when(bucket < SPLIT_BOUNDS[1], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return clusters.select("doc_id", "cluster_id", split.alias("split"))
+
+
+def leakage_safe_split_duckdb_sql() -> str:
+    """DuckDB twin: the dedup_clusters recursive-CTE oracle with the
+    split hash layered on top — composes registry.ORACLES so the
+    cluster semantics stay single-sourced."""
+    from ..registry import ORACLES
+
+    return f"""
+    WITH clusters AS ({ORACLES['dedup_clusters']})
+    SELECT doc_id, cluster_id,
+           CASE
+             WHEN ('0x' || substr(md5('split{SPLIT_SEED}' || ':' ||
+                    CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                  < {SPLIT_BOUNDS[0]} THEN 'train'
+             WHEN ('0x' || substr(md5('split{SPLIT_SEED}' || ':' ||
+                    CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                  < {SPLIT_BOUNDS[1]} THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM clusters
+    """

@@ -126,3 +126,76 @@ def diff_events_duckdb_sql() -> str:
     SELECT 'summary', CAST(-1 AS BIGINT), status, CAST(COUNT(*) AS BIGINT)
     FROM d GROUP BY status
     """
+
+
+# ---------------------------------------------------------- MERGE INTO
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    pk: str,
+    delete_missing: bool = False,
+) -> DataFrame:
+    """Delta/Iceberg-style MERGE INTO as plain DataFrame ops: the new
+    version of `target` after applying `source` by primary key, plus a
+    per-row `__action` column (insert | update | unchanged | delete —
+    deleted rows are returned TAGGED, not dropped, so the caller can
+    both write `filter(__action != 'delete')` and audit what a
+    delete_missing sync removed).
+
+      matched + any column differs    -> update (source row wins)
+      matched + identical             -> unchanged (target row kept)
+      source only                     -> insert
+      target only                     -> delete_missing ? delete : unchanged
+
+    Plan shape (100 TB): ONE full-outer shuffle join on the pk — the
+    same single-shuffle bound as snapshot_diff; row comparison is a
+    null-safe column-wise <=> conjunction (no digest needed here since
+    the full rows must flow to the output anyway). Precondition: pk
+    unique per side (the validator's pk_unique check is the paired
+    gate).
+    """
+    cols = [c for c in target.columns if c != pk]
+    if [c for c in source.columns if c != pk] != cols:
+        raise ValueError("merge sides must share a schema")
+    t = target.alias("t")
+    s = source.alias("s")
+    joined = t.join(s, F.col(f"t.{pk}") == F.col(f"s.{pk}"), "full_outer")
+    t_pk, s_pk = F.col(f"t.{pk}"), F.col(f"s.{pk}")
+    same = F.lit(True)
+    for c in cols:
+        same = same & F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+    action = (
+        F.when(t_pk.isNull(), F.lit("insert"))
+        .when(s_pk.isNull(), F.lit("delete") if delete_missing else F.lit("unchanged"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("update"))
+    )
+    use_source = t_pk.isNull() | (s_pk.isNotNull() & ~same)
+    out_cols = [F.coalesce(s_pk, t_pk).alias(pk)] + [
+        F.when(use_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        for c in cols
+    ]
+    return joined.select(*out_cols, action.alias("__action"))
+
+
+def merge_upsert_duckdb_sql(
+    pk: str, cols: list[str], old: str = "old", new: str = "new",
+    delete_missing: bool = False,
+) -> str:
+    """DuckDB twin over two registered views (defaults old/new)."""
+    same = " AND ".join(f"o.{c} IS NOT DISTINCT FROM s.{c}" for c in cols)
+    missing = "'delete'" if delete_missing else "'unchanged'"
+    use_src = f"(o.{pk} IS NULL OR (s.{pk} IS NOT NULL AND NOT ({same})))"
+    out_cols = ", ".join(
+        f"CASE WHEN {use_src} THEN s.{c} ELSE o.{c} END AS {c}" for c in cols
+    )
+    return f"""
+    SELECT COALESCE(s.{pk}, o.{pk}) AS {pk}, {out_cols},
+           CASE WHEN o.{pk} IS NULL THEN 'insert'
+                WHEN s.{pk} IS NULL THEN {missing}
+                WHEN {same} THEN 'unchanged'
+                ELSE 'update' END AS __action
+    FROM {old} o FULL OUTER JOIN {new} s ON o.{pk} = s.{pk}
+    """

@@ -134,5 +134,10 @@ def compact_to_target(
     pq.write_table(pa.Table.from_pandas(pdf), buf)
     per_row = max(1, buf.getbuffer().nbytes // max(1, len(pdf)))
     n_files = max(1, -(-(n * per_row) // target_bytes))
-    df.coalesce(n_files).write.mode("overwrite").parquet(path)
+    # coalesce is the no-shuffle path for MERGING (the compaction
+    # case); it cannot INCREASE partition count, so splitting
+    # too-large files needs a real repartition (round-robin shuffle).
+    cur = df.rdd.getNumPartitions()
+    shaped = df.coalesce(n_files) if n_files <= cur else df.repartition(n_files)
+    shaped.write.mode("overwrite").parquet(path)
     return n_files

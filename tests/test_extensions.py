@@ -1738,3 +1738,193 @@ def test_cli_sketch(spark, tmp_path, capsys):
         cms_n = int(l.split("cms~")[1].split("\t")[0])
         true_n = int(l.split("true=")[1])
         assert cms_n >= true_n
+
+
+def test_leakage_safe_split_no_neardup_straddles(spark):
+    """Leakage property on a planted corpus: verbatim copies AND
+    near-duplicates always land in the SAME split, while realized
+    fractions stay near the targets on the singleton mass."""
+    from mrbf_spark.functions.dedup import (
+        CLUSTER_TAU,
+        exact_jaccard_pairs,
+        leakage_safe_split,
+    )
+
+    base = [
+        (i, " ".join(f"w{i}x{j}" for j in range(30))) for i in range(300)
+    ]
+    # plant: 10 verbatim pairs + 10 near-dup pairs (1 token changed)
+    planted = []
+    for i in range(10):
+        planted.append((1000 + i, base[i][1]))  # verbatim copy of doc i
+        near = base[20 + i][1].replace(f"w{20+i}x29", "CHANGED")
+        planted.append((2000 + i, near))
+    docs = spark.createDataFrame(base + planted, "doc_id long, text string")
+
+    split = leakage_safe_split(docs)
+    by_doc = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in split.collect()}
+    assert len(by_doc) == 320
+    for i in range(10):
+        assert by_doc[i] == by_doc[1000 + i], "verbatim pair straddles splits"
+        assert by_doc[20 + i] == by_doc[2000 + i], "near-dup pair straddles splits"
+    # the general guarantee: EVERY Jaccard-≥τ pair shares a split
+    pairs = exact_jaccard_pairs(docs, CLUSTER_TAU).collect()
+    assert pairs  # the planted near-dups are in there
+    for p in pairs:
+        assert by_doc[p["doc_a"]][1] == by_doc[p["doc_b"]][1]
+    # realized fractions: binomial around 90/5/5 over ~310 clusters
+    from collections import Counter
+
+    frac = Counter(v[1] for v in by_doc.values())
+    assert frac["train"] / 320 > 0.8
+    assert frac["val"] + frac["test"] > 0
+
+
+def test_leakage_safe_split_matches_duckdb(spark):
+    """Engine parity for the full split pipeline (clusters via the
+    recursive-CTE oracle + md5 split hash)."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(
+        0,
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "tools"
+        ),
+    )
+    from check_correctness import compare, duck_con
+
+    from mrbf_spark.functions.dedup import (
+        leakage_safe_split,
+        leakage_safe_split_duckdb_sql,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    spark_pdf = leakage_safe_split(docs).toPandas()
+    con = duck_con(SF_SMOKE)
+    duck_pdf = con.sql(leakage_safe_split_duckdb_sql()).df()
+    problems = compare("leakage_safe_split", spark_pdf, duck_pdf)
+    assert not problems, problems
+
+
+def test_cli_split_safe(spark, tmp_path, capsys):
+    """The split-safe CLI job writes split-partitioned parquet and
+    prints the census; partitions exist for every emitted split."""
+    import os as _os
+
+    from mrbf_spark.__main__ import main
+
+    docs = f"{SF_SMOKE}/documents.parquet"
+    out = str(tmp_path / "splits")
+    assert main(["split-safe", "--input", docs, "--out", out]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
+    census = {l.split("\t")[0]: int(l.split("\t")[1]) for l in lines}
+    assert sum(census.values()) == load_table(spark, SF_SMOKE, "documents").count()
+    dirs = {d for d in _os.listdir(out) if d.startswith("split=")}
+    assert dirs == {f"split={k}" for k in census}
+
+
+def test_merge_upsert_semantics(spark):
+    """Hand-built MERGE scenario: insert / update / unchanged /
+    delete-vs-keep, source wins on update, null-safe compare."""
+    from mrbf_spark.functions.diffing import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0)],
+        "id long, name string, v double",
+    )
+    source = spark.createDataFrame(
+        [(2, "b", None), (3, "C", 30.0), (4, "d", 40.0)],
+        "id long, name string, v double",
+    )
+    got = {
+        r["id"]: (r["name"], r["v"], r["__action"])
+        for r in merge_upsert(target, source, "id").collect()
+    }
+    assert got == {
+        1: ("a", 10.0, "unchanged"),       # target only, keep
+        2: ("b", None, "unchanged"),       # identical incl. null <=> null
+        3: ("C", 30.0, "update"),          # source wins
+        4: ("d", 40.0, "insert"),
+    }
+    dele = {
+        r["id"]: r["__action"]
+        for r in merge_upsert(target, source, "id", delete_missing=True).collect()
+    }
+    assert dele[1] == "delete" and dele[4] == "insert"
+
+
+def test_merge_upsert_matches_duckdb(spark):
+    """Engine parity for the merge classification + merged rows over
+    two event snapshots (old = first 800 events, new = 400-1200 with
+    200 value-bumped rows)."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(
+        0,
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "tools"
+        ),
+    )
+    from check_correctness import compare, duck_con
+
+    from mrbf_spark.functions.diffing import merge_upsert, merge_upsert_duckdb_sql
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    old = ev.filter(F.col("event_id") < 800)
+    new = ev.filter(F.col("event_id") >= 400).filter(F.col("event_id") < 1200)
+    new = new.withColumn(
+        "value",
+        F.when(F.col("event_id") % 4 == 0, F.col("value") + 1.0).otherwise(
+            F.col("value")
+        ),
+    )
+    spark_pdf = merge_upsert(old, new, "event_id").toPandas()
+
+    con = duck_con(SF_SMOKE)
+    con.sql(
+        "CREATE VIEW old AS SELECT event_id, user_id, event_type, value "
+        "FROM events WHERE event_id < 800"
+    )
+    con.sql(
+        "CREATE VIEW new AS SELECT event_id, user_id, event_type, "
+        "CASE WHEN event_id % 4 = 0 THEN value + 1.0 ELSE value END AS value "
+        "FROM events WHERE event_id >= 400 AND event_id < 1200"
+    )
+    duck_pdf = con.sql(
+        merge_upsert_duckdb_sql("event_id", ["user_id", "event_type", "value"])
+    ).df()
+    problems = compare("merge_upsert", spark_pdf, duck_pdf)
+    assert not problems, problems
+    acts = set(spark_pdf["__action"])
+    assert acts == {"insert", "update", "unchanged"}
+
+
+def test_cli_merge(spark, tmp_path, capsys):
+    """The merge CLI job writes the upserted table (deletes dropped)
+    and prints the action census."""
+    from mrbf_spark.__main__ import main
+
+    d = load_table(spark, SF_SMOKE, "documents").select("doc_id", "n_chars")
+    tgt, src = str(tmp_path / "tgt"), str(tmp_path / "src")
+    d.filter(F.col("doc_id") < 300).write.parquet(tgt)
+    d.filter(F.col("doc_id") >= 200).withColumn(
+        "n_chars", F.col("n_chars") + 1
+    ).write.parquet(src)
+    out = str(tmp_path / "merged")
+    assert main([
+        "merge", "--target", tgt, "--source", src, "--pk", "doc_id",
+        "--out", out, "--delete-missing",
+    ]) == 0
+    census = {
+        l.split("\t")[0]: int(l.split("\t")[1])
+        for l in capsys.readouterr().out.splitlines() if "\t" in l
+    }
+    assert census["delete"] == 200  # doc_id < 200 dropped
+    assert census["update"] == 100  # 200-299 bumped
+    assert census["insert"] == 200  # 300-499 new
+    got = spark.read.parquet(out)
+    assert got.count() == 300 and "__action" not in got.columns

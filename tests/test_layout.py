@@ -109,3 +109,17 @@ def test_compact_to_target_merges_small_files(spark, tmp_path):
     files = glob.glob(os.path.join(out, "*.parquet"))
     assert n == 1 and len(files) == 1
     assert spark.read.parquet(out).count() == 10_000
+
+
+def test_compact_to_target_splits_oversized_single_partition(spark, tmp_path):
+    """The estimator can also SPLIT: a 1-partition source with a tiny
+    target must fan out to multiple files (coalesce alone cannot grow
+    the partition count)."""
+    df = spark.range(50_000).select(
+        F.col("id"), F.concat(F.lit("x" * 200), F.col("id").cast("string")).alias("pad")
+    ).coalesce(1)
+    out = str(tmp_path / "split")
+    n = compact_to_target(df, out, target_bytes=64 * 1024)
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert n > 1 and len(files) == n
+    assert spark.read.parquet(out).count() == 50_000
