@@ -1,0 +1,108 @@
+"""Streaming MERGE INTO — continuous upsert maintenance of a target
+table from a stream of increments (the CDC-apply shape: each arriving
+micro-batch is a set of new/updated rows keyed by pk; the maintained
+target is always the result of applying every increment in order).
+
+Composes functions/diffing.merge_upsert inside foreachBatch with the
+same versioned last-writer-wins store discipline as the sketch
+maintainers (streaming/sketch_stream.py): each batch reads the latest
+complete target version, merges the increment, writes version
+`v=<batch_id>`; a replayed batch (foreachBatch is at-least-once)
+overwrites its own version directory, so the store converges to the
+same state regardless of retries.
+
+Batch-order semantics: within a batch, the increment wins over the
+target (update) — the standard CDC apply. Across batches, later
+batches win, which the versioned read-modify-write gives for free
+since availableNow drains files in deterministic log order.
+
+100 TB shape: the per-batch cost is merge_upsert's one full-outer pk
+shuffle of |target| + |increment|. For a large target that is the
+classic copy-on-write merge cost (what Delta pays on MERGE without
+deletion vectors); a production variant would partition the target by
+pk range and rewrite only touched partitions — the
+`partitionOverwriteMode=dynamic` machinery validate_stream.py already
+uses — which drops the per-batch cost to |touched partitions|.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.diffing import merge_upsert
+from ..tables import load_events_stream
+
+
+def read_target(spark: SparkSession, store_dir: str, schema: str) -> DataFrame | None:
+    """Latest complete target version, or None before the first batch."""
+    try:
+        versions = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(store_dir)
+            if d.startswith("v=")
+        )
+    except FileNotFoundError:
+        return None
+    for v in reversed(versions):
+        path = os.path.join(store_dir, f"v={v}")
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return spark.read.schema(schema) .parquet(path)
+    return None
+
+
+def apply_increment(
+    batch_df: DataFrame, batch_id: int, store_dir: str, pk: str, schema: str
+) -> None:
+    spark = batch_df.sparkSession
+    # an increment may carry several versions of one pk (e.g. two
+    # updates in one file batch): collapse to ONE CONSISTENT row per
+    # pk via a single struct max (deterministic lexicographic pick —
+    # per-column max would stitch fields from different rows).
+    rest = [c for c in batch_df.columns if c != pk]
+    inc = (
+        batch_df.groupBy(pk)
+        .agg(F.max(F.struct(*rest)).alias("__r"))
+        .select(pk, *[F.col("__r")[c].alias(c) for c in rest])
+    )
+    prev = read_target(spark, store_dir, schema)
+    merged = (
+        inc
+        if prev is None
+        else merge_upsert(prev, inc, pk).drop("__action")
+    )
+    out = os.path.join(store_dir, f"v={batch_id}")
+    merged.write.mode("overwrite").parquet(out)
+
+
+def streaming_merge_events(
+    spark: SparkSession,
+    src_glob: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    pk: str = "event_id",
+    max_files_per_trigger: int = 1,
+):
+    """availableNow stream maintaining an upserted events table keyed
+    by pk. Returns the started query."""
+    ev = load_events_stream(
+        spark,
+        src_glob,
+        options=(
+            {"maxFilesPerTrigger": str(max_files_per_trigger)}
+            if max_files_per_trigger
+            else None
+        ),
+    )
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in ev.schema)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        apply_increment(batch_df, batch_id, store_dir, pk, schema)
+
+    return (
+        ev.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

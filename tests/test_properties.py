@@ -256,3 +256,81 @@ def test_top_run_count_matches_counter(spark):
     }
     for i, a in enumerate(arrays):
         assert got[i] == Counter(a).most_common(1)[0][1], (i, a)
+
+
+def test_kmv_sketch_matches_python_reference(spark):
+    """Any corpus: the KMV sketch equals the Python-computed k smallest
+    distinct md5-60 hashes per group, and the estimator is exact below
+    k — checked over a hypothesis-generated corpus batch (one Spark
+    round; per-example rounds are too slow)."""
+    import hashlib
+
+    from mrbf_spark.functions.sketches import (
+        KMV_K,
+        SKETCH_SEED,
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    corpus = st.lists(
+        st.tuples(st.sampled_from(["g1", "g2"]), st.integers(0, 500)),
+        min_size=1,
+        max_size=400,
+    ).example()
+    df = spark.createDataFrame(corpus, "grp string, item long")
+
+    def h60(salt, v):
+        return int(hashlib.md5(f"{salt}:{v}".encode()).hexdigest()[:15], 16)
+
+    want = {}
+    for grp in {g for g, _ in corpus}:
+        hs = sorted({h60(f"kmv{SKETCH_SEED}", i) for g, i in corpus if g == grp})
+        want.update({(grp, r + 1): h for r, h in enumerate(hs[:KMV_K])})
+    got = {
+        (r["grp"], r["rnk"]): r["h"]
+        for r in kmv_sketch(df, "grp", "item").collect()
+    }
+    assert got == want
+    est = {r["grp"]: r for r in kmv_estimate(kmv_sketch(df, "grp", "item")).collect()}
+    for grp in est:
+        n_true = len({i for g, i in corpus if g == grp})
+        if n_true < KMV_K:
+            assert est[grp]["est"] == float(n_true)
+
+
+def test_cms_counts_match_python_reference(spark):
+    """Any corpus: every count-min grid cell equals the Python-computed
+    bucket census, and probes of every distinct item never
+    underestimate its true frequency."""
+    import hashlib
+    from collections import Counter
+
+    from mrbf_spark.functions.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        SKETCH_SEED,
+        cms_counters,
+        cms_probe,
+    )
+
+    items = st.lists(st.integers(0, 60), min_size=1, max_size=400).example()
+    df = spark.createDataFrame([(str(i),) for i in items], "item string")
+
+    def bucket(d, v):
+        return (
+            int(hashlib.md5(f"cms{SKETCH_SEED}d{d}:{v}".encode()).hexdigest()[:15], 16)
+            % CMS_WIDTH
+        )
+
+    want = Counter((d, bucket(d, str(v))) for v in items for d in range(CMS_DEPTH))
+    got = {
+        (r["i"], r["bucket"]): r["cnt"] for r in cms_counters(df, "item").collect()
+    }
+    assert got == dict(want)
+    truth = Counter(str(v) for v in items)
+    probes = spark.createDataFrame([(k,) for k in truth], "item string")
+    est = {
+        r["item"]: r["cms_n"]
+        for r in cms_probe(cms_counters(df, "item"), probes).collect()
+    }
+    assert all(est[k] >= truth[k] for k in truth)
