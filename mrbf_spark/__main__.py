@@ -216,6 +216,66 @@ def cmd_diff(args) -> None:
         print(f"{r['status']}\t{r['count']}")
 
 
+def cmd_report(args) -> None:
+    """One-command corpus quality report: composes the curation
+    signals (size census, exact-dup rate, language mix, Gopher pass
+    rate, PII density, repetition) into a (metric, value) table — ONE
+    scan for all per-doc signals plus the fingerprint dedup aggregate."""
+    from pyspark.sql import functions as F
+
+    from .functions.quality_rules import quality_rules
+    from .functions.text import (
+        fingerprint_col,
+        quality_lang_cols,
+        redact_pii_cols,
+        token_count_col,
+    )
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    _, pii_counts = redact_pii_cols(F.col("text"))
+    per_doc = quality_rules(
+        docs.select("doc_id", "text"),
+        extra=[
+            token_count_col(F.col("text")).alias("__n_tok"),
+            F.length("text").alias("__n_chars"),
+            fingerprint_col(F.col("text")).alias("__fp"),
+            quality_lang_cols()[-1],  # lang_guess
+            sum(pii_counts[1:], pii_counts[0]).alias("__pii_hits"),
+        ],
+    )
+    agg = per_doc.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("__n_tok").alias("tokens"),
+        F.sum("__n_chars").alias("chars"),
+        F.count_distinct(F.col("__fp")).alias("distinct_fps"),
+        F.sum(F.col("gopher_pass").cast("long")).alias("gopher_pass"),
+        F.sum("__pii_hits").alias("pii_hits"),
+        *[
+            F.sum((F.col("lang_guess") == l).cast("long")).alias(f"lang_{l}")
+            for l in ("en", "de", "es")
+        ],
+    ).collect()[0]
+    rows = [
+        ("docs", float(agg["docs"])),
+        ("tokens", float(agg["tokens"])),
+        ("chars", float(agg["chars"])),
+        ("mean_doc_tokens", agg["tokens"] / max(agg["docs"], 1)),
+        ("exact_dup_rate", 1.0 - agg["distinct_fps"] / max(agg["docs"], 1)),
+        ("gopher_pass_rate", agg["gopher_pass"] / max(agg["docs"], 1)),
+        ("pii_hits_per_doc", agg["pii_hits"] / max(agg["docs"], 1)),
+        *[
+            (f"lang_{l}_frac", agg[f"lang_{l}"] / max(agg["docs"], 1))
+            for l in ("en", "de", "es")
+        ],
+    ]
+    report = spark.createDataFrame(rows, "metric string, value double")
+    if args.out:
+        report.coalesce(1).write.mode("overwrite").parquet(args.out)
+    for m, v in rows:
+        print(f"{m}\t{v:.6g}")
+
+
 def cmd_merge(args) -> None:
     from pyspark.sql import functions as F
 
@@ -416,6 +476,14 @@ def main(argv: list[str] | None = None) -> int:
     p_diff.add_argument("--pk", default="doc_id")
     p_diff.add_argument("--out", default=None)
 
+    p_rp = sub.add_parser(
+        "report",
+        help="corpus quality report: size, dup rate, language mix, "
+        "Gopher pass rate, PII density — one scan",
+    )
+    p_rp.add_argument("--input", required=True, help="documents parquet")
+    p_rp.add_argument("--out", default=None)
+
     p_mg = sub.add_parser(
         "merge",
         help="MERGE INTO: upsert source into target by pk; writes the "
@@ -477,6 +545,7 @@ def main(argv: list[str] | None = None) -> int:
         "profile": cmd_profile,
         "validate": cmd_validate,
         "diff": cmd_diff,
+        "report": cmd_report,
         "merge": cmd_merge,
         "split-safe": cmd_split_safe,
         "sketch": cmd_sketch,

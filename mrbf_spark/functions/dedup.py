@@ -432,9 +432,14 @@ def exact_jaccard_pairs(
         and then still needs a per-pair verify over the arrays
         (measured: prefix+array-verify 8.6 s vs 3.0 s for this at
         sf0.1). The co-count join's verify is free.
-      * τ ≳ 0.5: prefix filtering — the prefix shrinks to (1−τ)·n and
-        its positional filter prunes most candidates before any
-        verify.
+      * τ ≳ 0.5: prefix filtering was the textbook pick (prefix
+        shrinks to (1−τ)·n), but MEASURED at τ=0.5/sf0.1 the co-count
+        join still wins 7× (1.4 s vs 10.5 s): the prefix join emits
+        120k candidates that must then verify against full shingle
+        arrays, while the co-count's verify is free. Prefix filtering
+        stays the right tool only when the candidate set (not the
+        final pair set) must be small — e.g. feeding a bounded-memory
+        verifier.
       * 100 TB with probabilistic recall acceptable: MinHash+LSH
         (minhash_candidates(guaranteed=False)) — join volume is bucket
         collisions, independent of Σ df².

@@ -1928,3 +1928,26 @@ def test_cli_merge(spark, tmp_path, capsys):
     assert census["insert"] == 200  # 300-499 new
     got = spark.read.parquet(out)
     assert got.count() == 300 and "__action" not in got.columns
+
+
+def test_cli_report(spark, tmp_path, capsys):
+    """The corpus report job prints a consistent metric table: doc
+    count matches the table, rates live in [0, 1], language fractions
+    sum to 1, and the exact-dup rate agrees with dedup_exact."""
+    from mrbf_spark.__main__ import main
+    from mrbf_spark.catalog import queries
+
+    docs = f"{SF_SMOKE}/documents.parquet"
+    assert main(["report", "--input", docs]) == 0
+    m = {
+        l.split("\t")[0]: float(l.split("\t")[1])
+        for l in capsys.readouterr().out.splitlines() if "\t" in l
+    }
+    n = load_table(spark, SF_SMOKE, "documents").count()
+    assert m["docs"] == n
+    assert m["tokens"] > 0 and m["chars"] > m["tokens"]
+    for k in ("exact_dup_rate", "gopher_pass_rate", "lang_en_frac"):
+        assert 0.0 <= m[k] <= 1.0
+    assert abs(m["lang_en_frac"] + m["lang_de_frac"] + m["lang_es_frac"] - 1.0) < 1e-9
+    n_fp = queries()["dedup_exact"](spark, SF_SMOKE).count()
+    assert abs(m["exact_dup_rate"] - (1.0 - n_fp / n)) < 1e-9
