@@ -226,7 +226,7 @@ def cmd_report(args) -> None:
     from .functions.quality_rules import quality_rules
     from .functions.text import (
         fingerprint_col,
-        quality_lang_cols,
+        lang_guess_col,
         redact_pii_cols,
         token_count_col,
     )
@@ -240,7 +240,7 @@ def cmd_report(args) -> None:
             token_count_col(F.col("text")).alias("__n_tok"),
             F.length("text").alias("__n_chars"),
             fingerprint_col(F.col("text")).alias("__fp"),
-            quality_lang_cols()[-1],  # lang_guess
+            lang_guess_col(),
             sum(pii_counts[1:], pii_counts[0]).alias("__pii_hits"),
         ],
     )

@@ -217,6 +217,19 @@ _QUALITY_LANG_SQL = f"""
     """
 
 
+def lang_guess_col() -> Column:
+    """argmax language guess over the marker scores (shared by
+    quality_lang_cols and the CLI report)."""
+    t = F.col("text")
+    s_en, s_de, s_es = (marker_score(t, lang) for lang in ("en", "de", "es"))
+    return (
+        F.when((s_en >= s_de) & (s_en >= s_es), "en")
+        .when(s_de >= s_es, "de")
+        .otherwise("es")
+        .alias("lang_guess")
+    )
+
+
 def quality_lang_cols() -> list[Column]:
     """The heuristic quality + language-ID output columns as per-row
     expressions (shared by the quality_lang builder and the merged
@@ -233,10 +246,7 @@ def quality_lang_cols() -> list[Column]:
         s_en.alias("score_en"),
         s_de.alias("score_de"),
         s_es.alias("score_es"),
-        F.when((s_en >= s_de) & (s_en >= s_es), "en")
-        .when(s_de >= s_es, "de")
-        .otherwise("es")
-        .alias("lang_guess"),
+        lang_guess_col(),
     ]
 
 
