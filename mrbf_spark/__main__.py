@@ -323,15 +323,27 @@ def cmd_split_safe(args) -> None:
 
 def cmd_sketch(args) -> None:
     from .functions.sketches import (
+        bottomk_sample,
         cms_counters,
         cms_probe,
         kmv_estimate,
         kmv_sketch,
+        sample_median,
     )
 
     spark = _spark(args)
     df = spark.read.parquet(args.input)
-    if args.kind == "kmv":
+    if args.kind == "qtl":
+        from pyspark.sql import functions as F
+
+        med = sample_median(
+            bottomk_sample(df, args.group, args.value, F.col(args.key))
+        )
+        if args.out:
+            med.write.mode("overwrite").parquet(args.out)
+        for r in med.orderBy("grp").collect():
+            print(f"{r['grp']}\tmedian~{r['est']:.6g}")
+    elif args.kind == "kmv":
         est = kmv_estimate(kmv_sketch(df, args.group, args.item))
         if args.out:
             est.write.mode("overwrite").parquet(args.out)
@@ -508,9 +520,11 @@ def main(argv: list[str] | None = None) -> int:
         help="KMV distinct estimate per group, or count-min top-N probe",
     )
     p_sk.add_argument("--input", required=True)
-    p_sk.add_argument("--kind", choices=["kmv", "cms"], default="kmv")
+    p_sk.add_argument("--kind", choices=["kmv", "cms", "qtl"], default="kmv")
     p_sk.add_argument("--group", default="event_type")
     p_sk.add_argument("--item", default="user_id")
+    p_sk.add_argument("--value", default="value", help="qtl: numeric column")
+    p_sk.add_argument("--key", default="event_id", help="qtl: unique row key")
     p_sk.add_argument("--topn", type=int, default=10)
     p_sk.add_argument("--out", default=None)
 

@@ -1731,6 +1731,21 @@ def test_cli_sketch(spark, tmp_path, capsys):
     out = [l for l in capsys.readouterr().out.splitlines() if "distinct~" in l]
     assert len(out) == 5  # one per event_type
 
+    assert main(["sketch", "--input", events, "--kind", "qtl"]) == 0
+    qlines = [l for l in capsys.readouterr().out.splitlines() if "median~" in l]
+    assert len(qlines) == 5
+    # sanity: estimates sit inside each group's true value range
+    ev = load_table(spark, SF_SMOKE, "events")
+    rng = {
+        r["event_type"]: (r["lo"], r["hi"])
+        for r in ev.groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for l in qlines:
+        grp, est = l.split("\tmedian~")
+        assert rng[grp][0] <= float(est) <= rng[grp][1]
+
     assert main(["sketch", "--input", events, "--kind", "cms", "--topn", "5"]) == 0
     lines = [l for l in capsys.readouterr().out.splitlines() if "cms~" in l]
     assert len(lines) == 5
