@@ -244,15 +244,18 @@ def cmd_report(args) -> None:
             sum(pii_counts[1:], pii_counts[0]).alias("__pii_hits"),
         ],
     )
+    # SUM over zero rows is NULL, not 0 — coalesce so an empty corpus
+    # prints a zeroed report instead of TypeError on float(None)
+    z = lambda c: F.coalesce(c, F.lit(0))  # noqa: E731
     agg = per_doc.agg(
         F.count(F.lit(1)).alias("docs"),
-        F.sum("__n_tok").alias("tokens"),
-        F.sum("__n_chars").alias("chars"),
+        z(F.sum("__n_tok")).alias("tokens"),
+        z(F.sum("__n_chars")).alias("chars"),
         F.count_distinct(F.col("__fp")).alias("distinct_fps"),
-        F.sum(F.col("gopher_pass").cast("long")).alias("gopher_pass"),
-        F.sum("__pii_hits").alias("pii_hits"),
+        z(F.sum(F.col("gopher_pass").cast("long"))).alias("gopher_pass"),
+        z(F.sum("__pii_hits")).alias("pii_hits"),
         *[
-            F.sum((F.col("lang_guess") == l).cast("long")).alias(f"lang_{l}")
+            z(F.sum((F.col("lang_guess") == l).cast("long"))).alias(f"lang_{l}")
             for l in ("en", "de", "es")
         ],
     ).collect()[0]
@@ -369,10 +372,13 @@ def cmd_sketch(args) -> None:
 def cmd_zorder(args) -> None:
     from .functions.layout import write_zordered
 
+    parts = [c.strip() for c in args.cols.split(",") if c.strip()]
+    if len(parts) != 2:
+        raise SystemExit(f"zorder: --cols needs exactly two columns, got {args.cols!r}")
+    c1, c2 = parts
     spark = _spark(args)
-    c1, c2 = args.cols.split(",")
     write_zordered(
-        spark.read.parquet(args.input), args.out, c1.strip(), c2.strip(),
+        spark.read.parquet(args.input), args.out, c1, c2,
         n_files=args.files,
     )
     print(f"z-ordered {args.input} by ({c1},{c2}) into {args.files} files at {args.out}")

@@ -227,8 +227,6 @@ def perplexity_buckets(docs: DataFrame, k: int = PPL_BUCKETS) -> DataFrame:
     stage. The score table is scoped-cached: the rank pass and the
     returned plan both consume it, and without the cache each action
     replays the whole LM pipeline (VERDICT r4)."""
-    from ..registry import scoped_cache
-
     scores = scoped_cache(lm_score(docs).select("doc_id", "cross_entropy"))
     return _bucketize(scores, k)
 
@@ -290,8 +288,6 @@ _LM_SUITE_SQL = f"""
 def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM cross-entropy scores ('score' part) + CCNet head/middle/tail
     buckets ('bucket' part) from one shared, cached LM pass."""
-    from ..registry import scoped_cache
-
     scores = scoped_cache(lm_score(load_table(spark, sf_dir, "documents")))
     part_score = scores.select(
         F.lit("score").alias("part"),

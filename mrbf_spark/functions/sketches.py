@@ -56,7 +56,7 @@ approximate query processing at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..registry import builder
 from ..tables import load_table
@@ -72,9 +72,7 @@ CMS_PROBE_TOPN = 10
 # rules both engines share).
 _DOMAIN = 1 << 60
 
-_NULL_L = "CAST(NULL AS BIGINT)"
 _NULL_D = "CAST(NULL AS DOUBLE)"
-_NULL_I = "CAST(NULL AS INTEGER)"
 
 
 def _h60(col, salt: str):
@@ -103,8 +101,13 @@ def _h60_sql(expr: str, salt: str) -> str:
 def kmv_sketch(df: DataFrame, group_col: str, item_col: str, k: int = KMV_K) -> DataFrame:
     """The raw sketch: per group, the k smallest distinct 60-bit item
     hashes, ranked. (group, rnk, h) — this is the mergeable state."""
+    # NULL items are excluded (a NULL is not an item): Spark's
+    # concat_ws would silently hash the bare salt while SQL's ||
+    # propagates NULL — dropping on both sides keeps the sketch a
+    # pure replayable function on any corpus vintage.
     hashed = (
-        df.select(
+        df.filter(F.col(item_col).isNotNull())
+        .select(
             F.col(group_col).alias("grp"),
             _h60(F.col(item_col), f"kmv{SKETCH_SEED}").alias("h"),
         )
@@ -151,7 +154,7 @@ _KMV_SQL = f"""
     WITH kmv_hashed AS (
         SELECT DISTINCT event_type AS grp,
                {_h60_sql('user_id', f'kmv{SKETCH_SEED}')} AS h
-        FROM events
+        FROM events WHERE user_id IS NOT NULL
     ),
     kmv_ranked AS (
         SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rnk
@@ -163,7 +166,7 @@ _KMV_SQL = f"""
     ),
     kmv_exact AS (
         SELECT event_type AS grp, COUNT(DISTINCT user_id) AS n_exact
-        FROM events GROUP BY event_type
+        FROM events WHERE user_id IS NOT NULL GROUP BY event_type
     )
     SELECT a.grp AS key, e.n_exact AS n, a.kth_min AS stat,
            CAST(CASE WHEN a.kmv_n < {KMV_K} THEN CAST(a.kmv_n AS DOUBLE)
@@ -209,7 +212,10 @@ def cms_counters(df: DataFrame, item_col: str, depth: int = CMS_DEPTH,
     """(i, bucket, cnt): the depth×width counter grid. One exploded
     groupBy; partial agg bounds every map task's output at depth·width
     rows whatever the item skew."""
-    rows = df.select(F.col(item_col).cast("string").alias("item"))
+    # NULL items excluded — see kmv_sketch (same ||-vs-concat_ws rule)
+    rows = df.filter(F.col(item_col).isNotNull()).select(
+        F.col(item_col).cast("string").alias("item")
+    )
     i = F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("i")
     return (
         rows.select("item", i)
@@ -228,7 +234,9 @@ def cms_probe(counters: DataFrame, items: DataFrame, item_col: str = "item",
     counter. items is a bounded candidate list; the join is
     item×depth vs the ≤depth·width grid — broadcast-sized."""
     i = F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("i")
-    probes = items.select(F.col(item_col).cast("string").alias("item")).select(
+    probes = items.filter(F.col(item_col).isNotNull()).select(
+        F.col(item_col).cast("string").alias("item")
+    ).select(
         "item", i
     ).select(
         "item",
@@ -253,6 +261,7 @@ _CMS_SQL = f"""
     WITH cms_rows AS (
         SELECT CAST(user_id AS VARCHAR) AS user_id, i
         FROM events, (SELECT UNNEST(range({CMS_DEPTH})) AS i)
+        WHERE user_id IS NOT NULL
     ),
     cms_grid AS (
         SELECT i, {_cms_bucket_sql('i', 'user_id')} AS bucket, COUNT(*) AS cnt
@@ -260,7 +269,7 @@ _CMS_SQL = f"""
     ),
     cms_top AS (
         SELECT CAST(user_id AS VARCHAR) AS user_id, COUNT(*) AS true_n
-        FROM events GROUP BY 1
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1
         ORDER BY true_n DESC, CAST(user_id AS VARCHAR) ASC
         LIMIT {CMS_PROBE_TOPN}
     ),
@@ -322,7 +331,12 @@ def bottomk_sample(
     (grp, h, value, rnk). Same plan shape as kmv_sketch: the rank
     window rewrites to a map-side Partial WindowGroupLimit, so no
     group's rows ever sort on one task."""
-    hashed = df.select(
+    # rows with a NULL key or NULL value are excluded: the key rule is
+    # kmv_sketch's ||-vs-concat_ws portability rule; a NULL value would
+    # additionally order differently across engines in the median rank.
+    hashed = df.filter(
+        key_expr.isNotNull() & F.col(value_col).isNotNull()
+    ).select(
         F.col(group_col).alias("grp"),
         F.col(value_col).cast("double").alias("value"),
         _h60(key_expr, f"qsk{SKETCH_SEED}").alias("h"),
@@ -370,6 +384,8 @@ _QSK_SQL = f"""
         SELECT l_returnflag AS grp, CAST(l_extendedprice AS DOUBLE) AS value,
                {_QSK_KEY_SQL} AS h
         FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+          AND l_extendedprice IS NOT NULL
     ),
     qsk_sample AS (
         SELECT * FROM (
@@ -452,7 +468,11 @@ def kmv_jaccard(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
     ~1/√k, property-bounded in tests). Plan: union + two broadcast-
     sized joins over ≤ groups×k-row tables — driver-free, exact to
     replay."""
-    u = kmv_merge(a, b, k).select("grp", "h")
+    return _kmv_jaccard_from_union(kmv_merge(a, b, k), a, b)
+
+
+def _kmv_jaccard_from_union(u: DataFrame, a: DataFrame, b: DataFrame) -> DataFrame:
+    u = u.select("grp", "h")
     both = (
         u.join(a.select("grp", "h"), ["grp", "h"], "left_semi")
         .join(b.select("grp", "h"), ["grp", "h"], "left_semi")
@@ -479,10 +499,9 @@ def kmv_intersection_estimate(a: DataFrame, b: DataFrame, k: int = KMV_K) -> Dat
     union's KMV cardinality estimate — the standard composition
     (both factors come from the same union sketch, so the estimates
     are consistent)."""
-    j = kmv_jaccard(a, b, k)
-    u_est = kmv_estimate(kmv_merge(a, b, k), k).select(
-        "grp", F.col("est").alias("union_est")
-    )
+    u = kmv_merge(a, b, k)
+    j = _kmv_jaccard_from_union(u, a, b)
+    u_est = kmv_estimate(u, k).select("grp", F.col("est").alias("union_est"))
     return j.join(u_est, "grp").select(
         "grp",
         "jaccard_est",

@@ -33,23 +33,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.diffing import merge_upsert
 from ..tables import load_events_stream
+from .store import read_latest_version
 
 
-def read_target(spark: SparkSession, store_dir: str, schema: str) -> DataFrame | None:
+def read_target(
+    spark: SparkSession, store_dir: str, schema: str,
+    before_batch: int | None = None,
+) -> DataFrame | None:
     """Latest complete target version, or None before the first batch."""
-    try:
-        versions = sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(store_dir)
-            if d.startswith("v=")
-        )
-    except FileNotFoundError:
-        return None
-    for v in reversed(versions):
-        path = os.path.join(store_dir, f"v={v}")
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
-            return spark.read.schema(schema) .parquet(path)
-    return None
+    return read_latest_version(spark, store_dir, schema, before_batch)
 
 
 def apply_increment(
@@ -66,7 +58,7 @@ def apply_increment(
         .agg(F.max(F.struct(*rest)).alias("__r"))
         .select(pk, *[F.col("__r")[c].alias(c) for c in rest])
     )
-    prev = read_target(spark, store_dir, schema)
+    prev = read_target(spark, store_dir, schema, before_batch=batch_id)
     merged = (
         inc
         if prev is None

@@ -24,8 +24,13 @@ independent of history size.
 
 Idempotence: the store write goes to a batch_id-stamped subdirectory
 and a replayed batch (foreachBatch is at-least-once) overwrites its
-own directory, then the read side takes the LATEST complete batch —
-the same last-writer-wins discipline as the checkpointed ingest.
+own directory; merge steps read the latest complete version STRICTLY
+BELOW their own batch id (streaming/store.py), so a replayed batch
+merges against the same predecessor state it saw the first time. For
+KMV the exclusion is belt-and-braces (union-distinct re-merge is
+idempotent anyway); for the count-min maintainer below it is
+CORRECTNESS — counter addition is not idempotent, and reading the
+batch's own committed version would double-count the replay.
 """
 
 from __future__ import annotations
@@ -36,25 +41,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.sketches import KMV_K, kmv_merge, kmv_sketch
 from ..tables import load_events_stream
+from .store import read_latest_version
 
 _STORE_SCHEMA = "grp string, h long, rnk int"
 
 
-def read_sketch_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
+def read_sketch_store(
+    spark: SparkSession, store_dir: str, before_batch: int | None = None
+) -> DataFrame | None:
     """Latest complete store version, or None before the first batch."""
-    try:
-        versions = sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(store_dir)
-            if d.startswith("v=")
-        )
-    except FileNotFoundError:
-        return None
-    for v in reversed(versions):
-        path = os.path.join(store_dir, f"v={v}")
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
-            return spark.read.schema(_STORE_SCHEMA).parquet(path)
-    return None
+    return read_latest_version(spark, store_dir, _STORE_SCHEMA, before_batch)
 
 
 def merge_batch_into_store(
@@ -63,7 +59,7 @@ def merge_batch_into_store(
 ) -> None:
     spark = batch_df.sparkSession
     inc = kmv_sketch(batch_df, group_col, item_col, k)
-    prev = read_sketch_store(spark, store_dir)
+    prev = read_sketch_store(spark, store_dir, before_batch=batch_id)
     merged = inc if prev is None else kmv_merge(prev, inc, k)
     out = os.path.join(store_dir, f"v={batch_id}")
     merged.select("grp", "h", "rnk").write.mode("overwrite").parquet(out)
@@ -101,21 +97,11 @@ def streaming_kmv_distinct(
 _CMS_STORE_SCHEMA = "i int, bucket long, cnt long"
 
 
-def read_cms_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
+def read_cms_store(
+    spark: SparkSession, store_dir: str, before_batch: int | None = None
+) -> DataFrame | None:
     """Latest complete CMS grid version, or None before the first batch."""
-    try:
-        versions = sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(store_dir)
-            if d.startswith("v=")
-        )
-    except FileNotFoundError:
-        return None
-    for v in reversed(versions):
-        path = os.path.join(store_dir, f"v={v}")
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
-            return spark.read.schema(_CMS_STORE_SCHEMA).parquet(path)
-    return None
+    return read_latest_version(spark, store_dir, _CMS_STORE_SCHEMA, before_batch)
 
 
 def merge_cms_batch_into_store(
@@ -125,14 +111,17 @@ def merge_cms_batch_into_store(
     commutative, so the maintained grid equals the batch grid of
     everything seen, exactly (tested). The store is ≤ depth×width rows
     forever; per-batch cost is one partial-agg'd groupBy of the
-    increment plus a grid-sized union-sum."""
+    increment plus a grid-sized union-sum. Addition is NOT idempotent,
+    so the predecessor read MUST exclude this batch's own version
+    (before_batch) — a replayed batch otherwise double-counts
+    (streaming/store.py; replay-tested)."""
     from pyspark.sql import functions as F
 
     from ..functions.sketches import cms_counters
 
     spark = batch_df.sparkSession
     inc = cms_counters(batch_df, item_col)
-    prev = read_cms_store(spark, store_dir)
+    prev = read_cms_store(spark, store_dir, before_batch=batch_id)
     merged = (
         inc
         if prev is None

@@ -1966,3 +1966,18 @@ def test_cli_report(spark, tmp_path, capsys):
     assert abs(m["lang_en_frac"] + m["lang_de_frac"] + m["lang_es_frac"] - 1.0) < 1e-9
     n_fp = queries()["dedup_exact"](spark, SF_SMOKE).count()
     assert abs(m["exact_dup_rate"] - (1.0 - n_fp / n)) < 1e-9
+
+
+def test_cli_report_empty_corpus(spark, tmp_path, capsys):
+    """An empty documents table prints a zeroed report, not TypeError
+    (SUM over zero rows is NULL)."""
+    from mrbf_spark.__main__ import main
+
+    empty = str(tmp_path / "empty")
+    load_table(spark, SF_SMOKE, "documents").limit(0).write.parquet(empty)
+    assert main(["report", "--input", empty]) == 0
+    m = {
+        l.split("\t")[0]: float(l.split("\t")[1])
+        for l in capsys.readouterr().out.splitlines() if "\t" in l
+    }
+    assert m["docs"] == 0 and m["tokens"] == 0 and m["exact_dup_rate"] == 1.0

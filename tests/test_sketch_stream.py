@@ -118,3 +118,35 @@ def test_streaming_cms_store_equals_batch_grid(spark, tmp_path):
     est = cms_probe(read_cms_store(spark, store), truth.select("item"))
     joined = truth.join(est, "item")
     assert joined.filter(F.col("cms_n") < F.col("n")).count() == 0
+
+
+def test_cms_batch_replay_does_not_double_count(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running a batch whose store
+    version already committed must converge, not double-count — the
+    predecessor read excludes the batch's own version. (Counter
+    addition is not idempotent; this is the CMS-specific hazard the
+    versioned store's before_batch exclusion exists for.)"""
+    from mrbf_spark.functions.sketches import cms_counters
+    from mrbf_spark.streaming.sketch_stream import (
+        merge_cms_batch_into_store,
+        read_cms_store,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    b0 = ev.filter(F.col("event_id") < 500)
+    b1 = ev.filter(F.col("event_id") >= 500)
+    store = str(tmp_path / "store")
+
+    merge_cms_batch_into_store(b0, 0, store)
+    merge_cms_batch_into_store(b1, 1, store)
+    merge_cms_batch_into_store(b1, 1, store)  # replay of batch 1
+
+    got = {
+        (r["i"], r["bucket"]): r["cnt"]
+        for r in read_cms_store(spark, store).collect()
+    }
+    want = {
+        (r["i"], r["bucket"]): r["cnt"]
+        for r in cms_counters(ev, "user_id").collect()
+    }
+    assert got == want
