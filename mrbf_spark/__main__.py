@@ -167,7 +167,9 @@ def cmd_profile(args) -> None:
     from .functions.validation import profile_table
 
     spark = _spark(args)
-    prof = profile_table(spark.read.parquet(args.input))
+    prof = profile_table(
+        spark.read.parquet(args.input), approx_distinct=args.approx
+    )
     if args.out:
         # cache around the two actions so the profile aggregate runs
         # once, not once per action (ADVICE r4)
@@ -477,6 +479,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_prof.add_argument("--input", required=True)
     p_prof.add_argument("--out", default=None)
+    p_prof.add_argument(
+        "--approx", action="store_true",
+        help="HLL n_distinct (the 100 TB mode: 1x-rows scan, no Expand)",
+    )
 
     p_val = sub.add_parser(
         "validate",

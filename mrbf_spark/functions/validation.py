@@ -182,12 +182,23 @@ def _profile_kind(dt: str) -> str:
     return "other"
 
 
-def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame, cols: list[str] | None = None, approx_distinct: bool = False
+) -> DataFrame:
     """(column, dtype, n, nulls, n_distinct, min_q, max_q, avg_len_q)
     — one row per column, all-BIGINT metrics (see block comment).
     Scalar columns get the full metric set; complex columns
     (array/map/struct/binary) profile presence only — n and nulls —
-    since distinct/length/min/max aren't analysis-safe on them."""
+    since distinct/length/min/max aren't analysis-safe on them.
+
+    approx_distinct=True is the 100 TB mode: n_distinct via the HLL
+    sketch (approx_count_distinct, default rsd 5%) instead of the
+    exact count. The exact path plans k count-distincts as ONE Expand
+    (k× the input rows through the aggregate); HLL keeps the scan at
+    1× rows with a fixed-size sketch per column — the difference
+    between a profile you can run on every ingest and one you
+    schedule. Exact stays the default because it is what the DuckDB
+    twin can replay; the approx path is envelope-tested instead."""
     kinds = {f.name: _profile_kind(f.dataType.simpleString()) for f in df.schema}
     cols = cols or [f.name for f in df.schema]
     nl = F.lit(None).cast("long")
@@ -207,7 +218,12 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             fx = None
         aggs.append(F.count(col).alias(f"{c}__nn"))
         if k != "other":
-            aggs.append(F.count_distinct(col).alias(f"{c}__nd"))
+            nd_agg = (
+                F.approx_count_distinct(col)
+                if approx_distinct
+                else F.count_distinct(col)
+            )
+            aggs.append(nd_agg.alias(f"{c}__nd"))
         aggs += [] if fx is None else [
             F.min(fx).alias(f"{c}__min"),
             F.max(fx).alias(f"{c}__max"),

@@ -162,3 +162,67 @@ def streaming_cms_frequencies(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ------------------------------------------------ streaming quantile
+
+_QSK_STORE_SCHEMA = "grp string, h long, value double, rnk int"
+
+
+def read_qsk_store(
+    spark: SparkSession, store_dir: str, before_batch: int | None = None
+) -> DataFrame | None:
+    """Latest complete quantile-sample version, or None."""
+    return read_latest_version(spark, store_dir, _QSK_STORE_SCHEMA, before_batch)
+
+
+def merge_qsk_batch_into_store(
+    batch_df: DataFrame, batch_id: int, store_dir: str,
+    group_col: str = "event_type", value_col: str = "value",
+    key_col: str = "event_id",
+) -> None:
+    """Quantile-sample maintenance: bottom-k by row-key hash is
+    mergeable exactly like KMV (union, re-take k smallest), and
+    idempotent on duplicates — the before_batch exclusion is
+    belt-and-braces here too."""
+    from pyspark.sql import functions as F
+
+    from ..functions.sketches import bottomk_merge, bottomk_sample
+
+    spark = batch_df.sparkSession
+    inc = bottomk_sample(batch_df, group_col, value_col, F.col(key_col))
+    prev = read_qsk_store(spark, store_dir, before_batch=batch_id)
+    merged = inc if prev is None else bottomk_merge(prev, inc)
+    out = os.path.join(store_dir, f"v={batch_id}")
+    merged.select("grp", "h", "value", "rnk").write.mode("overwrite").parquet(out)
+
+
+def streaming_bottomk_quantile(
+    spark: SparkSession,
+    src_glob: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """availableNow stream maintaining the per-event_type bottom-k
+    value sample (feed read_qsk_store into sketches.sample_median for
+    the running median estimate)."""
+    ev = load_events_stream(
+        spark,
+        src_glob,
+        options=(
+            {"maxFilesPerTrigger": str(max_files_per_trigger)}
+            if max_files_per_trigger
+            else None
+        ),
+    )
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        merge_qsk_batch_into_store(batch_df, batch_id, store_dir)
+
+    return (
+        ev.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

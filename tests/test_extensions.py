@@ -1981,3 +1981,22 @@ def test_cli_report_empty_corpus(spark, tmp_path, capsys):
         for l in capsys.readouterr().out.splitlines() if "\t" in l
     }
     assert m["docs"] == 0 and m["tokens"] == 0 and m["exact_dup_rate"] == 1.0
+
+
+def test_profile_table_approx_distinct_within_envelope(spark):
+    """The 100 TB profiler mode: HLL n_distinct within 15% of exact on
+    every scalar column, all other metrics identical."""
+    from mrbf_spark.functions.validation import profile_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    exact = {r["column"]: r.asDict() for r in profile_table(ev).collect()}
+    approx = {r["column"]: r.asDict() for r in profile_table(ev, approx_distinct=True).collect()}
+    assert set(exact) == set(approx)
+    for c in exact:
+        e, a = exact[c], approx[c]
+        for k in ("n", "nulls", "min_q", "max_q", "avg_len_q"):
+            assert e[k] == a[k], (c, k)
+        if e["n_distinct"] is not None:
+            assert abs(a["n_distinct"] - e["n_distinct"]) <= max(
+                2, 0.15 * e["n_distinct"]
+            ), (c, e["n_distinct"], a["n_distinct"])

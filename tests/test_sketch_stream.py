@@ -150,3 +150,42 @@ def test_cms_batch_replay_does_not_double_count(spark, tmp_path):
         for r in cms_counters(ev, "user_id").collect()
     }
     assert got == want
+
+
+def test_streaming_quantile_store_equals_batch_sample(spark, tmp_path):
+    """The maintained bottom-k value sample equals the batch sample of
+    the whole table as exact (grp, h, value, rnk) tuples, and the
+    derived running median matches the batch path."""
+    from mrbf_spark.functions.sketches import bottomk_sample, sample_median
+    from mrbf_spark.streaming.sketch_stream import (
+        read_qsk_store,
+        streaming_bottomk_quantile,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "src")
+    ev.repartition(3).write.parquet(src)
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+
+    q = streaming_bottomk_quantile(spark, src, store, ckpt, max_files_per_trigger=1)
+    q.awaitTermination()
+
+    got = {
+        (r["grp"], r["rnk"], r["h"]): r["value"]
+        for r in read_qsk_store(spark, store).collect()
+    }
+    want = {
+        (r["grp"], r["rnk"], r["h"]): r["value"]
+        for r in bottomk_sample(
+            spark.read.parquet(src), "event_type", "value", F.col("event_id")
+        ).collect()
+    }
+    assert got == want and got
+    med_s = {r["grp"]: r["est"] for r in sample_median(read_qsk_store(spark, store)).collect()}
+    med_b = {
+        r["grp"]: r["est"]
+        for r in sample_median(
+            bottomk_sample(ev, "event_type", "value", F.col("event_id"))
+        ).collect()
+    }
+    assert med_s == med_b and len(med_s) == 5
