@@ -266,7 +266,10 @@ def cmd_report(args) -> None:
         ("tokens", float(agg["tokens"])),
         ("chars", float(agg["chars"])),
         ("mean_doc_tokens", agg["tokens"] / max(agg["docs"], 1)),
-        ("exact_dup_rate", 1.0 - agg["distinct_fps"] / max(agg["docs"], 1)),
+        (
+            "exact_dup_rate",
+            1.0 - agg["distinct_fps"] / agg["docs"] if agg["docs"] else 0.0,
+        ),
         ("gopher_pass_rate", agg["gopher_pass"] / max(agg["docs"], 1)),
         ("pii_hits_per_doc", agg["pii_hits"] / max(agg["docs"], 1)),
         *[
@@ -274,8 +277,8 @@ def cmd_report(args) -> None:
             for l in ("en", "de", "es")
         ],
     ]
-    report = spark.createDataFrame(rows, "metric string, value double")
     if args.out:
+        report = spark.createDataFrame(rows, "metric string, value double")
         report.coalesce(1).write.mode("overwrite").parquet(args.out)
     for m, v in rows:
         print(f"{m}\t{v:.6g}")
@@ -345,6 +348,8 @@ def cmd_sketch(args) -> None:
             bottomk_sample(df, args.group, args.value, F.col(args.key))
         )
         if args.out:
+            # cache around the two actions (the cmd_profile pattern)
+            med = med.cache()
             med.write.mode("overwrite").parquet(args.out)
         for r in med.orderBy("grp").collect():
             print(f"{r['grp']}\tmedian~{r['est']:.6g}")

@@ -188,7 +188,10 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     est = kmv_estimate(kmv_sketch(ev, "event_type", "user_id"))
     exact = (
-        ev.groupBy(F.col("event_type").alias("grp"), "user_id")
+        # NULL user_id excluded to mirror the sketch (and the twin's
+        # WHERE) — a NULL is not an item on either side
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy(F.col("event_type").alias("grp"), "user_id")
         .agg(F.lit(1))
         .groupBy("grp")
         .agg(F.count(F.lit(1)).alias("n_exact"))
@@ -297,7 +300,8 @@ def cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     grid = cms_counters(ev, "user_id")
     top = (
-        ev.groupBy(F.col("user_id").cast("string").alias("item"))
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy(F.col("user_id").cast("string").alias("item"))
         .agg(F.count(F.lit(1)).alias("true_n"))
         .orderBy(F.desc("true_n"), F.asc("item"))
         .limit(CMS_PROBE_TOPN)
@@ -349,9 +353,16 @@ def bottomk_sample(
 
 
 def bottomk_merge(a: DataFrame, b: DataFrame, k: int = QSK_K) -> DataFrame:
-    """merge(sample(A), sample(B)) = union, re-take k smallest hashes —
-    equals sample(A ∪ B) exactly (hash collisions aside, 2^-60)."""
-    u = a.select("grp", "h", "value").unionByName(b.select("grp", "h", "value"))
+    """merge(sample(A), sample(B)) = union, dedupe on row identity
+    (the hash IS the row id — same discipline as kmv_merge's
+    distinct), re-take k smallest — equals sample(A ∪ B) exactly even
+    for OVERLAPPING inputs (hash collisions aside, 2^-60), which is
+    what makes the streaming maintainer's replay convergent."""
+    u = (
+        a.select("grp", "h", "value")
+        .unionByName(b.select("grp", "h", "value"))
+        .dropDuplicates(["grp", "h"])
+    )
     w = Window.partitionBy("grp").orderBy("h")
     return (
         u.select("grp", "h", "value", F.row_number().over(w).alias("rnk"))

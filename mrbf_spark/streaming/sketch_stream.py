@@ -181,10 +181,11 @@ def merge_qsk_batch_into_store(
     group_col: str = "event_type", value_col: str = "value",
     key_col: str = "event_id",
 ) -> None:
-    """Quantile-sample maintenance: bottom-k by row-key hash is
-    mergeable exactly like KMV (union, re-take k smallest), and
-    idempotent on duplicates — the before_batch exclusion is
-    belt-and-braces here too."""
+    """Quantile-sample maintenance: bottom-k by row-key hash merges
+    like KMV — union, dedupe on (grp, h) row identity, re-take k
+    smallest — so a replayed increment collapses into itself and the
+    before_batch exclusion is belt-and-braces here (it would be
+    load-bearing without bottomk_merge's dedupe)."""
     from pyspark.sql import functions as F
 
     from ..functions.sketches import bottomk_merge, bottomk_sample

@@ -1980,7 +1980,7 @@ def test_cli_report_empty_corpus(spark, tmp_path, capsys):
         l.split("\t")[0]: float(l.split("\t")[1])
         for l in capsys.readouterr().out.splitlines() if "\t" in l
     }
-    assert m["docs"] == 0 and m["tokens"] == 0 and m["exact_dup_rate"] == 1.0
+    assert m["docs"] == 0 and m["tokens"] == 0 and m["exact_dup_rate"] == 0.0
 
 
 def test_profile_table_approx_distinct_within_envelope(spark):

@@ -192,3 +192,54 @@ def test_kmv_jaccard_estimates_set_overlap_from_sketches_alone(spark):
     c = kmv_sketch(spark.createDataFrame(c_rows, "grp string, item long"), "grp", "item")
     jd = kmv_jaccard(a, c).collect()[0]
     assert jd["n_both"] == 0 and jd["jaccard_est"] == 0.0
+
+
+def test_sketch_builders_match_duckdb_with_null_items(spark, tmp_path):
+    """The NULL-portability rule pinned end-to-end: on a corpus where
+    NULL user_id is frequent enough to matter (even top-10-frequent),
+    the kmv_distinct and cms_frequencies builders still hash-match
+    their DuckDB twins (NULLs dropped identically on both engines)."""
+    import os as _os
+    import sys as _sys
+
+    import duckdb
+    from pyspark.sql import functions as F2
+
+    _sys.path.insert(
+        0,
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "tools"
+        ),
+    )
+    from check_correctness import compare
+
+    from mrbf_spark.functions.sketches import cms_frequencies, kmv_distinct
+    from mrbf_spark.registry import BUILDER_SQL
+    from mrbf_spark.tables import load_table
+    from conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "user_id",
+        F2.when(F2.col("event_id") % 3 == 0, F2.lit(None).cast("long")).otherwise(
+            F2.col("user_id")
+        ),
+    )
+    null_dir = str(tmp_path / "nullev")
+    ev.write.parquet(null_dir)
+
+    # builders load via load_table(spark, sf_dir, 'events') — stage a
+    # sf-dir-shaped directory holding only the nulled events table
+    sf_dir = str(tmp_path / "sf")
+    _os.makedirs(sf_dir)
+    _os.symlink(null_dir, _os.path.join(sf_dir, "events.parquet"))
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{null_dir}/*.parquet')"
+    )
+    for name, fn in (("kmv_distinct", kmv_distinct), ("cms_frequencies", cms_frequencies)):
+        spark_pdf = fn(spark, sf_dir).toPandas()
+        duck_pdf = con.sql(BUILDER_SQL[name]).df()
+        problems = compare(name, spark_pdf, duck_pdf)
+        assert not problems, problems
+        assert len(spark_pdf) > 0
