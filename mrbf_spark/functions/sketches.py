@@ -519,3 +519,70 @@ def kmv_intersection_estimate(a: DataFrame, b: DataFrame, k: int = KMV_K) -> Dat
         "union_est",
         (F.col("jaccard_est") * F.col("union_est")).alias("intersection_est"),
     )
+
+
+# ------------------------------------------------ CMS heavy hitters
+
+
+def cms_estimate_col(
+    grid_rows: list, item: Column, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> Column:
+    """Map-side CMS estimate of `item`'s frequency as a pure JVM
+    expression: the depth×width grid rides as ONE array literal
+    (≤ 2048 longs — plan-sized, same budget as a broadcast hint) and
+    the estimate is least over the depth rows of
+    arr[i·width + hash_i(item) mod width]. Zero joins, zero shuffle —
+    usable as a row-level FILTER."""
+    arr = [0] * (depth * width)
+    for r in grid_rows:
+        arr[r["i"] * width + r["bucket"]] = r["cnt"]
+    lit = F.array(*[F.lit(int(x)).cast("long") for x in arr])
+    ests = [
+        F.element_at(
+            lit,
+            (
+                F.lit(d * width)
+                + F.pmod(
+                    _h60(item, f"cms{SKETCH_SEED}d{d}"), F.lit(width)
+                )
+            ).cast("int")
+            + 1,
+        )
+        for d in range(depth)
+    ]
+    return F.least(*ests)
+
+
+def cms_heavy_hitters(
+    df: DataFrame, item_col: str, min_count: int,
+    depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+) -> DataFrame:
+    """ALL items with true frequency ≥ min_count, exact counts —
+    found without ever shuffling the long tail. This is the sketch
+    twin of the engine's bloom-pruned joins: build the bounded CMS
+    grid (one partial-agg'd pass), then use the never-underestimates
+    guarantee as a map-side row filter — any item whose CMS estimate
+    is below the threshold PROVABLY has true count below it, so
+    dropping its rows cannot lose a heavy hitter (completeness is a
+    theorem, not a probability). Only candidate rows reach the exact
+    groupBy; the final filter on the exact count removes the
+    false-positive candidates (collision mass ≤ n/width per probe).
+
+    100 TB shape: pass 1 collapses to ≤ depth×width rows per map task
+    whatever the skew; the grid collects to the driver (16 KB) and
+    enters the plan as an array literal, so pass 2's filter is
+    whole-stage codegen with zero joins; the exact count then shuffles
+    ONLY rows of candidate items — under any long-tail distribution
+    that is a small fraction of the corpus (measured in the test).
+    Deterministic and SQL-replayable like the rest of the family."""
+    rows = df.filter(F.col(item_col).isNotNull()).select(
+        F.col(item_col).cast("string").alias("item")
+    )
+    grid_rows = cms_counters(df, item_col, depth, width).collect()
+    est = cms_estimate_col(grid_rows, F.col("item"), depth, width)
+    return (
+        rows.filter(est >= min_count)
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )

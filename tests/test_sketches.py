@@ -243,3 +243,43 @@ def test_sketch_builders_match_duckdb_with_null_items(spark, tmp_path):
         problems = compare(name, spark_pdf, duck_pdf)
         assert not problems, problems
         assert len(spark_pdf) > 0
+
+
+def test_cms_heavy_hitters_exact_and_complete(spark):
+    """Sketch-pruned aggregation: output == the naive
+    groupBy-count-filter EXACTLY (completeness is the
+    never-underestimates theorem, precision is the final exact
+    filter), and the map-side prune drops most of the long tail
+    before the shuffle."""
+    from mrbf_spark.functions.sketches import (
+        cms_counters,
+        cms_estimate_col,
+        cms_heavy_hitters,
+    )
+
+    # Zipf-ish: a few heavy items over a long unique tail
+    rows = (
+        [(f"hot{i % 5}",) for i in range(5000)]
+        + [(f"warm{i % 50}",) for i in range(2000)]
+        + [(f"tail{i}",) for i in range(8000)]
+    )
+    df = spark.createDataFrame(rows, "item string")
+    for t in (100, 900):
+        got = {
+            r["item"]: r["n"] for r in cms_heavy_hitters(df, "item", t).collect()
+        }
+        want = {
+            r["item"]: r["n"]
+            for r in df.groupBy("item")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= t)
+            .collect()
+        }
+        assert got == want and got, (t, len(got))
+
+    # the prune actually prunes: tail rows whose estimate < t never
+    # reach the exact aggregation
+    grid = cms_counters(df, "item").collect()
+    est = cms_estimate_col(grid, F.col("item"))
+    survivors = df.select(F.col("item")).filter(est >= 900).count()
+    assert survivors < len(rows) // 2, survivors  # most of 15k rows dropped
