@@ -140,6 +140,7 @@ def legacy_builders() -> dict:
         "kmv_distinct": _sketches.kmv_distinct,
         "cms_frequencies": _sketches.cms_frequencies,
         "quantile_sketch": _sketches.quantile_sketch,
+        "cms_heavy_hitters": _sketches.cms_heavy_hitters_q,
         "leakage_safe_split": lambda spark, sf_dir: _dedup.leakage_safe_split(
             _tables.load_table(spark, sf_dir, "documents")
         ),

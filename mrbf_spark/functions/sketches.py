@@ -586,3 +586,32 @@ def cms_heavy_hitters(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
     )
+
+
+# Scale-adaptive threshold: rows // HH_DIVISOR (integer division both
+# engines share), so the registered query exercises real pruning at
+# every SF the driver runs.
+HH_DIVISOR = 125
+
+_HH_SQL = f"""
+    SELECT CAST(user_id AS VARCHAR) AS key, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY 1
+    HAVING COUNT(*) >= greatest(1, (SELECT COUNT(*) FROM events) // {HH_DIVISOR})
+"""
+
+
+@builder("cms_heavy_hitters_q", _HH_SQL)
+def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of cms_heavy_hitters over events/user_id with a
+    scale-adaptive threshold (total rows // {HH_DIVISOR}). The oracle
+    is the NAIVE groupBy-filter — the sketch prune is an execution
+    strategy with provably identical semantics (never-underestimates),
+    exactly as the bloom-pruned semi-join's oracle is the plain
+    semi-join."""
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()
+    t = max(1, total // HH_DIVISOR)
+    return cms_heavy_hitters(ev, "user_id", t).select(
+        F.col("item").alias("key"), "n"
+    )

@@ -1814,6 +1814,10 @@ from ..functions import sketches as _sketches  # noqa: E402,F401
     SELECT 'qtl' AS part, key, n, stat, ok AS ok1, {_NULL_I} AS ok2,
            v AS v1, {_NULL_D} AS v2
     FROM ({BUILDER_SQL['quantile_sketch']})
+    UNION ALL
+    SELECT 'hh' AS part, key, n, {_NULL_L} AS stat, {_NULL_I} AS ok1,
+           {_NULL_I} AS ok2, {_NULL_D} AS v1, {_NULL_D} AS v2
+    FROM ({BUILDER_SQL['cms_heavy_hitters_q']})
     """,
 )
 def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1847,7 +1851,14 @@ def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ok").alias("ok1"), ni.alias("ok2"),
         F.col("v").alias("v1"), _nd().alias("v2"),
     )
-    return a.unionByName(m).unionByName(k).unionByName(c).unionByName(q)
+    hh = _sketches.cms_heavy_hitters_q(spark, sf_dir).select(
+        F.lit("hh").alias("part"), "key", "n", _nl().alias("stat"),
+        ni.alias("ok1"), ni.alias("ok2"), _nd().alias("v1"), _nd().alias("v2"),
+    )
+    return (
+        a.unionByName(m).unionByName(k).unionByName(c)
+        .unionByName(q).unionByName(hh)
+    )
 
 
 # --- temporal join family: as-of (running last_value vs DuckDB's
