@@ -535,8 +535,11 @@ def cms_estimate_col(
     usable as a row-level FILTER."""
     arr = [0] * (depth * width)
     for r in grid_rows:
-        arr[r["i"] * width + r["bucket"]] = r["cnt"]
-    lit = F.array(*[F.lit(int(x)).cast("long") for x in arr])
+        arr[r["i"] * width + r["bucket"]] = int(r["cnt"])
+    # ONE Literal node (F.lit on the list), not CreateArray of 2048
+    # children — a single ArrayData constant instead of a 2048-child
+    # expression tree for the analyzer/codegen to walk
+    lit = F.lit(arr)
     ests = [
         F.element_at(
             lit,

@@ -153,6 +153,7 @@ def queries():
     from mrbf_spark.functions.lm import lm_score, perplexity_buckets
     from mrbf_spark.functions.sketches import (
         cms_counters,
+        cms_heavy_hitters,
         kmv_estimate,
         kmv_sketch,
     )
@@ -218,6 +219,13 @@ def queries():
         # grid row — partial agg bounds every map task at depth×width.
         return cms_counters(load_table(spark, sf_dir, "events"), "user_id")
 
+    def cms_hh(spark, sf_dir):
+        # the planted hot user IS a heavy hitter: the sketch prune
+        # must keep its rows (never-underestimates) while the tail
+        # dies map-side; the exact count's hot key partial-aggregates.
+        ev = load_table(spark, sf_dir, "events")
+        return cms_heavy_hitters(ev, "user_id", 2000)
+
     def substr_spans(spark, sf_dir):
         # never pairs docs (window census + per-doc islands), so the
         # hot text must cost only its share of flagged positions.
@@ -242,6 +250,7 @@ def queries():
         "bm25[hot_term]": (bm25_hot_term, "documents"),
         "kmv_distinct": (kmv, "events"),
         "cms_grid_build": (cms, "events"),
+        "cms_heavy_hitters[T=2000]": (cms_hh, "events"),
     }
 
 
