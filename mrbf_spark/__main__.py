@@ -15,9 +15,18 @@ Training-data jobs (r4 extensions, not in the reference):
     python -m mrbf_spark shard --input docs.parquet --n-shards 64 --out shards/
     python -m mrbf_spark dedup-inc --input new.parquet --index fp_index.parquet --out statuses/
     python -m mrbf_spark dedup-inc --input new.parquet --history corpus.parquet --out statuses/
-    python -m mrbf_spark profile --input any.parquet
+    python -m mrbf_spark profile --input any.parquet [--approx]
     python -m mrbf_spark validate --input events.parquet --dim customer.parquet  # exit 1 on failure
     python -m mrbf_spark diff --old v1.parquet --new v2.parquet --pk doc_id --out d/
+
+Data-layout / sketch / curation jobs (r5):
+
+    python -m mrbf_spark zorder --input t.parquet --out z/ --cols x,y --files 64
+    python -m mrbf_spark compact --input small_files/ --out c/ --target-mb 128
+    python -m mrbf_spark sketch --input events.parquet --kind {kmv,cms,qtl}
+    python -m mrbf_spark report --input docs.parquet          # corpus quality report
+    python -m mrbf_spark split-safe --input docs.parquet --out splits/
+    python -m mrbf_spark merge --target t/ --source inc/ --pk doc_id --out m/
 
 `pipeline` runs the whole four-job sequence in one Spark application
 (what the reference needs four spark-submits + a getmerge for); with a
