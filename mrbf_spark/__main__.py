@@ -342,6 +342,7 @@ def cmd_sketch(args) -> None:
     from .functions.sketches import (
         bottomk_sample,
         cms_counters,
+        cms_heavy_hitters,
         cms_probe,
         kmv_estimate,
         kmv_sketch,
@@ -350,7 +351,16 @@ def cmd_sketch(args) -> None:
 
     spark = _spark(args)
     df = spark.read.parquet(args.input)
-    if args.kind == "qtl":
+    if args.kind == "hh":
+        from pyspark.sql import functions as F
+
+        hh = cms_heavy_hitters(df, args.item, args.min_count)
+        if args.out:
+            hh = hh.cache()
+            hh.write.mode("overwrite").parquet(args.out)
+        for r in hh.orderBy(F.desc("n"), "item").collect():
+            print(f"{r['item']}\tn={r['n']}")
+    elif args.kind == "qtl":
         from pyspark.sql import functions as F
 
         med = sample_median(
@@ -546,10 +556,11 @@ def main(argv: list[str] | None = None) -> int:
         help="KMV distinct estimate per group, or count-min top-N probe",
     )
     p_sk.add_argument("--input", required=True)
-    p_sk.add_argument("--kind", choices=["kmv", "cms", "qtl"], default="kmv")
+    p_sk.add_argument("--kind", choices=["kmv", "cms", "qtl", "hh"], default="kmv")
     p_sk.add_argument("--group", default="event_type")
     p_sk.add_argument("--item", default="user_id")
     p_sk.add_argument("--value", default="value", help="qtl: numeric column")
+    p_sk.add_argument("--min-count", type=int, default=100, help="hh: threshold")
     p_sk.add_argument("--key", default="event_id", help="qtl: unique row key")
     p_sk.add_argument("--topn", type=int, default=10)
     p_sk.add_argument("--out", default=None)

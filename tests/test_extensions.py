@@ -1731,6 +1731,17 @@ def test_cli_sketch(spark, tmp_path, capsys):
     out = [l for l in capsys.readouterr().out.splitlines() if "distinct~" in l]
     assert len(out) == 5  # one per event_type
 
+    assert main(["sketch", "--input", events, "--kind", "hh", "--min-count", "80"]) == 0
+    hlines = [l for l in capsys.readouterr().out.splitlines() if "\tn=" in l]
+    ev_hh = load_table(spark, SF_SMOKE, "events")
+    truth = {
+        str(r["user_id"]): r["n"]
+        for r in ev_hh.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want_hh = {k: v for k, v in truth.items() if v >= 80}
+    got_hh = {l.split("\tn=")[0]: int(l.split("\tn=")[1]) for l in hlines}
+    assert got_hh == want_hh and got_hh
+
     assert main(["sketch", "--input", events, "--kind", "qtl"]) == 0
     qlines = [l for l in capsys.readouterr().out.splitlines() if "median~" in l]
     assert len(qlines) == 5
