@@ -172,11 +172,14 @@ def main() -> None:
     # pre-compiles the sf0.1 run — timings below then measure
     # execution, not one-time JIT (cold-start is a fixed per-JVM cost,
     # amortized to zero on a long-lived 1000-executor cluster).
+    from mrbf_spark.registry import release_scoped_caches
+
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
         for name in names:
             try:
                 run_query(qs[name](spark, warm_dir))
+                release_scoped_caches()
             except Exception as e:
                 # a silent warm-up miss would leave that query's timed
                 # run paying JIT cost — make it attributable
@@ -197,6 +200,10 @@ def main() -> None:
             t0 = time.time()
             run_query(qs[name](spark, SF_DIR))
             dt = time.time() - t0
+            # builder-tier entries bypass the registered-query release
+            # hook — free their scoped caches so they don't accumulate
+            # across the ~85-query sweep
+            release_scoped_caches()
             timings[name] = round(min(timings.get(name, float("inf")), dt), 3)
             # per-query progress on stderr: makes a slow/hung query
             # attributable from a partial log (stdout stays one JSON line)

@@ -23,7 +23,7 @@ Data-layout / sketch / curation jobs (r5):
 
     python -m mrbf_spark zorder --input t.parquet --out z/ --cols x,y --files 64
     python -m mrbf_spark compact --input small_files/ --out c/ --target-mb 128
-    python -m mrbf_spark sketch --input events.parquet --kind {kmv,cms,qtl}
+    python -m mrbf_spark sketch --input events.parquet --kind {kmv,cms,qtl,hh}
     python -m mrbf_spark report --input docs.parquet          # corpus quality report
     python -m mrbf_spark split-safe --input docs.parquet --out splits/
     python -m mrbf_spark merge --target t/ --source inc/ --pk doc_id --out m/

@@ -538,6 +538,17 @@ def kmv_intersection_estimate(a: DataFrame, b: DataFrame, k: int = KMV_K) -> Dat
 # ------------------------------------------------ CMS heavy hitters
 
 
+def _grid_literal(grid_rows: list, depth: int, width: int) -> Column:
+    """The depth×width grid as ONE array Literal (a single ArrayData
+    constant, not a 2048-child CreateArray), indexed arr[i·width +
+    bucket] — shared by the estimator and the heavy-hitter filter so
+    the layout convention has one owner."""
+    arr = [0] * (depth * width)
+    for r in grid_rows:
+        arr[r["i"] * width + r["bucket"]] = int(r["cnt"])
+    return F.lit(arr)
+
+
 def cms_estimate_col(
     grid_rows: list, item: Column, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
 ) -> Column:
@@ -599,12 +610,11 @@ def cms_heavy_hitters(
     # halves the portable-hash tax (measured ~11 s → ~6 s at the
     # 1M-row stress scale)
     b = scoped_cache(_bucketed_items(df, item_col, depth, width))
-    b.count()
+    # no count() here: the grid collect below is the single eager
+    # consumer at this point — it scans b once and populates the cache
+    # as a side effect; the probe filter then reads the cached ints
     grid_rows = _grid_from_buckets(b, depth).collect()
-    arr = [0] * (depth * width)
-    for r in grid_rows:
-        arr[r["i"] * width + r["bucket"]] = int(r["cnt"])
-    lit = F.lit(arr)
+    lit = _grid_literal(grid_rows, depth, width)
     est = F.least(
         *[
             F.element_at(
@@ -637,7 +647,7 @@ _HH_SQL = f"""
 @builder("cms_heavy_hitters_q", _HH_SQL)
 def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered face of cms_heavy_hitters over events/user_id with a
-    scale-adaptive threshold (total rows // {HH_DIVISOR}). The oracle
+    scale-adaptive threshold (total rows // HH_DIVISOR = 125). The oracle
     is the NAIVE groupBy-filter — the sketch prune is an execution
     strategy with provably identical semantics (never-underestimates),
     exactly as the bloom-pruned semi-join's oracle is the plain

@@ -35,6 +35,16 @@ def scoped_cache(df: DataFrame) -> DataFrame:
     return df
 
 
+def release_scoped_caches() -> None:
+    """Public face of the release for NON-catalog call paths (CLI
+    jobs, tools, library users calling ops directly): registered
+    queries release automatically at their next start, but a direct
+    call to a scoped_cache-using op otherwise parks its cache in
+    executor storage for the session's lifetime. Call this after the
+    consuming action completes."""
+    _release_scoped_caches()
+
+
 def _release_scoped_caches() -> None:
     while _SCOPED_CACHES:
         try:

@@ -255,6 +255,7 @@ def queries():
 
 
 def main() -> int:
+    from mrbf_spark.registry import release_scoped_caches
     from mrbf_spark.session import get_spark
 
     spark = get_spark("stress-skew", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
@@ -276,6 +277,12 @@ def main() -> int:
                 n = fn(spark, d).count()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
+                # ops that scoped_cache internally (exact_jaccard,
+                # substring census, cms buckets) rely on the NEXT
+                # registered query to release; this loop never runs
+                # one, so release explicitly or the copies accumulate
+                # in executor storage and skew later timings
+                release_scoped_caches()
             times[mode], rows[mode] = best, n
         nrows = spark.read.parquet(os.path.join(BASE, "skew", f"{table}.parquet")).count()
         ratio = times["skew"] / times["uniform"]
