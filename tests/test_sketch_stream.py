@@ -189,3 +189,46 @@ def test_streaming_quantile_store_equals_batch_sample(spark, tmp_path):
         ).collect()
     }
     assert med_s == med_b and len(med_s) == 5
+
+
+def test_read_latest_version_skips_incomplete_and_excludes_current(spark, tmp_path):
+    """The versioned-store reader: picks the newest _SUCCESS-complete
+    version, skips torn writes (no _SUCCESS), honors the before_batch
+    replay exclusion, and returns None when nothing qualifies."""
+    import os
+
+    from mrbf_spark.streaming.store import read_latest_version
+
+    store = str(tmp_path / "store")
+    schema = "grp string, h long, rnk int"
+    assert read_latest_version(spark, store, schema) is None  # no dir
+
+    df1 = spark.createDataFrame([("a", 1, 1)], schema)
+    df2 = spark.createDataFrame([("b", 2, 1)], schema)
+    df1.write.parquet(os.path.join(store, "v=0"))
+    df2.write.parquet(os.path.join(store, "v=3"))
+    # torn write: newest version without _SUCCESS must be skipped
+    df2.write.parquet(os.path.join(store, "v=7"))
+    os.remove(os.path.join(store, "v=7", "_SUCCESS"))
+
+    got = read_latest_version(spark, store, schema).collect()
+    assert [(r["grp"], r["h"]) for r in got] == [("b", 2)]  # v=3, not torn v=7
+    # replay exclusion: a batch re-running as id 3 must see v=0
+    prev = read_latest_version(spark, store, schema, before_batch=3).collect()
+    assert [(r["grp"], r["h"]) for r in prev] == [("a", 1)]
+    assert read_latest_version(spark, store, schema, before_batch=0) is None
+
+
+def test_release_scoped_caches_drains_the_registry(spark):
+    """registry.release_scoped_caches: every scoped_cache'd frame is
+    unpersisted and the list drains (the non-catalog-path hygiene the
+    stress/bench loops rely on)."""
+    from mrbf_spark import registry
+
+    df = registry.scoped_cache(spark.range(100))
+    df.count()
+    assert df.storageLevel.useMemory
+    assert len(registry._SCOPED_CACHES) >= 1
+    registry.release_scoped_caches()
+    assert registry._SCOPED_CACHES == []
+    assert not df.storageLevel.useMemory
