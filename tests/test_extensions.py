@@ -2011,3 +2011,76 @@ def test_profile_table_approx_distinct_within_envelope(spark):
             assert abs(a["n_distinct"] - e["n_distinct"]) <= max(
                 2, 0.15 * e["n_distinct"]
             ), (c, e["n_distinct"], a["n_distinct"])
+
+
+def test_merge_upsert_partitioned_touches_only_its_buckets(spark, tmp_path):
+    """Partition-scoped MERGE: result equals the full-table upsert on
+    the touched buckets, untouched bucket directories stay
+    byte-identical (never read or written), and the target scan is
+    partition-pruned (PartitionFilters on pk_bucket)."""
+    import glob as _glob
+    import os as _os
+
+    from mrbf_spark.functions.diffing import (
+        bucket_col,
+        merge_upsert,
+        merge_upsert_partitioned,
+        write_bucketed_target,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "n_chars")
+    tdir = str(tmp_path / "target")
+    write_bucketed_target(docs, tdir, "doc_id", n_buckets=8)
+
+    # increment confined to buckets {0, 1}: updates picked BY bucket,
+    # new pks filtered to the same buckets — so most buckets stay
+    # untouched by construction
+    in_01 = bucket_col(F.col("doc_id"), 8).isin(0, 1)
+    inc = (
+        docs.filter(in_01).limit(40).withColumn("n_chars", F.col("n_chars") + 7)
+    ).unionByName(
+        spark.range(10_000, 10_200)
+        .select(F.col("id").alias("doc_id"), F.lit(5).cast("long").alias("n_chars"))
+        .filter(in_01)
+        .limit(20)
+    )
+
+    def snapshot(path):
+        return {
+            f: open(f, "rb").read()
+            for f in _glob.glob(_os.path.join(path, "pk_bucket=*", "*.parquet"))
+        }
+
+    before = snapshot(tdir)
+    touched = merge_upsert_partitioned(spark, tdir, inc, "doc_id", n_buckets=8)
+    after = snapshot(tdir)
+
+    inc_buckets = {
+        r["b"] for r in inc.select(bucket_col(F.col("doc_id"), 8).alias("b")).collect()
+    }
+    assert set(touched) == inc_buckets and 0 < len(touched) < 8
+
+    untouched_files = {
+        f for f in before if int(f.split("pk_bucket=")[1].split("/")[0]) not in inc_buckets
+    }
+    assert untouched_files
+    for f in untouched_files:
+        assert after[f] == before[f], f"untouched bucket rewritten: {f}"
+
+    got = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(tdir).select("doc_id", "n_chars").collect()
+    }
+    want = {
+        r["doc_id"]: r["n_chars"]
+        for r in merge_upsert(docs, inc, "doc_id")
+        .filter(F.col("__action") != "delete")
+        .collect()
+    }
+    assert got == want
+
+    # the pruned scan: PartitionFilters on pk_bucket reach the target read
+    tgt = spark.read.parquet(tdir).filter(F.col("pk_bucket").isin(sorted(inc_buckets)))
+    plan = tgt._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "PartitionFilters" in scan and "pk_bucket" in scan.split("PartitionFilters:")[1].split("]")[0]
