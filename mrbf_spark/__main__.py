@@ -296,9 +296,21 @@ def cmd_report(args) -> None:
 def cmd_merge(args) -> None:
     from pyspark.sql import functions as F
 
-    from .functions.diffing import merge_upsert
+    from .functions.diffing import merge_upsert, merge_upsert_partitioned
 
     spark = _spark(args)
+    if args.bucketed:
+        # in-place partition-scoped merge into a bucketed target dir
+        touched = merge_upsert_partitioned(
+            spark,
+            args.target,
+            spark.read.parquet(args.source),
+            args.pk,
+            n_buckets=args.buckets,
+            delete_missing=args.delete_missing,
+        )
+        print(f"merged in place; touched buckets: {touched}")
+        return
     merged = merge_upsert(
         spark.read.parquet(args.target),
         spark.read.parquet(args.source),
@@ -542,6 +554,12 @@ def main(argv: list[str] | None = None) -> int:
     p_mg.add_argument("--pk", default="doc_id")
     p_mg.add_argument("--out", default=None)
     p_mg.add_argument("--delete-missing", action="store_true")
+    p_mg.add_argument(
+        "--bucketed", action="store_true",
+        help="target is a pk-bucketed directory (write_bucketed_target); "
+        "merge IN PLACE, rewriting only touched buckets",
+    )
+    p_mg.add_argument("--buckets", type=int, default=64)
 
     p_ss = sub.add_parser(
         "split-safe",

@@ -98,3 +98,59 @@ def streaming_merge_events(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_merge_events_partitioned(
+    spark: SparkSession,
+    src_glob: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    pk: str = "event_id",
+    n_buckets: int = 16,
+    max_files_per_trigger: int = 1,
+):
+    """CDC apply over ONE live pk-bucketed directory (the |touched
+    partitions| composition the versioned apply's docstring points
+    at): each micro-batch runs merge_upsert_partitioned against the
+    target in place, rewriting only the buckets the increment's pks
+    hash into.
+
+    Replay safety WITHOUT versions: upsert (delete_missing=False) is
+    idempotent — a replayed batch re-merges rows the target already
+    holds and classifies them unchanged, so the dynamic partition
+    overwrite rewrites its buckets with identical content. (A
+    delete_missing sync is NOT idempotent under interleaving and
+    belongs on the versioned apply above.) First batch bootstraps the
+    layout via write_bucketed_target."""
+    import os as _os
+
+    from ..functions.diffing import merge_upsert_partitioned, write_bucketed_target
+
+    ev = load_events_stream(
+        spark,
+        src_glob,
+        options=(
+            {"maxFilesPerTrigger": str(max_files_per_trigger)}
+            if max_files_per_trigger
+            else None
+        ),
+    )
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        rest = [c for c in batch_df.columns if c != pk]
+        inc = (
+            batch_df.groupBy(pk)
+            .agg(F.max(F.struct(*rest)).alias("__r"))
+            .select(pk, *[F.col("__r")[c].alias(c) for c in rest])
+        )
+        if not _os.path.isdir(target_dir):
+            write_bucketed_target(inc, target_dir, pk, n_buckets)
+            return
+        merge_upsert_partitioned(spark, target_dir, inc, pk, n_buckets)
+
+    return (
+        ev.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -2084,3 +2084,31 @@ def test_merge_upsert_partitioned_touches_only_its_buckets(spark, tmp_path):
     plan = tgt._jdf.queryExecution().executedPlan().toString()
     scan = next(l for l in plan.splitlines() if "FileScan" in l)
     assert "PartitionFilters" in scan and "pk_bucket" in scan.split("PartitionFilters:")[1].split("]")[0]
+
+
+def test_cli_merge_bucketed(spark, tmp_path, capsys):
+    """merge --bucketed merges in place and reports touched buckets;
+    the final table equals the plain merge."""
+    from mrbf_spark.functions.diffing import merge_upsert, write_bucketed_target
+    from mrbf_spark.__main__ import main
+
+    d = load_table(spark, SF_SMOKE, "documents").select("doc_id", "n_chars")
+    tdir = str(tmp_path / "tgt")
+    write_bucketed_target(d, tdir, "doc_id", n_buckets=8)
+    src = str(tmp_path / "src")
+    d.limit(30).withColumn("n_chars", F.col("n_chars") + 1).write.parquet(src)
+
+    assert main([
+        "merge", "--target", tdir, "--source", src, "--pk", "doc_id",
+        "--bucketed", "--buckets", "8",
+    ]) == 0
+    assert "touched buckets" in capsys.readouterr().out
+    got = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(tdir).select("doc_id", "n_chars").collect()
+    }
+    want = {
+        r["doc_id"]: r["n_chars"]
+        for r in merge_upsert(d, spark.read.parquet(src), "doc_id").collect()
+    }
+    assert got == want

@@ -75,3 +75,50 @@ def test_streaming_merge_idle_restart_is_noop(spark, tmp_path):
     q2.awaitTermination()
     after = {r["event_id"]: r["value"] for r in read_target(spark, store, schema).collect()}
     assert before == after and len(before) == 300
+
+
+def test_streaming_partitioned_merge_live_dir_equals_batch(spark, tmp_path):
+    """The live-directory CDC apply: after draining overlapping
+    increments, the bucketed target holds every pk exactly once with
+    the last increment winning — and a full restart on the same
+    checkpoint (no new files) leaves it unchanged."""
+    from mrbf_spark.streaming.merge_stream import (
+        streaming_merge_events_partitioned,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    staged = str(tmp_path / "staged")
+    parts = [
+        ev.filter(F.col("event_id") < 600),
+        ev.filter((F.col("event_id") >= 400) & (F.col("event_id") < 900)).withColumn(
+            "value", F.col("value") + 100.0
+        ),
+    ]
+    for i, p in enumerate(parts):
+        d = os.path.join(staged, str(i))
+        p.coalesce(1).write.parquet(d)
+        f = next(x for x in os.listdir(d) if x.endswith(".parquet"))
+        shutil.copy(os.path.join(d, f), os.path.join(src, f"inc{i}.parquet"))
+
+    tdir, ckpt = str(tmp_path / "target"), str(tmp_path / "ckpt")
+    q = streaming_merge_events_partitioned(spark, src, tdir, ckpt, n_buckets=8)
+    q.awaitTermination()
+
+    rows = {
+        r["event_id"]: r["value"]
+        for r in spark.read.parquet(tdir).select("event_id", "value").collect()
+    }
+    base = {r["event_id"]: r["value"] for r in ev.filter(F.col("event_id") < 900).collect()}
+    assert len(rows) == len(base)
+    for k, v in rows.items():
+        assert v == (base[k] + 100.0 if k >= 400 else base[k]), k
+
+    q2 = streaming_merge_events_partitioned(spark, src, tdir, ckpt, n_buckets=8)
+    q2.awaitTermination()
+    rows2 = {
+        r["event_id"]: r["value"]
+        for r in spark.read.parquet(tdir).select("event_id", "value").collect()
+    }
+    assert rows2 == rows
