@@ -408,18 +408,23 @@ def cmd_sketch(args) -> None:
 
 
 def cmd_zorder(args) -> None:
-    from .functions.layout import write_zordered
+    from .functions.layout import write_hilbert, write_zordered
 
     parts = [c.strip() for c in args.cols.split(",") if c.strip()]
-    if len(parts) != 2:
-        raise SystemExit(f"zorder: --cols needs exactly two columns, got {args.cols!r}")
-    c1, c2 = parts
+    if len(parts) < 2:
+        raise SystemExit(f"zorder: --cols needs ≥2 columns, got {args.cols!r}")
+    if args.curve == "hilbert" and len(parts) != 2:
+        raise SystemExit("zorder: --curve hilbert supports exactly two columns")
     spark = _spark(args)
-    write_zordered(
-        spark.read.parquet(args.input), args.out, c1, c2,
-        n_files=args.files,
+    df = spark.read.parquet(args.input)
+    if args.curve == "hilbert":
+        write_hilbert(df, args.out, parts[0], parts[1], n_files=args.files)
+    else:
+        write_zordered(df, args.out, *parts, n_files=args.files)
+    print(
+        f"{args.curve}-clustered {args.input} by ({','.join(parts)}) "
+        f"into {args.files} files at {args.out}"
     )
-    print(f"z-ordered {args.input} by ({c1},{c2}) into {args.files} files at {args.out}")
 
 
 def cmd_compact(args) -> None:
@@ -585,13 +590,17 @@ def main(argv: list[str] | None = None) -> int:
 
     p_zo = sub.add_parser(
         "zorder",
-        help="rewrite a parquet table Z-order-clustered on two columns "
-        "(multi-dimensional row-group pruning)",
+        help="rewrite a parquet table space-filling-curve-clustered on k "
+        "columns (multi-dimensional row-group pruning)",
     )
     p_zo.add_argument("--input", required=True)
     p_zo.add_argument("--out", required=True)
-    p_zo.add_argument("--cols", required=True, help="two columns: c1,c2")
+    p_zo.add_argument("--cols", required=True, help="k ≥ 2 columns: c1,c2[,c3…]")
     p_zo.add_argument("--files", type=int, default=8)
+    p_zo.add_argument(
+        "--curve", choices=("morton", "hilbert"), default="morton",
+        help="morton = any k; hilbert = 2 columns, tighter locality",
+    )
 
     p_cpt = sub.add_parser(
         "compact", help="coalesce small files toward a target file size"

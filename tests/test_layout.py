@@ -10,8 +10,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from mrbf_spark.functions.layout import (
+    _HILBERT_NXT,
+    _HILBERT_OUT,
     _morton_interleave,
     compact_to_target,
+    hilbert_key,
+    write_hilbert,
     write_zordered,
     zorder_key,
 )
@@ -98,6 +102,124 @@ def test_zorder_prunes_2d_boxes_where_linear_sort_cannot(spark, tmp_path):
     xy_hit, _ = _groups_intersecting(p_xsorted, *yband)
     assert xy_hit == x_tot  # x-sorted reads everything
     assert zy_hit < x_tot // 2, zy_hit  # z-order skips most groups
+
+
+def _xy2d(bits: int, x: int, y: int) -> int:
+    """Independent reference: the classic Wikipedia xy2d rotation
+    loop, implemented directly (no state machine) — pins the derived
+    _HILBERT_OUT/_HILBERT_NXT tables to the textbook curve."""
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def _hilbert_via_tables(bits: int, x: int, y: int) -> int:
+    """Python replay of the Spark fold (state machine over base-4
+    Morton digits, MSB first)."""
+    st, d = 0, 0
+    for i in range(bits - 1, -1, -1):
+        q = 2 * ((x >> i) & 1) + ((y >> i) & 1)
+        d = (d << 2) | _HILBERT_OUT[st * 4 + q]
+        st = _HILBERT_NXT[st * 4 + q]
+    return d
+
+
+def test_hilbert_tables_match_textbook_xy2d_exhaustively():
+    bits = 6  # 4096 points — every (state, quadrant) path exercised
+    for x in range(1 << bits):
+        for y in range(1 << bits):
+            assert _hilbert_via_tables(bits, x, y) == _xy2d(bits, x, y), (x, y)
+
+
+def test_hilbert_index_is_a_bijection():
+    bits = 5
+    n = 1 << bits
+    seen = {_xy2d(bits, x, y) for x in range(n) for y in range(n)}
+    assert seen == set(range(n * n))
+
+
+def test_hilbert_key_spark_matches_reference(spark):
+    """Spark's F.aggregate fold == the Python xy2d reference on an
+    exhaustive 16×16 grid (min=0/max=15 makes the min-max scaling the
+    identity, so raw coordinates hit the machine unchanged)."""
+    bits = 4
+    n = 1 << bits
+    pts = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = {
+        (r["x"], r["y"]): r["__hkey"]
+        for r in hilbert_key(df, "x", "y", bits=bits).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == _xy2d(bits, x, y), (x, y)
+
+
+def test_hilbert_adjacent_cells_are_unit_steps():
+    """The defining Hilbert property (and why its locality beats
+    Morton): consecutive curve positions are always Manhattan
+    distance 1 apart. Morton violates this at every 2^k boundary."""
+    bits = 5
+    n = 1 << bits
+    pos = {_xy2d(bits, x, y): (x, y) for x in range(n) for y in range(n)}
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+
+
+def test_zorder_key_three_columns(spark):
+    """k=3 Morton: total, deterministic, partition-invariant, and the
+    bit budget auto-narrows (3 × 16 > 63 ⇒ bits drops to 63//3=21,
+    capped at 16 → fine; explicit bits=21 would still fit)."""
+    df = spark.range(2000).select(
+        (F.col("id") % 10).alias("x"),
+        (F.col("id") % 7).alias("y"),
+        (F.col("id") % 13).alias("z"),
+    )
+    a = sorted(r["__zkey"] for r in zorder_key(df, "x", "y", "z").collect())
+    b = sorted(
+        r["__zkey"]
+        for r in zorder_key(df.repartition(5), "x", "y", "z").collect()
+    )
+    assert a == b and len(a) == 2000
+
+
+def test_hilbert_prunes_at_least_as_well_as_morton(spark, tmp_path):
+    """Hilbert's tighter locality: on the same box predicates, the
+    hilbert layout must beat unsorted everywhere and be within a
+    whisker of (usually better than) morton on row-group pruning."""
+    df = _grid_df(spark)
+    p_morton = str(tmp_path / "morton")
+    p_hilbert = str(tmp_path / "hilbert")
+    write_zordered(df, p_morton, "x", "y", n_files=N_FILES)
+    write_hilbert(df, p_hilbert, "x", "y", n_files=N_FILES)
+
+    assert (
+        spark.read.parquet(p_hilbert).agg(F.sum("payload")).collect()
+        == df.agg(F.sum("payload")).collect()
+    )
+
+    boxes = [(100, 200, 100, 200), (0, 1000, 100, 200), (700, 800, 0, 1000)]
+    m_hits = h_hits = 0
+    for box in boxes:
+        mh, mt = _groups_intersecting(p_morton, *box)
+        hh, ht = _groups_intersecting(p_hilbert, *box)
+        assert ht == mt
+        assert hh < ht, (box, hh, ht)  # always prunes something
+        m_hits += mh
+        h_hits += hh
+    # aggregate over the box suite: hilbert ≤ morton × small slack
+    # (row-group boundaries add noise on any single box)
+    assert h_hits <= m_hits * 1.25, (h_hits, m_hits)
 
 
 def test_compact_to_target_merges_small_files(spark, tmp_path):
