@@ -66,6 +66,7 @@ def legacy_builders() -> dict:
     from mrbf_spark.functions import diffing as _diffing
     from mrbf_spark.functions import retrieval as _retrieval
     from mrbf_spark.functions import sampling as _sampling
+    from mrbf_spark.functions import similarity as _similarity
     from mrbf_spark.functions import sketches as _sketches
     from mrbf_spark.functions import text as _text
     from mrbf_spark.operators import bloom_queries, relational, skew
@@ -135,6 +136,10 @@ def legacy_builders() -> dict:
             _tables.load_table(spark, sf_dir, "events")
         ),
         "snapshot_diff": _diffing.diff_events,
+        # consolidated late r5 into embedding_dedup_suite; keys kept so
+        # BENCH timings stay comparable round over round
+        "embedding_neardup": _similarity.embedding_neardup,
+        "semdedup": _similarity.semdedup,
         # r5 deterministic sketch family (registered via
         # stats_aggregates parts; timed standalone here)
         "kmv_distinct": _sketches.kmv_distinct,

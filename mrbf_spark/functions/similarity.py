@@ -19,7 +19,7 @@ import numpy as np
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from ..registry import register
+from ..registry import builder, register, scoped_cache
 from ..tables import load_table
 
 TOPK = 5
@@ -536,7 +536,7 @@ NEARDUP_EXACT_CAP = 100_000
 NEARDUP_SALT_B = 16
 
 
-@register(
+@builder(
     "embedding_neardup",
     f"""
     WITH {_NORMS_SQL},
@@ -684,3 +684,192 @@ def _neardup_sides(
         F.col("nrm").alias("nrm_b"),
     )
     return a, b
+
+
+# --- SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+# for web-scale corpora — k-means-cluster the embeddings, find
+# near-dup pairs WITHIN each cluster only (the pair space shrinks from
+# O(N²) to Σ|cell|², and clusters are the natural shuffle key), and
+# inside every duplicate group keep the item with the LOWEST cosine to
+# its centroid (the paper's keeper rule: the least-prototypical
+# example carries the most information). Deterministic twin of the
+# paper's pipeline: the coarse quantizer is the IVF-flat one
+# (first-N data-point centroids, fixed-point dot argmax), so cluster
+# assignment, centroid cosines, and the keeper rule are all
+# SQL-replayable — the driver hash-checks the whole verdict table.
+#
+# 100 TB: cluster assignment is one map-only corpus pass against a
+# broadcast centroid matrix; the pair stage reuses neardup_pairs keyed
+# on the cell id, so oversized cells fall back to the salted-grid /
+# LSH bounded join and the corpus never shuffles more than its
+# candidate pairs. The keeper rule is one bounded self-join over the
+# surviving pairs (≪ corpus) plus a distinct on the loser ids.
+SEMDEDUP_TAU = 0.5
+
+
+def semdedup_scored(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cell, cent_cosine): IVF-flat cell
+    assignment + exact decimal cosine to the assigned centroid. The
+    centroid matrix rides as a one-row broadcast column (never plan
+    literals), and the centroid's own norm is computed from that
+    column — everything downstream of the scan is map-only."""
+    with_mat = with_matrix(emb, emb.sparkSession, _flat_centroids(emb))
+    fdots = lambda: F.transform(  # noqa: E731 — tiny local expr factory
+        F.col("mat"), lambda c: _fixed_dot_long(F.col("embedding"), c)
+    )
+    cell = (F.array_position(fdots(), F.array_max(fdots())) - 1).cast("int")
+    assigned = with_mat.select("vec_id", "embedding", cell.alias("cell"), "mat")
+    cvec = F.element_at(F.col("mat"), F.col("cell") + 1)
+    cent_cos = _decimal_dot(F.col("embedding"), cvec) / (
+        F.sqrt(_decimal_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_decimal_dot(cvec, cvec))
+    )
+    return assigned.select(
+        "vec_id", "embedding", "cell", cent_cos.alias("cent_cosine")
+    )
+
+
+def semdedup_verdicts(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
+    """(vec_id, cell, cent_cosine, keep) — keep=false iff some
+    same-cell neighbor with cosine ≥ τ is MORE keepable (strictly
+    lower centroid-cosine, ties by lower vec_id), so every duplicate
+    group keeps exactly its least-prototypical member."""
+    scored = scoped_cache(semdedup_scored(emb))
+    pairs = neardup_pairs(
+        scored.select("vec_id", F.col("cell").alias("label"), "embedding"),
+        tau=tau,
+    )
+    sym = pairs.select(
+        F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("other")
+    ).unionAll(
+        pairs.select(F.col("vec_b").alias("vec_id"), F.col("vec_a").alias("other"))
+    )
+    rank = scored.select("vec_id", "cent_cosine")
+    j = sym.join(
+        rank.select(
+            F.col("vec_id").alias("other"), F.col("cent_cosine").alias("other_cos")
+        ),
+        "other",
+    ).join(rank, "vec_id")
+    losers = (
+        j.filter(
+            (F.col("other_cos") < F.col("cent_cosine"))
+            | (
+                (F.col("other_cos") == F.col("cent_cosine"))
+                & (F.col("other") < F.col("vec_id"))
+            )
+        )
+        .select("vec_id")
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return scored.join(losers, "vec_id", "left").select(
+        "vec_id", "cell", "cent_cosine", F.col("__dup").isNull().alias("keep")
+    )
+
+
+def _semdedup_oracle(tau: float = SEMDEDUP_TAU) -> str:
+    """DuckDB twin: replays cell assignment (fixed-point dot argmax
+    over the same first-N centroids), centroid cosines, within-cell
+    pair cosines, and the keeper rule."""
+    return f"""
+    WITH {_NORMS_SQL},
+    cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cemb
+             FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
+                   LIMIT {N_CENTROIDS})),
+    cdots AS (SELECT vec_id, cid,
+                     SUM(CAST(TRUNC(CAST(x AS DOUBLE) * CAST(cx AS DOUBLE)
+                                    * 1000000000.0) AS BIGINT)) AS s
+              FROM (SELECT e.vec_id, c.cid, UNNEST(e.embedding) AS x,
+                           UNNEST(c.cemb) AS cx
+                    FROM embeddings e CROSS JOIN cent c)
+              GROUP BY 1, 2),
+    cr AS (SELECT vec_id, cid, s,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS r
+           FROM cdots),
+    cells AS (SELECT vec_id, CAST(cid AS INT) AS cell, s FROM cr WHERE r = 1),
+    cnorm AS (SELECT cid,
+                     CAST(CAST(SUM(CAST(TRUNC(CAST(cx AS DOUBLE) * CAST(cx AS DOUBLE)
+                                               * 1000000000.0) AS BIGINT)) AS BIGINT)
+                          AS DOUBLE) / 1000000000.0 AS cnrm
+              FROM (SELECT cid, UNNEST(cemb) AS cx FROM cent) GROUP BY cid),
+    ccos AS (SELECT cl.vec_id, cl.cell,
+                    (CAST(cl.s AS DOUBLE) / 1000000000.0)
+                      / (SQRT(n.nrm) * SQRT(cn.cnrm)) AS cent_cosine
+             FROM cells cl
+             JOIN norms n ON n.vec_id = cl.vec_id
+             JOIN cnorm cn ON cn.cid = cl.cell),
+    joined AS (SELECT e.vec_id, e.embedding, cl.cell
+               FROM embeddings e JOIN cells cl ON cl.vec_id = e.vec_id),
+    pair_dots AS (
+      SELECT a_id AS vec_a, b_id AS vec_b,
+             CAST(CAST(SUM(CAST(TRUNC(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)
+                                      * 1000000000.0) AS BIGINT)) AS BIGINT)
+                  AS DOUBLE) / 1000000000.0 AS dot
+      FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   UNNEST(a.embedding) AS xa, UNNEST(b.embedding) AS xb
+            FROM joined a JOIN joined b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id)
+      GROUP BY 1, 2),
+    dup_pairs AS (SELECT vec_a, vec_b FROM pair_dots
+                  JOIN norms na ON na.vec_id = vec_a
+                  JOIN norms nb ON nb.vec_id = vec_b
+                  WHERE dot / (SQRT(na.nrm) * SQRT(nb.nrm)) >= {tau}),
+    sym AS (SELECT vec_a AS vec_id, vec_b AS other FROM dup_pairs
+            UNION ALL
+            SELECT vec_b AS vec_id, vec_a AS other FROM dup_pairs),
+    losers AS (SELECT DISTINCT s.vec_id
+               FROM sym s
+               JOIN ccos cx ON cx.vec_id = s.vec_id
+               JOIN ccos co ON co.vec_id = s.other
+               WHERE co.cent_cosine < cx.cent_cosine
+                  OR (co.cent_cosine = cx.cent_cosine AND s.other < s.vec_id))
+    SELECT c.vec_id, c.cell, c.cent_cosine, l.vec_id IS NULL AS keep
+    FROM ccos c LEFT JOIN losers l ON l.vec_id = c.vec_id
+    """
+
+
+@builder("semdedup", _semdedup_oracle())
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup verdict table over the embeddings corpus."""
+    return semdedup_verdicts(load_table(spark, sf_dir, "embeddings"))
+
+
+# --- the registered embedding-dedup family: near-dup pairs within
+# human labels ('pair' part, the r1 entry) ∪ SemDeDup keep/drop
+# verdicts within learned cells ('semdedup' part) — one catalog slot,
+# both oracles composed from BUILDER_SQL (the r4 consolidation
+# pattern), each independently hash-checked by the driver.
+def _embedding_dedup_suite_sql() -> str:
+    from ..registry import BUILDER_SQL
+
+    return f"""
+    SELECT 'pair' AS part, vec_a AS k1, CAST(vec_b AS BIGINT) AS k2,
+           cosine, CAST(NULL AS BIGINT) AS keep
+    FROM ({BUILDER_SQL['embedding_neardup']})
+    UNION ALL
+    SELECT 'semdedup' AS part, vec_id AS k1, CAST(cell AS BIGINT) AS k2,
+           cent_cosine AS cosine, CAST(keep AS BIGINT) AS keep
+    FROM ({BUILDER_SQL['semdedup']})
+    """
+
+
+@register("embedding_dedup_suite", _embedding_dedup_suite_sql())
+def embedding_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = embedding_neardup(spark, sf_dir).select(
+        F.lit("pair").alias("part"),
+        F.col("vec_a").alias("k1"),
+        F.col("vec_b").cast("long").alias("k2"),
+        "cosine",
+        # BIGINT, not BOOLEAN: a NULL boolean canonicalizes differently
+        # across the two engines' pandas paths (None vs NaN-object)
+        F.lit(None).cast("long").alias("keep"),
+    )
+    sd = semdedup(spark, sf_dir).select(
+        F.lit("semdedup").alias("part"),
+        F.col("vec_id").alias("k1"),
+        F.col("cell").cast("long").alias("k2"),
+        F.col("cent_cosine").alias("cosine"),
+        F.col("keep").cast("long").alias("keep"),
+    )
+    return pairs.unionByName(sd)

@@ -589,6 +589,124 @@ def test_neardup_salted_exact_path_fans_out_and_matches_bruteforce(spark):
     assert got == want
 
 
+def test_semdedup_matches_exact_reference(spark):
+    """SemDeDup end-to-end vs an independent numpy replay of the whole
+    deterministic pipeline (flat centroids → fixed-point cell argmax →
+    centroid cosine → within-cell pair cosines → keeper rule): planted
+    near-copies of anchor vectors must be dropped, exactly one keeper
+    per duplicate group, and every (cell, cent_cosine, keep) cell must
+    agree bit-for-bit."""
+    import numpy as np
+
+    from mrbf_spark.functions.similarity import (
+        FIXED_SCALE,
+        N_CENTROIDS,
+        semdedup_verdicts,
+    )
+
+    rng = np.random.RandomState(11)
+    dim = 8
+    anchors = rng.randn(N_CENTROIDS + 4, dim)
+    rows = [v for v in anchors]
+    # plant 6 near-copies of three anchors (tiny perturbations →
+    # cosine ≈ 1 ≫ τ); they should land in the anchor's cell
+    for a_idx in (2, 5, 9):
+        for _ in range(2):
+            rows.append(anchors[a_idx] + rng.randn(dim) * 1e-3)
+    vecs = np.array(rows, dtype=np.float64)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    # the engine reads float32-rounded values; replay that in the ref
+    vecs32 = vecs.astype(np.float32).astype(np.float64)
+
+    def fdot(a, b):
+        return int(np.trunc(a * b * FIXED_SCALE).astype(np.int64).sum())
+
+    cents = vecs32[:N_CENTROIDS]
+    tau = 0.5
+    cell_of, ccos_of = {}, {}
+    for i in range(len(vecs32)):
+        dots = [fdot(vecs32[i], c) for c in cents]
+        cell = int(np.argmax(dots))  # first max, like array_position
+        cell_of[i] = cell
+        num = dots[cell] / FIXED_SCALE
+        ccos_of[i] = num / (
+            np.sqrt(fdot(vecs32[i], vecs32[i]) / FIXED_SCALE)
+            * np.sqrt(fdot(cents[cell], cents[cell]) / FIXED_SCALE)
+        )
+    dup_pairs = set()
+    for i in range(len(vecs32)):
+        for j in range(i + 1, len(vecs32)):
+            if cell_of[i] != cell_of[j]:
+                continue
+            cos = (fdot(vecs32[i], vecs32[j]) / FIXED_SCALE) / (
+                np.sqrt(fdot(vecs32[i], vecs32[i]) / FIXED_SCALE)
+                * np.sqrt(fdot(vecs32[j], vecs32[j]) / FIXED_SCALE)
+            )
+            if cos >= tau:
+                dup_pairs.add((i, j))
+    keep_ref = {}
+    for i in range(len(vecs32)):
+        neighbors = [b for a, b in dup_pairs if a == i] + [
+            a for a, b in dup_pairs if b == i
+        ]
+        keep_ref[i] = not any(
+            (ccos_of[y], y) < (ccos_of[i], i) for y in neighbors
+        )
+
+    got = {
+        r["vec_id"]: (r["cell"], r["cent_cosine"], r["keep"])
+        for r in semdedup_verdicts(emb, tau=tau).collect()
+    }
+    assert set(got) == set(range(len(vecs32)))
+    for i in range(len(vecs32)):
+        assert got[i] == (cell_of[i], ccos_of[i], keep_ref[i]), (
+            i, got[i], (cell_of[i], ccos_of[i], keep_ref[i])
+        )
+    # the planted copies produced real duplicate groups: each planted
+    # triple is mutually connected (pairwise cosine ≈ 1), so at most
+    # one member can survive; and the globally least-prototypical
+    # member of every connected dup component is always kept
+    dropped = [i for i, (_, _, k) in got.items() if not k]
+    assert len(dropped) >= 3
+    planted = {2: [], 5: [], 9: []}
+    for off, a_idx in enumerate((2, 5, 9)):
+        planted[a_idx] = [
+            a_idx,
+            N_CENTROIDS + 4 + 2 * off,
+            N_CENTROIDS + 4 + 2 * off + 1,
+        ]
+    for a_idx, group in planted.items():
+        for x in group:
+            for y in group:
+                if x < y:
+                    assert (x, y) in dup_pairs, (x, y)
+        kept = [i for i in group if got[i][2]]
+        assert len(kept) <= 1, (a_idx, group, kept)
+    # component minima survive
+    adj = {i: set() for i in range(len(vecs32))}
+    for a, b in dup_pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    seen = set()
+    for start in range(len(vecs32)):
+        if start in seen or not adj[start]:
+            continue
+        comp, todo = set(), [start]
+        while todo:
+            v = todo.pop()
+            if v in comp:
+                continue
+            comp.add(v)
+            todo.extend(adj[v] - comp)
+        seen |= comp
+        champion = min(comp, key=lambda i: (ccos_of[i], i))
+        assert got[champion][2], (champion, comp)
+        assert any(not got[i][2] for i in comp if i != champion) or len(comp) == 1
+
+
 def test_resize_nearest_neighbor_exact():
     """Pixel-exact nearest-neighbor semantics on a known gradient."""
     import numpy as np
