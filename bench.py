@@ -140,6 +140,20 @@ def legacy_builders() -> dict:
         # BENCH timings stay comparable round over round
         "embedding_neardup": _similarity.embedding_neardup,
         "semdedup": _similarity.semdedup,
+        # distributed full-corpus Lloyd (late r5): the timed action is
+        # the fit's per-iteration corpus passes; the returned 16-row
+        # centroid frame only carries the result to the noop sink
+        "kmeans_fit": lambda spark, sf_dir: spark.createDataFrame(
+            [
+                (i, [float(x) for x in row])
+                for i, row in enumerate(
+                    _similarity.kmeans_fit(
+                        _tables.load_table(spark, sf_dir, "embeddings")
+                    )
+                )
+            ],
+            "cid int, centroid array<double>",
+        ),
         # r5 deterministic sketch family (registered via
         # stats_aggregates parts; timed standalone here)
         "kmv_distinct": _sketches.kmv_distinct,

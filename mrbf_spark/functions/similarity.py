@@ -707,17 +707,21 @@ def _neardup_sides(
 SEMDEDUP_TAU = 0.5
 
 
-def semdedup_scored(emb: DataFrame) -> DataFrame:
+def semdedup_scored(emb: DataFrame, centroids=None) -> DataFrame:
     """(vec_id, embedding, cell, cent_cosine): IVF-flat cell
     assignment + exact decimal cosine to the assigned centroid. The
     centroid matrix rides as a one-row broadcast column (never plan
     literals), and the centroid's own norm is computed from that
-    column — everything downstream of the scan is map-only."""
-    with_mat = with_matrix(emb, emb.sparkSession, _flat_centroids(emb))
-    fdots = lambda: F.transform(  # noqa: E731 — tiny local expr factory
-        F.col("mat"), lambda c: _fixed_dot_long(F.col("embedding"), c)
-    )
-    cell = (F.array_position(fdots(), F.array_max(fdots())) - 1).cast("int")
+    column — everything downstream of the scan is map-only.
+
+    `centroids` (k×dim ndarray) overrides the deterministic flat
+    default — pass kmeans_fit(emb) for the quality path (better cell
+    balance; still deterministic, but its Lloyd iterations have no
+    one-shot SQL twin, so the driver-checked entry keeps the flat
+    quantizer)."""
+    cent = _flat_centroids(emb) if centroids is None else centroids
+    with_mat = with_matrix(emb, emb.sparkSession, cent)
+    cell = kmeans_assign_col(F.col("embedding"), F.col("mat"))
     assigned = with_mat.select("vec_id", "embedding", cell.alias("cell"), "mat")
     cvec = F.element_at(F.col("mat"), F.col("cell") + 1)
     cent_cos = _decimal_dot(F.col("embedding"), cvec) / (
@@ -729,15 +733,25 @@ def semdedup_scored(emb: DataFrame) -> DataFrame:
     )
 
 
-def semdedup_verdicts(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
+def semdedup_verdicts(
+    emb: DataFrame,
+    tau: float = SEMDEDUP_TAU,
+    exact_cap: int = NEARDUP_EXACT_CAP,
+    salt_b: int = NEARDUP_SALT_B,
+    centroids=None,
+) -> DataFrame:
     """(vec_id, cell, cent_cosine, keep) — keep=false iff some
     same-cell neighbor with cosine ≥ τ is MORE keepable (strictly
     lower centroid-cosine, ties by lower vec_id), so every duplicate
-    group keeps exactly its least-prototypical member."""
-    scored = scoped_cache(semdedup_scored(emb))
+    group keeps exactly its least-prototypical member. exact_cap /
+    salt_b tune the within-cell pair stage (see neardup_pairs) — a
+    hot cell spreads over the salted grid or falls back to LSH."""
+    scored = scoped_cache(semdedup_scored(emb, centroids=centroids))
     pairs = neardup_pairs(
         scored.select("vec_id", F.col("cell").alias("label"), "embedding"),
         tau=tau,
+        exact_cap=exact_cap,
+        salt_b=salt_b,
     )
     sym = pairs.select(
         F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("other")
@@ -766,6 +780,84 @@ def semdedup_verdicts(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
     return scored.join(losers, "vec_id", "left").select(
         "vec_id", "cell", "cent_cosine", F.col("__dup").isNull().alias("keep")
     )
+
+
+# --- distributed full-corpus k-means: the scale-correct Lloyd loop.
+# _kmeans_centroids above refines on a bounded DRIVER sample (fine for
+# seeding an IVF index); this one assigns and re-averages over the
+# WHOLE corpus — at 100 TB each iteration is one map-only assignment
+# pass against the broadcast centroid matrix plus a posexplode
+# groupBy whose partial aggregation bounds every map task's shuffle
+# output at k×dim rows, and the driver collects exactly k×dim
+# (cell, pos, sum, n) scalars per iteration. Determinism: assignment
+# argmax is over fixed-point dots, and the per-dimension sums are
+# EXACT INTEGER sums of trunc(x·1e9) — order-independent across any
+# partitioning — so the fitted centroids are a pure function of the
+# data (partition-invariance is test-pinned).
+def kmeans_assign_col(emb_col: Column, mat_col: Column) -> Column:
+    """Nearest-centroid id by fixed-point dot argmax (first max wins,
+    matching np.argmax)."""
+    fdots = F.transform(mat_col, lambda c: _fixed_dot_long(emb_col, c))
+    return (F.array_position(fdots, F.array_max(fdots)) - 1).cast("int")
+
+
+def kmeans_assign(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """emb + a `cell` column: one map-only pass, matrix broadcast as
+    a one-row column."""
+    with_mat = with_matrix(emb, emb.sparkSession, centroids)
+    return with_mat.select(
+        *emb.columns, kmeans_assign_col(F.col("embedding"), F.col("mat")).alias("cell")
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame, k: int = N_CENTROIDS, iters: int = IVF_ITERS
+) -> np.ndarray:
+    """Fit k centroids over the full corpus with `iters` Lloyd
+    iterations (fixed count ⇒ no convergence-dependent
+    nondeterminism). Init is the deterministic flat quantizer (first
+    k vectors by vec_id rank); empty cells keep their previous
+    centroid. Returns the k×dim float64 centroid matrix."""
+    first = emb.select("embedding").first()
+    if first is None:
+        raise ValueError("kmeans_fit: empty corpus")
+    dim = len(first["embedding"])
+    cent = np.array(
+        [
+            r["embedding"]
+            for r in emb.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(k)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    for _ in range(iters):
+        assigned = kmeans_assign(emb.select("embedding"), cent)
+        rows = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(
+                    (F.col("x").cast("double") * F.lit(float(FIXED_SCALE))).cast(
+                        "long"
+                    )
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in rows:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = (int(r["s"]), int(r["n"]))
+        nxt = cent.copy()
+        for c, posmap in by_cell.items():
+            n = posmap[0][1]
+            nxt[c] = np.array(
+                [posmap[p][0] for p in range(dim)], dtype=np.float64
+            ) / (FIXED_SCALE * n)
+        cent = nxt
+    return cent
 
 
 def _semdedup_oracle(tau: float = SEMDEDUP_TAU) -> str:

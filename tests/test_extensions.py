@@ -707,6 +707,66 @@ def test_semdedup_matches_exact_reference(spark):
         assert any(not got[i][2] for i in comp if i != champion) or len(comp) == 1
 
 
+def test_kmeans_fit_matches_exact_reference_and_is_partition_invariant(spark):
+    """Distributed full-corpus Lloyd vs an exact numpy replay (flat
+    init, fixed-point argmax assignment, exact integer per-dimension
+    sums, empty cells keep their centroid) — centroids must agree
+    bit-for-bit, including across a repartition (the integer sums are
+    order-independent, so partitioning cannot leak into the result)."""
+    import numpy as np
+
+    from mrbf_spark.functions.similarity import (
+        FIXED_SCALE,
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    rng = np.random.RandomState(3)
+    n, dim, k, iters = 60, 6, 4, 3
+    vecs = rng.randn(n, dim)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    vecs32 = vecs.astype(np.float32).astype(np.float64)
+
+    def fdot(a, b):
+        return int(np.trunc(a * b * FIXED_SCALE).astype(np.int64).sum())
+
+    cent_ref = vecs32[:k].copy()
+    for _ in range(iters):
+        assign = np.array(
+            [
+                int(np.argmax([fdot(v, c) for c in cent_ref]))
+                for v in vecs32
+            ]
+        )
+        nxt = cent_ref.copy()
+        for c in range(k):
+            members = vecs32[assign == c]
+            if len(members):
+                sums = np.trunc(members * FIXED_SCALE).astype(np.int64).sum(axis=0)
+                nxt[c] = sums / (FIXED_SCALE * len(members))
+        cent_ref = nxt
+
+    got = kmeans_fit(emb, k=k, iters=iters)
+    assert got.shape == (k, dim)
+    assert np.array_equal(got, cent_ref)
+
+    got_repart = kmeans_fit(emb.repartition(7), k=k, iters=iters)
+    assert np.array_equal(got_repart, cent_ref)
+
+    # assignment helper agrees with the reference on the final fit
+    cells = {
+        r["vec_id"]: r["cell"] for r in kmeans_assign(emb, got).collect()
+    }
+    final_ref = {
+        i: int(np.argmax([fdot(vecs32[i], c) for c in cent_ref]))
+        for i in range(n)
+    }
+    assert cells == final_ref
+
+
 def test_resize_nearest_neighbor_exact():
     """Pixel-exact nearest-neighbor semantics on a known gradient."""
     import numpy as np

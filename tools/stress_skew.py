@@ -136,6 +136,33 @@ def build_datasets(spark) -> None:
         "embeddings",
     )
 
+    # semdedup's skew axis is a hot CELL (labels are ignored): bias
+    # 30% of vectors strongly toward the first corpus vector's
+    # direction (embedding + 3·v0) so they all quantize to its cell
+    # while keeping distinct noise components — hot-cell occupancy
+    # without the separate data property of an exploding dup-pair
+    # OUTPUT (identical vectors would measure output volume, not
+    # skew handling).
+    v0 = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .orderBy("vec_id")
+        .select("embedding")
+        .first()["embedding"]
+    )
+    v0_lit = F.array(*[F.lit(float(x)) for x in v0])
+    hot_emb = F.zip_with(
+        F.col("embedding"), v0_lit, lambda x, y: (x + 3.0 * y).cast("float")
+    )
+    write(emb, "uniform", "embeddings_sem")
+    write(
+        emb.withColumn(
+            "embedding",
+            F.when(_hot(emb, "vec_id", 30), hot_emb).otherwise(F.col("embedding")),
+        ),
+        "skew",
+        "embeddings_sem",
+    )
+
 
 def queries():
     """name -> (callable(spark, sf_dir) -> row count, input-row table)."""
@@ -226,6 +253,17 @@ def queries():
         ev = load_table(spark, sf_dir, "events")
         return cms_heavy_hitters(ev, "user_id", 2000)
 
+    def semdedup_hotcell(spark, sf_dir):
+        # hot-CELL stress (embeddings_sem twin): 30% of vectors are
+        # biased into centroid 0's cell. cap=6000/salt_b=16 engages
+        # the full salted grid on the ~6k-row hot cell, so its pair
+        # space lands on 256 shuffle cells instead of one task; the
+        # keeper join's hot vec_ids partial-aggregate in the distinct.
+        from mrbf_spark.functions.similarity import semdedup_verdicts
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings_sem.parquet"))
+        return semdedup_verdicts(emb, exact_cap=6000, salt_b=16)
+
     def substr_spans(spark, sf_dir):
         # never pairs docs (window census + per-doc islands), so the
         # hot text must cost only its share of flagged positions.
@@ -241,6 +279,7 @@ def queries():
         "global_shuffle_shard": (global_shuffle_shard, "documents"),
         "skew_ops": (skew_ops, "lineitem"),
         "embedding_neardup[cap=6k]": (neardup, "embeddings"),
+        "semdedup[hot-cell,cap=6k]": (semdedup_hotcell, "embeddings_sem"),
         "bloom_build(orders,p=.01)": (bloom_build, "orders"),
         "sessionization": (sessionization, "events"),
         "exact_jaccard[max_df=50]": (jaccard_capped, "documents"),
