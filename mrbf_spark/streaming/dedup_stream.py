@@ -99,3 +99,108 @@ def streaming_incremental_dedup(
         .queryName(query_name)
         .start()
     )
+
+
+# history/stream split for the semantic twin: vec_id mod 10 < 7 is
+# history (same convention as _INC_SPLIT for documents)
+_SEM_SPLIT = 7
+
+
+def streaming_semdedup(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "semdedup_stream_out",
+    tau: float | None = None,
+):
+    """Streaming twin of the batch SemDeDup entry: arriving embedding
+    vectors are classified against the HISTORY's kept representatives
+    — completely STATELESS (no watermark, no state store).
+
+    History = the 70% vec_id split, run through batch
+    semdedup_verdicts once; its keep=true rows (one representative
+    per semantic duplicate group, per cell) are the static side,
+    materialized via an eager localCheckpoint so micro-batches reuse
+    the computed table instead of replaying the whole batch pipeline.
+
+    Per micro-batch, each arriving vector is cell-assigned map-only
+    against the broadcast history centroid matrix, then classified by
+    TWO stream-static joins on (cell, cosine ≥ τ) — a LEFT SEMI for
+    'dup_of_history' and a LEFT ANTI for 'candidate_new' (semi/anti
+    give one output row per arriving vector with no streaming
+    aggregation, so no state; the cosine predicate rides the cell
+    equi-join as its residual condition). Within-batch survivor
+    election needs cross-row state — same caveat and composition as
+    streaming_incremental_dedup.
+
+    At 100 TB/day: the static side is ≤ |history reps| rows keyed by
+    cell; each micro-batch pays one broadcast/shuffle equi-join on
+    cell bounded by cell occupancy, and the stream never accumulates
+    state. Returns the started StreamingQuery (memory sink, append)."""
+    from ..functions.similarity import (
+        SEMDEDUP_TAU,
+        _decimal_dot,
+        _flat_centroids,
+        kmeans_assign_col,
+        semdedup_verdicts,
+        with_matrix,
+    )
+    from ..registry import release_scoped_caches
+
+    tau = SEMDEDUP_TAU if tau is None else tau
+    path = f"{sf_dir}/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    hist = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) < _SEM_SPLIT)
+    cent = _flat_centroids(hist)
+    verdicts = semdedup_verdicts(hist, tau=tau, centroids=cent)
+    reps = (
+        verdicts.filter(F.col("keep"))
+        .select("vec_id", "cell")
+        .join(hist.select("vec_id", "embedding"), "vec_id")
+        .select(
+            F.col("cell").alias("r_cell"),
+            F.col("vec_id").alias("r_id"),
+            F.col("embedding").alias("r_emb"),
+            _decimal_dot(F.col("embedding"), F.col("embedding")).alias("r_nrm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    release_scoped_caches()  # semdedup's internal cache, no longer needed
+
+    schema = emb.schema
+    inc = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(f"{sf_dir}/embeddings.parque[t]")
+        .filter(F.pmod(F.col("vec_id"), F.lit(10)) >= _SEM_SPLIT)
+    )
+    # constant-key equi join attaches the one-row centroid matrix to
+    # the stream (broadcast); a bare crossJoin is not a supported
+    # stream-static shape
+    mat = with_matrix(spark.range(1).select(F.lit(1).alias("__one")), spark, cent)
+    assigned = (
+        inc.withColumn("__one", F.lit(1))
+        .join(F.broadcast(mat), "__one")
+        .select(
+            "vec_id",
+            "embedding",
+            kmeans_assign_col(F.col("embedding"), F.col("mat")).alias("cell"),
+            _decimal_dot(F.col("embedding"), F.col("embedding")).alias("nrm"),
+        )
+    )
+    cosine = _decimal_dot(F.col("embedding"), F.col("r_emb")) / (
+        F.sqrt(F.col("nrm")) * F.sqrt(F.col("r_nrm"))
+    )
+    cond = (F.col("cell") == F.col("r_cell")) & (cosine >= F.lit(tau))
+    dup = assigned.join(reps, cond, "left_semi").select(
+        "vec_id", "cell", F.lit("dup_of_history").alias("status")
+    )
+    new = assigned.join(reps, cond, "left_anti").select(
+        "vec_id", "cell", F.lit("candidate_new").alias("status")
+    )
+    return (
+        dup.unionByName(new)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

@@ -861,6 +861,81 @@ def test_streaming_incremental_dedup_matches_batch(spark):
             assert s["status"] == "candidate_new" and s["hist_id"] is None
 
 
+def test_streaming_semdedup_matches_exact_reference(spark):
+    """The stateless semi/anti stream-static classification must agree
+    with an exact numpy replay: every streamed vector appears exactly
+    once, its cell matches the fixed-point argmax against the HISTORY
+    centroids, and it is 'dup_of_history' iff some kept history
+    representative in its cell has cosine ≥ τ."""
+    import numpy as np
+
+    from mrbf_spark.functions.similarity import (
+        FIXED_SCALE,
+        _flat_centroids,
+        semdedup_verdicts,
+    )
+    from mrbf_spark.registry import release_scoped_caches
+    from mrbf_spark.streaming.dedup_stream import _SEM_SPLIT, streaming_semdedup
+
+    # τ=0.35 (not the 0.5 default): the sf0.001 embeddings have no
+    # cross-split pair above 0.5 cosine — measured, max is 0.479 —
+    # and the test needs BOTH branches to fire
+    tau = 0.35
+    q = streaming_semdedup(
+        spark, SF_SMOKE, query_name="semdedup_stream_t", tau=tau
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM semdedup_stream_t").collect()
+    finally:
+        q.stop()
+    got = {r["vec_id"]: (r["cell"], r["status"]) for r in rows}
+    assert len(got) == len(rows)  # semi/anti branches partition the stream
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    hist = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) < _SEM_SPLIT)
+    cent = _flat_centroids(hist)
+    keep_ids = {
+        r["vec_id"]
+        for r in semdedup_verdicts(hist, tau=tau, centroids=cent)
+        .filter("keep")
+        .collect()
+    }
+    release_scoped_caches()
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+
+    def fdot(a, b):
+        return int(np.trunc(a * b * FIXED_SCALE).astype(np.int64).sum())
+
+    def cell_of(v):
+        return int(np.argmax([fdot(v, c) for c in cent]))
+
+    reps_by_cell: dict[int, list[np.ndarray]] = {}
+    for rid in keep_ids:
+        reps_by_cell.setdefault(cell_of(vecs[rid]), []).append(vecs[rid])
+
+    stream_ids = [i for i in vecs if i % 10 >= _SEM_SPLIT]
+    assert set(got) == set(stream_ids)
+    n_dup = 0
+    for i in stream_ids:
+        v = vecs[i]
+        c = cell_of(v)
+        nrm = np.sqrt(fdot(v, v) / FIXED_SCALE)
+        is_dup = any(
+            (fdot(v, r) / FIXED_SCALE) / (nrm * np.sqrt(fdot(r, r) / FIXED_SCALE))
+            >= tau
+            for r in reps_by_cell.get(c, [])
+        )
+        want = "dup_of_history" if is_dup else "candidate_new"
+        assert got[i] == (c, want), (i, got[i], (c, want))
+        n_dup += is_dup
+    # both branches actually fire on the testdata
+    assert 0 < n_dup < len(stream_ids), n_dup
+
+
 def test_checkpointed_ingest_exactly_once_across_restart(spark, tmp_path):
     """File→file streaming with a checkpoint must deliver each input
     row exactly once across a stop/restart: drain half the input,

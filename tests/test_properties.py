@@ -180,12 +180,17 @@ def test_shard_key_balance_and_determinism(spark):
 
     from mrbf_spark.functions.sampling import N_SHARDS, shard_key_col
 
-    ids = st.lists(
-        st.integers(min_value=-(2**62), max_value=2**62),
-        min_size=64,
-        max_size=400,
-        unique=True,
-    ).example()
+    # seeded, not hypothesis .example(): a fresh random draw each run
+    # made the 2×-mean balance bound a coin flip at small n (observed
+    # flaking in full-suite runs). The fixed draw keeps the intent —
+    # huge magnitudes, both signs, unique — and a large-enough n that
+    # the bound tests the hash, not multinomial luck.
+    import numpy as np
+
+    rng = np.random.RandomState(1234)
+    ids = list(
+        {int(x) for x in rng.randint(-(2**62), 2**62, size=2048, dtype=np.int64)}
+    )
     df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
     out = df.select(
         "doc_id",
