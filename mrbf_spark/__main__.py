@@ -27,6 +27,7 @@ Data-layout / sketch / curation jobs (r5):
     python -m mrbf_spark report --input docs.parquet          # corpus quality report
     python -m mrbf_spark split-safe --input docs.parquet --out splits/
     python -m mrbf_spark merge --target t/ --source inc/ --pk doc_id --out m/
+    python -m mrbf_spark semdedup --input emb.parquet --out verdicts/ --centroids kmeans
 
 `pipeline` runs the whole four-job sequence in one Spark application
 (what the reference needs four spark-submits + a getmerge for); with a
@@ -437,6 +438,29 @@ def cmd_compact(args) -> None:
     print(f"compacted {args.input} -> {n} file(s) at {args.out}")
 
 
+def cmd_semdedup(args) -> None:
+    from .functions.similarity import kmeans_fit, semdedup_verdicts
+    from .registry import release_scoped_caches
+
+    spark = _spark(args)
+    emb = spark.read.parquet(args.input)
+    cents = (
+        kmeans_fit(emb, k=args.k, iters=args.iters)
+        if args.centroids == "kmeans"
+        else None
+    )
+    verdicts = semdedup_verdicts(emb, tau=args.tau, centroids=cents)
+    verdicts.write.mode("overwrite").parquet(args.out)
+    release_scoped_caches()
+    out = spark.read.parquet(args.out)
+    n = out.count()
+    kept = out.filter("keep").count()
+    print(
+        f"semdedup({args.centroids} centroids, tau={args.tau}): "
+        f"{n} vectors, kept {kept}, dropped {n - kept} -> {args.out}"
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="mrbf_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -602,6 +626,22 @@ def main(argv: list[str] | None = None) -> int:
         help="morton = any k; hilbert = 2 columns, tighter locality",
     )
 
+    p_sd = sub.add_parser(
+        "semdedup",
+        help="SemDeDup semantic dedup over an embeddings table "
+        "(cluster-scoped near-dup removal, lowest-centroid-cosine keeper)",
+    )
+    p_sd.add_argument("--input", required=True, help="parquet with vec_id, embedding")
+    p_sd.add_argument("--out", required=True)
+    p_sd.add_argument("--tau", type=float, default=0.5)
+    p_sd.add_argument(
+        "--centroids", choices=("flat", "kmeans"), default="flat",
+        help="flat = first-k deterministic quantizer; kmeans = "
+        "distributed full-corpus Lloyd (quality path)",
+    )
+    p_sd.add_argument("--k", type=int, default=16)
+    p_sd.add_argument("--iters", type=int, default=5, help="kmeans iterations")
+
     p_cpt = sub.add_parser(
         "compact", help="coalesce small files toward a target file size"
     )
@@ -628,6 +668,7 @@ def main(argv: list[str] | None = None) -> int:
         "split-safe": cmd_split_safe,
         "sketch": cmd_sketch,
         "zorder": cmd_zorder,
+        "semdedup": cmd_semdedup,
         "compact": cmd_compact,
     }[args.cmd](args)
     return int(rc or 0)
