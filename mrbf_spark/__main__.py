@@ -28,6 +28,8 @@ Data-layout / sketch / curation jobs (r5):
     python -m mrbf_spark split-safe --input docs.parquet --out splits/
     python -m mrbf_spark merge --target t/ --source inc/ --pk doc_id --out m/
     python -m mrbf_spark semdedup --input emb.parquet --out verdicts/ --centroids kmeans
+    python -m mrbf_spark ann-index --input emb.parquet --out idx/ --centroids kmeans
+    python -m mrbf_spark ann-query --index idx/ --input queries.parquet --topk 5
 
 `pipeline` runs the whole four-job sequence in one Spark application
 (what the reference needs four spark-submits + a getmerge for); with a
@@ -461,6 +463,39 @@ def cmd_semdedup(args) -> None:
     )
 
 
+def cmd_ann_index(args) -> None:
+    from .functions.ann_index import write_ann_index
+
+    spark = _spark(args)
+    emb = spark.read.parquet(args.input)
+    cent = write_ann_index(
+        emb, args.out, k=args.k, use_kmeans=(args.centroids == "kmeans"),
+        iters=args.iters,
+    )
+    print(
+        f"ann-index: {len(cent)} cells ({args.centroids} centroids) -> {args.out}"
+    )
+
+
+def cmd_ann_query(args) -> None:
+    from .functions.ann_index import ann_index_probe
+
+    spark = _spark(args)
+    queries = spark.read.parquet(args.input).select(
+        F.col(args.id_col).alias("query_id"), args.emb_col
+    )
+    if args.emb_col != "embedding":
+        queries = queries.withColumnRenamed(args.emb_col, "embedding")
+    out = ann_index_probe(
+        spark, args.index, queries, nprobe=args.nprobe, topk=args.topk,
+        exclude_self=not args.keep_self,
+    )
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+    for r in out.orderBy("query_id", "rnk").limit(50).collect():
+        print(f"{r['query_id']}	{r['rnk']}	{r['vec_id']}	{r['cosine']:.6f}")
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="mrbf_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -626,6 +661,29 @@ def main(argv: list[str] | None = None) -> int:
         help="morton = any k; hilbert = 2 columns, tighter locality",
     )
 
+    p_ai = sub.add_parser(
+        "ann-index",
+        help="build and persist an IVF index over an embeddings table "
+        "(corpus partitioned by cell; probes partition-prune)",
+    )
+    p_ai.add_argument("--input", required=True, help="parquet with vec_id, embedding")
+    p_ai.add_argument("--out", required=True)
+    p_ai.add_argument("--k", type=int, default=16)
+    p_ai.add_argument("--centroids", choices=("flat", "kmeans"), default="flat")
+    p_ai.add_argument("--iters", type=int, default=5)
+
+    p_aq = sub.add_parser(
+        "ann-query", help="probe a persisted IVF index with a query batch"
+    )
+    p_aq.add_argument("--index", required=True)
+    p_aq.add_argument("--input", required=True, help="query vectors parquet")
+    p_aq.add_argument("--id-col", default="vec_id")
+    p_aq.add_argument("--emb-col", default="embedding")
+    p_aq.add_argument("--nprobe", type=int, default=6)
+    p_aq.add_argument("--topk", type=int, default=5)
+    p_aq.add_argument("--keep-self", action="store_true")
+    p_aq.add_argument("--out", default=None)
+
     p_sd = sub.add_parser(
         "semdedup",
         help="SemDeDup semantic dedup over an embeddings table "
@@ -669,6 +727,8 @@ def main(argv: list[str] | None = None) -> int:
         "sketch": cmd_sketch,
         "zorder": cmd_zorder,
         "semdedup": cmd_semdedup,
+        "ann-index": cmd_ann_index,
+        "ann-query": cmd_ann_query,
         "compact": cmd_compact,
     }[args.cmd](args)
     return int(rc or 0)

@@ -372,11 +372,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # k-means-refined variant above gives better cell balance but its
 # Lloyd iterations have no SQL twin; tests pin that refinement only
 # moves recall, while THIS path is what the driver hash-matches.
-def _flat_centroids(emb: DataFrame) -> np.ndarray:
+def _flat_centroids(emb: DataFrame, k: int = N_CENTROIDS) -> np.ndarray:
     rows = (
         emb.select("vec_id", "embedding")
         .orderBy("vec_id")
-        .limit(N_CENTROIDS)
+        .limit(k)
         .collect()
     )
     return np.array([r["embedding"] for r in rows], dtype=np.float64)
