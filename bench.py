@@ -67,6 +67,7 @@ def legacy_builders() -> dict:
     from mrbf_spark.functions import retrieval as _retrieval
     from mrbf_spark.functions import sampling as _sampling
     from mrbf_spark.functions import similarity as _similarity
+    from mrbf_spark.functions import text_embedding as _text_embedding
     from mrbf_spark.functions import sketches as _sketches
     from mrbf_spark.functions import text as _text
     from mrbf_spark.operators import bloom_queries, relational, skew
@@ -140,6 +141,7 @@ def legacy_builders() -> dict:
         # BENCH timings stay comparable round over round
         "embedding_neardup": _similarity.embedding_neardup,
         "semdedup": _similarity.semdedup,
+        "text_semdedup": _text_embedding.text_semdedup,
         # distributed full-corpus Lloyd (late r5): the timed action is
         # the fit's per-iteration corpus passes; the returned 16-row
         # centroid frame only carries the result to the noop sink

@@ -860,12 +860,18 @@ def kmeans_fit(
     return cent
 
 
-def _semdedup_oracle(tau: float = SEMDEDUP_TAU) -> str:
+def _semdedup_oracle(
+    tau: float = SEMDEDUP_TAU, src: str = "embeddings", pre_cte: str = ""
+) -> str:
     """DuckDB twin: replays cell assignment (fixed-point dot argmax
     over the same first-N centroids), centroid cosines, within-cell
-    pair cosines, and the keeper rule."""
-    return f"""
-    WITH {_NORMS_SQL},
+    pair cosines, and the keeper rule. `src`/`pre_cte` retarget the
+    vector source (the textdedup part runs this same pipeline over a
+    hashed-text-embedding CTE instead of the embeddings table)."""
+    import re
+
+    sql = f"""
+    WITH {{PRE}}{_NORMS_SQL},
     cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cemb
              FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
                    LIMIT {N_CENTROIDS})),
@@ -919,6 +925,8 @@ def _semdedup_oracle(tau: float = SEMDEDUP_TAU) -> str:
     SELECT c.vec_id, c.cell, c.cent_cosine, l.vec_id IS NULL AS keep
     FROM ccos c LEFT JOIN losers l ON l.vec_id = c.vec_id
     """
+    sql = re.sub(r"\bembeddings\b", src, sql)
+    return sql.replace("{PRE}", pre_cte)
 
 
 @builder("semdedup", _semdedup_oracle())
@@ -934,7 +942,13 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pattern), each independently hash-checked by the driver.
 def _embedding_dedup_suite_sql() -> str:
     from ..registry import BUILDER_SQL
+    from .text_embedding import TEXT_SEM_TAU, text_embeddings_sql
 
+    text_part = _semdedup_oracle(
+        tau=TEXT_SEM_TAU,
+        src="tvecs",
+        pre_cte=f"tvecs AS ({text_embeddings_sql()}),",
+    )
     return f"""
     SELECT 'pair' AS part, vec_a AS k1, CAST(vec_b AS BIGINT) AS k2,
            cosine, CAST(NULL AS BIGINT) AS keep
@@ -943,6 +957,10 @@ def _embedding_dedup_suite_sql() -> str:
     SELECT 'semdedup' AS part, vec_id AS k1, CAST(cell AS BIGINT) AS k2,
            cent_cosine AS cosine, CAST(keep AS BIGINT) AS keep
     FROM ({BUILDER_SQL['semdedup']})
+    UNION ALL
+    SELECT 'textdedup' AS part, vec_id AS k1, CAST(cell AS BIGINT) AS k2,
+           cent_cosine AS cosine, CAST(keep AS BIGINT) AS keep
+    FROM ({text_part})
     """
 
 
@@ -964,4 +982,13 @@ def embedding_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cent_cosine").alias("cosine"),
         F.col("keep").cast("long").alias("keep"),
     )
-    return pairs.unionByName(sd)
+    from .text_embedding import text_semdedup
+
+    td = text_semdedup(spark, sf_dir).select(
+        F.lit("textdedup").alias("part"),
+        F.col("vec_id").alias("k1"),
+        F.col("cell").cast("long").alias("k2"),
+        F.col("cent_cosine").alias("cosine"),
+        F.col("keep").cast("long").alias("keep"),
+    )
+    return pairs.unionByName(sd).unionByName(td)

@@ -861,6 +861,73 @@ def test_streaming_incremental_dedup_matches_batch(spark):
             assert s["status"] == "candidate_new" and s["hist_id"] is None
 
 
+def test_text_hash_embeddings_match_md5_replay_and_dedup_planted_copy(spark):
+    """text_hash_embeddings vs an independent md5 replay (bigram
+    shingles, 60-bit slot, nibble sign, signed counts), and
+    text-semdedup end-to-end: a planted near-verbatim copy must be
+    detected (one of the pair dropped) while distinct docs survive."""
+    import hashlib
+
+    import numpy as np
+
+    from mrbf_spark.functions.similarity import semdedup_verdicts
+    from mrbf_spark.functions.text_embedding import (
+        TE_DIM,
+        TE_SALT,
+        text_hash_embeddings,
+    )
+    from mrbf_spark.registry import release_scoped_caches
+
+    # > N_CENTROIDS docs: with k >= n every doc is its own centroid
+    # and no pair ever shares a cell (SemDeDup degenerates — the real
+    # corpus has docs >> k)
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = {
+        i: " ".join(rng.choice(vocab, size=30)) for i in range(20)
+    }
+    texts[20] = texts[0].rsplit(" ", 1)[0] + " changed"  # near-copy of 0
+    texts[21] = "single"  # 1-token fallback path
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+
+    def ref_vec(text):
+        toks = text.lower().split(" ")
+        shingles = (
+            [a + " " + b for a, b in zip(toks, toks[1:])]
+            if len(toks) >= 2
+            else [toks[0]]
+        )
+        v = np.zeros(TE_DIM)
+        for t in shingles:
+            slot = int(
+                hashlib.md5(f"{TE_SALT}:{t}".encode()).hexdigest()[:15], 16
+            ) % TE_DIM
+            sign = 1 if int(hashlib.md5(t.encode()).hexdigest()[15], 16) % 2 == 0 else -1
+            v[slot] += sign
+        return v
+
+    got = {
+        r["vec_id"]: np.array(r["embedding"])
+        for r in text_hash_embeddings(docs).collect()
+    }
+    assert set(got) == set(texts)
+    for i, t in texts.items():
+        assert np.array_equal(got[i], ref_vec(t)), i
+
+    verd = {
+        r["vec_id"]: r["keep"]
+        for r in semdedup_verdicts(
+            text_hash_embeddings(docs), tau=0.8
+        ).collect()
+    }
+    release_scoped_caches()
+    assert verd[21]  # the 1-token doc survives
+    assert verd[0] != verd[20]  # the near-copy pair keeps exactly one
+    assert sum(not k for k in verd.values()) <= 2  # distinct docs survive
+
+
 def test_ann_index_persists_and_probe_matches_inmemory(spark, tmp_path):
     """Persisted-IVF probe == the in-memory ann_ivf_flat_topk on the
     same corpus/queries (flat centroids), and the probe's corpus scan
