@@ -30,6 +30,7 @@ Data-layout / sketch / curation jobs (r5):
     python -m mrbf_spark semdedup --input emb.parquet --out verdicts/ --centroids kmeans
     python -m mrbf_spark ann-index --input emb.parquet --out idx/ --centroids kmeans
     python -m mrbf_spark ann-query --index idx/ --input queries.parquet --topk 5
+    python -m mrbf_spark curate --input docs.parquet --out curated/ --eval eval.parquet
 
 `pipeline` runs the whole four-job sequence in one Spark application
 (what the reference needs four spark-submits + a getmerge for); with a
@@ -463,6 +464,39 @@ def cmd_semdedup(args) -> None:
     )
 
 
+def cmd_curate(args) -> None:
+    from .functions.curate import curate_corpus
+    from .registry import release_scoped_caches
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    eval_docs = spark.read.parquet(args.eval) if args.eval else None
+    curated, census = curate_corpus(
+        docs,
+        eval_docs,
+        lang=args.lang or None,
+        min_tokens=args.min_tokens,
+        jaccard_tau=args.jaccard_tau,
+        semantic=not args.no_semantic,
+    )
+    curated.write.mode("overwrite").parquet(args.out)
+    if args.shards:
+        from .functions.sampling import write_shuffled_shards
+
+        write_shuffled_shards(
+            spark.read.parquet(args.out), "doc_id",
+            args.out.rstrip("/") + "_shards", n_shards=args.shards,
+        )
+    release_scoped_caches()
+    prev = None
+    for stage, n in census:
+        drop = f"  (-{prev - n})" if prev is not None else ""
+        print(f"{stage}	{n}{drop}")
+        prev = n
+    print(f"curated corpus -> {args.out}"
+          + (f" + {args.shards} shards" if args.shards else ""))
+
+
 def cmd_ann_index(args) -> None:
     from .functions.ann_index import write_ann_index
 
@@ -661,6 +695,20 @@ def main(argv: list[str] | None = None) -> int:
         help="morton = any k; hilbert = 2 columns, tighter locality",
     )
 
+    p_cu = sub.add_parser(
+        "curate",
+        help="build the curated training set: exact dedup -> quality "
+        "gate -> Jaccard near-dup -> semantic dedup -> decontamination",
+    )
+    p_cu.add_argument("--input", required=True)
+    p_cu.add_argument("--out", required=True)
+    p_cu.add_argument("--eval", default=None, help="eval set for decontamination")
+    p_cu.add_argument("--lang", default="en", help="'' disables the lang gate")
+    p_cu.add_argument("--min-tokens", type=int, default=5)
+    p_cu.add_argument("--jaccard-tau", type=float, default=0.5)
+    p_cu.add_argument("--no-semantic", action="store_true")
+    p_cu.add_argument("--shards", type=int, default=0)
+
     p_ai = sub.add_parser(
         "ann-index",
         help="build and persist an IVF index over an embeddings table "
@@ -728,6 +776,7 @@ def main(argv: list[str] | None = None) -> int:
         "zorder": cmd_zorder,
         "semdedup": cmd_semdedup,
         "ann-index": cmd_ann_index,
+        "curate": cmd_curate,
         "ann-query": cmd_ann_query,
         "compact": cmd_compact,
     }[args.cmd](args)

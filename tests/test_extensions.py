@@ -861,6 +861,57 @@ def test_streaming_incremental_dedup_matches_batch(spark):
             assert s["status"] == "candidate_new" and s["hist_id"] is None
 
 
+def test_curate_corpus_drops_each_planted_defect_exactly(spark):
+    """End-to-end curation over a corpus with one planted defect per
+    stage: the census must attribute each drop to its stage and the
+    survivors must be exactly the clean docs."""
+    import numpy as np
+
+    from mrbf_spark.functions.curate import curate_corpus
+    from mrbf_spark.registry import release_scoped_caches
+
+    rng = np.random.RandomState(9)
+    vocab = [f"tok{i}" for i in range(60)]
+
+    def doc(n=30):
+        return " ".join(rng.choice(vocab, size=n))
+
+    base = {i: doc() for i in range(20)}  # clean docs, > N_CENTROIDS
+    rows = [(i, t, "en", "web") for i, t in base.items()]
+    rows.append((100, base[3], "en", "web"))  # exact dup of 3
+    # near-dup of 5 (high Jaccard: same shingles, one word changed)
+    toks5 = base[5].split()
+    toks5[10] = "changedword"
+    rows.append((101, " ".join(toks5), "en", "web"))
+    rows.append((102, "tiny", "en", "web"))  # fails token floor
+    rows.append((103, doc(), "de", "web"))  # fails lang gate
+    eval_text = doc()
+    rows.append((104, eval_text, "en", "web"))  # contaminated (== eval)
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    eval_docs = spark.createDataFrame(
+        [(0, eval_text)], "doc_id long, text string"
+    )
+
+    curated, census = curate_corpus(
+        docs, eval_docs, jaccard_tau=0.5, jaccard_max_df=None
+    )
+    got = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    release_scoped_caches()
+
+    stages = dict(census)
+    assert stages["input"] == 25
+    assert stages["exact_dedup"] == 24  # doc 100 dropped (dup of 3)
+    assert stages["quality_gate"] == 22  # 102 (short) + 103 (lang)
+    assert stages["neardup_jaccard"] == 21  # 101 dropped (keeps 5)
+    # semantic stage may drop random coincidences only; planted pairs
+    # are already gone — expect no further semantic drops here
+    assert stages["semantic_dedup"] == 21
+    assert stages["decontaminate"] == 20  # 104 dropped
+    assert got == set(base)  # exactly the 20 clean docs survive
+
+
 def test_text_hash_embeddings_match_md5_replay_and_dedup_planted_copy(spark):
     """text_hash_embeddings vs an independent md5 replay (bigram
     shingles, 60-bit slot, nibble sign, signed counts), and
