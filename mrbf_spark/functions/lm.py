@@ -254,11 +254,20 @@ def perplexity_buckets_duckdb_sql(k: int = PPL_BUCKETS) -> str:
 
 # ------------------------------------------------------------ lm_suite
 
+from .dsir import _DSIR_ORACLE, dsir_select  # noqa: E402  (safe: dsir
+# imports lm only lazily inside dsir_select, so no import cycle)
+
 # The registered catalog entry (r5): per-doc LM scores AND the
 # perplexity buckets as a part-tagged union over ONE cached score
 # table — perplexity_buckets gains an independent driver hash-check
 # without a second catalog slot (VERDICT r4 next-round #1), and the
-# combined entry runs the bigram LM pipeline exactly once.
+# combined entry runs the bigram LM pipeline exactly once. Late r5
+# adds the 'dsir' part (comparative target-vs-raw importance weights,
+# functions/dsir.py) — a separate feature pipeline, unioned here
+# because it is the same model-based-curation family and the catalog
+# window is full; its column mapping: n1=rank, n2=weight_q,
+# bucket=selected, avg_log_ratio carries the per-feature mean
+# log-ratio (NULL for the score/bucket parts).
 _LM_SUITE_SQL = f"""
     WITH lm AS ({_LM_ORACLE}),
     ranked AS (SELECT doc_id, cross_entropy,
@@ -267,7 +276,8 @@ _LM_SUITE_SQL = f"""
                       COUNT(*) OVER () AS n
                FROM lm)
     SELECT 'score' AS part, doc_id, n_bigrams AS n1, nll_q AS n2, cross_entropy,
-           CAST(NULL AS INT) AS bucket, CAST(NULL AS VARCHAR) AS label
+           CAST(NULL AS INT) AS bucket, CAST(NULL AS VARCHAR) AS label,
+           CAST(NULL AS DOUBLE) AS avg_log_ratio
     FROM lm
     UNION ALL
     SELECT 'bucket' AS part, doc_id, rank AS n1, CAST(NULL AS BIGINT) AS n2,
@@ -279,16 +289,27 @@ _LM_SUITE_SQL = f"""
                            CAST(FLOOR((rank - 1) * {PPL_BUCKETS}
                                       / CAST(n AS DOUBLE)) AS INT)) AS INT)
                 {' '.join(f"WHEN {i} THEN '{_PPL_LABELS[i]}'" for i in range(PPL_BUCKETS))}
-           END AS label
+           END AS label,
+           CAST(NULL AS DOUBLE) AS avg_log_ratio
     FROM ranked
+    UNION ALL
+    SELECT 'dsir' AS part, doc_id, rank AS n1, weight_q AS n2,
+           CAST(NULL AS DOUBLE) AS cross_entropy,
+           selected AS bucket,
+           CASE WHEN selected = 1 THEN 'selected' ELSE 'rejected' END AS label,
+           avg_log_ratio
+    FROM ({_DSIR_ORACLE}) dsir
     """
 
 
 @register("lm_suite", _LM_SUITE_SQL)
 def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM cross-entropy scores ('score' part) + CCNet head/middle/tail
-    buckets ('bucket' part) from one shared, cached LM pass."""
-    scores = scoped_cache(lm_score(load_table(spark, sf_dir, "documents")))
+    buckets ('bucket' part) from one shared, cached LM pass, + DSIR
+    target-vs-raw importance selection ('dsir' part, its own hashed
+    n-gram pipeline — functions/dsir.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = scoped_cache(lm_score(docs))
     part_score = scores.select(
         F.lit("score").alias("part"),
         "doc_id",
@@ -297,6 +318,7 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cross_entropy",
         F.lit(None).cast("int").alias("bucket"),
         F.lit(None).cast("string").alias("label"),
+        F.lit(None).cast("double").alias("avg_log_ratio"),
     )
     buckets = _bucketize(scores.select("doc_id", "cross_entropy"), PPL_BUCKETS)
     part_bucket = buckets.select(
@@ -307,5 +329,18 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cross_entropy",
         "bucket",
         "label",
+        F.lit(None).cast("double").alias("avg_log_ratio"),
     )
-    return part_score.unionByName(part_bucket)
+    part_dsir = dsir_select(docs, F.col("lang") == "en").select(
+        F.lit("dsir").alias("part"),
+        "doc_id",
+        F.col("rank").alias("n1"),
+        F.col("weight_q").alias("n2"),
+        F.lit(None).cast("double").alias("cross_entropy"),
+        F.col("selected").alias("bucket"),
+        F.when(F.col("selected") == 1, F.lit("selected"))
+        .otherwise(F.lit("rejected"))
+        .alias("label"),
+        "avg_log_ratio",
+    )
+    return part_score.unionByName(part_bucket).unionByName(part_dsir)
