@@ -31,6 +31,7 @@ Data-layout / sketch / curation jobs (r5):
     python -m mrbf_spark ann-index --input emb.parquet --out idx/ --centroids kmeans
     python -m mrbf_spark ann-query --index idx/ --input queries.parquet --topk 5
     python -m mrbf_spark curate --input docs.parquet --out curated/ --eval eval.parquet
+    python -m mrbf_spark bpe-train --input docs.parquet --out merges/ --merges 200
 
 `pipeline` runs the whole four-job sequence in one Spark application
 (what the reference needs four spark-submits + a getmerge for); with a
@@ -497,6 +498,30 @@ def cmd_curate(args) -> None:
           + (f" + {args.shards} shards" if args.shards else ""))
 
 
+def cmd_bpe_train(args) -> None:
+    from .functions.bpe import bpe_encode, bpe_train
+    from .registry import release_scoped_caches
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    merges = bpe_train(
+        docs, num_merges=args.merges, min_pair_count=args.min_count,
+        text_col=args.text_col,
+    )
+    spark.createDataFrame(
+        merges, "rank int, a string, b string, pair_count long"
+    ).coalesce(1).write.mode("overwrite").parquet(args.out)
+    print(f"bpe-train: {len(merges)} merges -> {args.out}")
+    for rank, a, b, n in merges[: min(10, len(merges))]:
+        print(f"  {rank}\t{a!r} + {b!r}\t({n})")
+    if args.encode_out:
+        bpe_encode(docs, merges, text_col=args.text_col).write.mode(
+            "overwrite"
+        ).parquet(args.encode_out)
+        print(f"bpe-train: encoded corpus -> {args.encode_out}")
+    release_scoped_caches()
+
+
 def cmd_ann_index(args) -> None:
     from .functions.ann_index import write_ann_index
 
@@ -748,6 +773,20 @@ def main(argv: list[str] | None = None) -> int:
     p_sd.add_argument("--k", type=int, default=16)
     p_sd.add_argument("--iters", type=int, default=5, help="kmeans iterations")
 
+    p_bpe = sub.add_parser(
+        "bpe-train",
+        help="learn a BPE merge table from the corpus (word-frequency "
+        "two-level training); optionally encode the corpus with it",
+    )
+    p_bpe.add_argument("--input", required=True, help="parquet with a text column")
+    p_bpe.add_argument("--out", required=True, help="merges parquet")
+    p_bpe.add_argument("--merges", type=int, default=100)
+    p_bpe.add_argument("--min-count", type=int, default=2)
+    p_bpe.add_argument("--text-col", default="text")
+    p_bpe.add_argument(
+        "--encode-out", default=None, help="also write (doc_id, n_tokens, tokens)"
+    )
+
     p_cpt = sub.add_parser(
         "compact", help="coalesce small files toward a target file size"
     )
@@ -778,6 +817,7 @@ def main(argv: list[str] | None = None) -> int:
         "ann-index": cmd_ann_index,
         "curate": cmd_curate,
         "ann-query": cmd_ann_query,
+        "bpe-train": cmd_bpe_train,
         "compact": cmd_compact,
     }[args.cmd](args)
     return int(rc or 0)
