@@ -32,6 +32,8 @@ Data-layout / sketch / curation jobs (r5):
     python -m mrbf_spark ann-query --index idx/ --input queries.parquet --topk 5
     python -m mrbf_spark curate --input docs.parquet --out curated/ --eval eval.parquet
     python -m mrbf_spark bpe-train --input docs.parquet --out merges/ --merges 200
+    python -m mrbf_spark lm-train --input wiki.parquet --out lm/
+    python -m mrbf_spark lm-score --input crawl.parquet --model lm/ --out scores/
 
 `pipeline` runs the whole four-job sequence in one Spark application
 (what the reference needs four spark-submits + a getmerge for); with a
@@ -498,6 +500,36 @@ def cmd_curate(args) -> None:
           + (f" + {args.shards} shards" if args.shards else ""))
 
 
+def cmd_lm_train(args) -> None:
+    from .functions.lm import train_bigram_lm
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    model, vocab = train_bigram_lm(docs)
+    model.write.mode("overwrite").parquet(args.out + "/model")
+    spark.createDataFrame([(int(vocab),)], "v long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(args.out + "/meta")
+    n = spark.read.parquet(args.out + "/model").count()
+    print(f"lm-train: {n} bigrams, V={vocab} -> {args.out}")
+
+
+def cmd_lm_score(args) -> None:
+    from .functions.lm import score_with_model
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    model = spark.read.parquet(args.model + "/model")
+    vocab = int(spark.read.parquet(args.model + "/meta").collect()[0]["v"])
+    out = score_with_model(docs, model, vocab)
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        print(f"lm-score: -> {args.out}")
+    else:
+        for r in out.orderBy(F.col("cross_entropy").desc()).limit(20).collect():
+            print(f"{r['doc_id']}\t{r['cross_entropy']:.6f}")
+
+
 def cmd_bpe_train(args) -> None:
     from .functions.bpe import bpe_encode, bpe_train
     from .registry import release_scoped_caches
@@ -773,6 +805,23 @@ def main(argv: list[str] | None = None) -> int:
     p_sd.add_argument("--k", type=int, default=16)
     p_sd.add_argument("--iters", type=int, default=5, help="kmeans iterations")
 
+    p_lmt = sub.add_parser(
+        "lm-train",
+        help="train the add-one bigram LM on a reference corpus and "
+        "persist it (model + vocab size) as a frozen artifact",
+    )
+    p_lmt.add_argument("--input", required=True, help="parquet with a text column")
+    p_lmt.add_argument("--out", required=True, help="model dir (model/ + meta/)")
+
+    p_lms = sub.add_parser(
+        "lm-score",
+        help="score new documents under a frozen lm-train artifact "
+        "(CCNet deployment shape; unseen bigrams add-one smoothed)",
+    )
+    p_lms.add_argument("--input", required=True)
+    p_lms.add_argument("--model", required=True, help="lm-train output dir")
+    p_lms.add_argument("--out", default=None)
+
     p_bpe = sub.add_parser(
         "bpe-train",
         help="learn a BPE merge table from the corpus (word-frequency "
@@ -818,6 +867,8 @@ def main(argv: list[str] | None = None) -> int:
         "curate": cmd_curate,
         "ann-query": cmd_ann_query,
         "bpe-train": cmd_bpe_train,
+        "lm-train": cmd_lm_train,
+        "lm-score": cmd_lm_score,
         "compact": cmd_compact,
     }[args.cmd](args)
     return int(rc or 0)

@@ -151,6 +151,109 @@ def lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(load_table(spark, sf_dir, "documents"))
 
 
+# --------------------------------------- frozen-model train / score
+#
+# The production CCNet deployment shape: the bigram model is trained
+# ONCE on a reference corpus (Wikipedia in the paper) and applied as
+# a FROZEN artifact to every new crawl — unlike lm_score above, which
+# scores the corpus under its own model. Unseen bigrams must score,
+# so the model join is LEFT with add-one smoothing over zero counts:
+# p(cur|prev) = (c_bg+1)/(c_prev+V) with c_bg=0 for unseen pairs and
+# c_prev=0 for unseen contexts (⇒ p = 1/V). Self-training reproduces
+# lm_score bit-for-bit (every scored bigram exists in the model, so
+# LEFT == INNER) — test-pinned.
+
+
+def train_bigram_lm(docs: DataFrame) -> tuple[DataFrame, int]:
+    """The persistable LM artifact: ((prev, cur, c_bg) global bigram
+    counts, vocab size V). One corpus scan; both aggregates partial-
+    aggregate map-side. Write the table + V and the model is frozen."""
+    bg = _doc_bigrams(docs)
+    model = bg.groupBy("prev", "cur").agg(F.sum("cnt").cast("long").alias("c_bg"))
+    vocab = int(
+        docs.select(
+            F.explode_outer(F.split(F.lower(F.col("text")), " ")).alias("t")
+        )
+        .agg(F.countDistinct("t").alias("v"))
+        .collect()[0]["v"]
+    )
+    return model, vocab
+
+
+def score_with_model(
+    docs: DataFrame, model: DataFrame, vocab_size: int
+) -> DataFrame:
+    """(doc_id, n_bigrams, nll_q, cross_entropy) for NEW documents
+    under a frozen (model, V) from train_bigram_lm — same fixed-point
+    integer pipeline as lm_score, with left-join zero-count smoothing
+    for bigrams/contexts the training corpus never saw. The model
+    join is a shuffle equi-join (training-corpus-sized in the worst
+    case — never broadcast); ctx is a ≤|model| groupBy."""
+    bg = _doc_bigrams(docs)
+    ctx = model.groupBy("prev").agg(F.sum("c_bg").cast("long").alias("c_prev"))
+    p = (F.coalesce(F.col("c_bg"), F.lit(0)) + 1).cast("double") / (
+        F.coalesce(F.col("c_prev"), F.lit(0)) + F.lit(vocab_size)
+    ).cast("double")
+    term_q = (F.log(p) * F.lit(float(LM_SCALE))).cast("long")
+    scored = (
+        bg.join(model, ["prev", "cur"], "left")
+        .join(ctx, "prev", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            (-F.sum(F.col("cnt") * term_q)).cast("long").alias("nll_q"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "nll_q",
+        (
+            F.col("nll_q").cast("double")
+            / F.lit(float(LM_SCALE))
+            / F.col("n_bigrams").cast("double")
+        ).alias("cross_entropy"),
+    )
+
+
+def lm_train_score_sql(train_src: str, score_src: str) -> str:
+    """DuckDB twin of score_with_model(score_src docs, model trained
+    on train_src docs) — replays training, the left-join smoothing,
+    and the fixed-point sums."""
+    return f"""
+    WITH ttoks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM {train_src}),
+    tbg AS (SELECT u.prev AS prev, u.cur AS cur, COUNT(*) AS cnt
+            FROM (SELECT unnest([struct_pack(prev := t[i], cur := t[i+1])
+                                 for i in generate_series(1, len(t)-1)]) AS u
+                  FROM ttoks WHERE len(t) >= 2)
+            GROUP BY 1, 2),
+    model AS (SELECT prev, cur, CAST(SUM(cnt) AS BIGINT) AS c_bg FROM tbg GROUP BY 1, 2),
+    ctx AS (SELECT prev, CAST(SUM(c_bg) AS BIGINT) AS c_prev FROM model GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT tok) AS v
+          FROM (SELECT unnest(t) AS tok FROM ttoks)),
+    stoks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM {score_src}),
+    sbg AS (SELECT doc_id, u.prev AS prev, u.cur AS cur, COUNT(*) AS cnt
+            FROM (SELECT doc_id,
+                         unnest([struct_pack(prev := t[i], cur := t[i+1])
+                                 for i in generate_series(1, len(t)-1)]) AS u
+                  FROM stoks WHERE len(t) >= 2)
+            GROUP BY 1, 2, 3),
+    terms AS (SELECT sbg.doc_id, sbg.cnt,
+                     CAST(TRUNC(ln(CAST(COALESCE(model.c_bg, 0) + 1 AS DOUBLE)
+                                   / CAST(COALESCE(ctx.c_prev, 0) + v.v AS DOUBLE))
+                                * {LM_SCALE}.0) AS BIGINT) AS term_q
+              FROM sbg LEFT JOIN model USING (prev, cur)
+                       LEFT JOIN ctx USING (prev), v),
+    agg AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+                   CAST(-SUM(cnt * term_q) AS BIGINT) AS nll_q
+            FROM terms GROUP BY doc_id)
+    SELECT doc_id, n_bigrams, nll_q,
+           CAST(nll_q AS DOUBLE) / {LM_SCALE}.0 / CAST(n_bigrams AS DOUBLE)
+             AS cross_entropy
+    FROM agg
+    """
+
+
 # ------------------------------------------------- perplexity buckets
 
 # CCNet's head/middle/tail split: rank every document by its LM

@@ -79,3 +79,77 @@ def test_lm_score_partition_invariant(spark):
     one = {r["doc_id"]: (r["nll_q"], r["cross_entropy"]) for r in lm_score(docs.coalesce(1)).collect()}
     many = {r["doc_id"]: (r["nll_q"], r["cross_entropy"]) for r in lm_score(docs.repartition(17)).collect()}
     assert one == many
+
+
+def test_frozen_model_self_training_equals_lm_score(spark):
+    """score_with_model(docs, train_bigram_lm(docs)) must reproduce
+    lm_score(docs) bit-for-bit: every scored bigram exists in the
+    self-trained model, so the left-join smoothing path is never
+    taken and LEFT == INNER."""
+    from mrbf_spark.functions.lm import score_with_model, train_bigram_lm
+    from mrbf_spark.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents").limit(150)
+    model, v = train_bigram_lm(docs)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll_q"], r["cross_entropy"])
+        for r in score_with_model(docs, model, v).collect()
+    }
+    exp = {
+        r["doc_id"]: (r["n_bigrams"], r["nll_q"], r["cross_entropy"])
+        for r in lm_score(docs).collect()
+    }
+    assert got == exp
+
+
+def test_frozen_model_split_matches_duckdb(spark):
+    """Train on the even-doc_id half, score the odd half — the real
+    frozen-artifact deployment — and hash-compare against the DuckDB
+    twin that replays training, left-join smoothing, and the
+    fixed-point sums."""
+    from mrbf_spark.functions.lm import (
+        lm_train_score_sql,
+        score_with_model,
+        train_bigram_lm,
+    )
+    from mrbf_spark.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    score = docs.filter(F.col("doc_id") % 2 == 1)
+    model, v = train_bigram_lm(train)
+    got = score_with_model(score, model, v).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_ORACLE}/documents.parquet'"
+    )
+    con.sql("CREATE VIEW train AS SELECT * FROM documents WHERE doc_id % 2 = 0")
+    con.sql("CREATE VIEW score AS SELECT * FROM documents WHERE doc_id % 2 = 1")
+    exp = con.sql(lm_train_score_sql("train", "score")).df()
+    assert len(got) == len(exp) > 0
+    cols = sorted(got.columns)
+    assert cols == sorted(exp.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = exp[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), f"col {c} mismatch"
+
+
+def test_frozen_model_unseen_tokens_hand_truth(spark):
+    """A scored doc whose tokens the model never saw: every bigram
+    has c_bg=0 and unseen prev (c_prev=0), so each term is
+    trunc(1e9·ln(1/V)) exactly."""
+    import math
+
+    from mrbf_spark.functions.lm import score_with_model, train_bigram_lm
+
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame([(9, "x y z")], "doc_id long, text string")
+    model, v = train_bigram_lm(train)
+    assert v == 3  # {a, b, c}
+    row = score_with_model(score, model, v).collect()[0]
+    term = int(math.log(1.0 / 3.0) * 1e9)  # trunc toward zero
+    assert row["n_bigrams"] == 2
+    assert row["nll_q"] == -2 * term
