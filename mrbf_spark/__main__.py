@@ -34,6 +34,7 @@ Data-layout / sketch / curation jobs (r5):
     python -m mrbf_spark bpe-train --input docs.parquet --out merges/ --merges 200
     python -m mrbf_spark lm-train --input wiki.parquet --out lm/
     python -m mrbf_spark lm-score --input crawl.parquet --model lm/ --out scores/
+    python -m mrbf_spark cut-spans --input docs.parquet --out cleaned/ --k 16
 
 `pipeline` runs the whole four-job sequence in one Spark application
 (what the reference needs four spark-submits + a getmerge for); with a
@@ -500,6 +501,30 @@ def cmd_curate(args) -> None:
           + (f" + {args.shards} shards" if args.shards else ""))
 
 
+def cmd_cut_spans(args) -> None:
+    from .functions.substring_dedup import remove_dup_spans
+    from .registry import release_scoped_caches
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    out = remove_dup_spans(docs, k=args.k)
+    out.write.mode("overwrite").parquet(args.out)
+    stats = (
+        spark.read.parquet(args.out)
+        .selectExpr(
+            "count(*) AS docs",
+            "sum(n_removed) AS removed",
+            "sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS touched",
+        )
+        .collect()[0]
+    )
+    print(
+        f"cut-spans: {stats['docs']} docs, {stats['touched']} touched, "
+        f"{stats['removed']} tokens removed -> {args.out}"
+    )
+    release_scoped_caches()
+
+
 def cmd_lm_train(args) -> None:
     from .functions.lm import train_bigram_lm
 
@@ -805,6 +830,15 @@ def main(argv: list[str] | None = None) -> int:
     p_sd.add_argument("--k", type=int, default=16)
     p_sd.add_argument("--iters", type=int, default=5, help="kmeans iterations")
 
+    p_cs = sub.add_parser(
+        "cut-spans",
+        help="remove cross-document duplicated K-token spans, keeping "
+        "one canonical copy (the Lee et al. dedup cut)",
+    )
+    p_cs.add_argument("--input", required=True, help="parquet with doc_id, text")
+    p_cs.add_argument("--out", required=True)
+    p_cs.add_argument("--k", type=int, default=16, help="window width in tokens")
+
     p_lmt = sub.add_parser(
         "lm-train",
         help="train the add-one bigram LM on a reference corpus and "
@@ -867,6 +901,7 @@ def main(argv: list[str] | None = None) -> int:
         "curate": cmd_curate,
         "ann-query": cmd_ann_query,
         "bpe-train": cmd_bpe_train,
+        "cut-spans": cmd_cut_spans,
         "lm-train": cmd_lm_train,
         "lm-score": cmd_lm_score,
         "compact": cmd_compact,

@@ -171,3 +171,119 @@ def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     consolidations; DuckDB parity also asserted in-suite by
     tests/test_substring_dedup.py)."""
     return substring_dup_spans(load_table(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------------------- span REMOVAL
+
+def remove_dup_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """The cut step of Lee et al. 2022 — actually REMOVE duplicated
+    text, keeping one canonical copy corpus-wide: for every K-token
+    window seen in ≥2 documents, the lowest doc_id containing it is
+    the keeper; every other document has the window's tokens cut, with
+    overlapping cuts merging into spans exactly as substring_dup_spans
+    assembles them.
+
+    Returns one row per input document:
+      (doc_id, text, n_tokens, n_removed) — `text` rewritten from the
+      surviving tokens (may be '' when everything was duplicated),
+      n_tokens = surviving count.
+
+    100 TB shape: reuses the window census (hashed 8-byte windows
+    behind the injectivity certificate, partial-agg min-keeper); the
+    only new shuffles carry (doc_id, token_index) INT pairs for cut
+    positions and the final per-doc reassembly groupBy. The rewritten
+    text is produced from each doc's OWN token array — the corpus text
+    crosses the wire once, in the reassembly shuffle.
+
+    Intra-document repeats (a window recurring only inside one doc)
+    are NOT cut — the census is cross-document, matching the span
+    detector's semantics.
+    """
+    from ..registry import scoped_cache
+    from .dedup import _hash_injectivity_certified
+
+    wins = _windows(docs, k, hashed=_hash_injectivity_certified(docs, k))
+    wins = scoped_cache(wins.repartition("w"))
+    wins.count()
+    keeper = (
+        wins.groupBy("w")
+        .agg(
+            F.countDistinct("doc_id").alias("__nd"),
+            F.min("doc_id").alias("__keep"),
+        )
+        .filter(F.col("__nd") >= 2)
+        .select("w", "__keep")
+    )
+    cut_pos = (
+        wins.join(keeper, "w")
+        .filter(F.col("doc_id") != F.col("__keep"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("idx"),
+        )
+        .distinct()
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("idx0", "tok"),
+    ).select("doc_id", (F.col("idx0") + 1).alias("idx"), "tok")
+    kept = toks.join(cut_pos, ["doc_id", "idx"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.struct("idx", "tok"))).tok, " "
+        ).alias("text"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+    )
+    base = docs.select(
+        "doc_id", F.size(F.split(F.lower(F.col("text")), " ")).alias("__orig")
+    )
+    return (
+        base.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            (F.col("__orig") - F.coalesce(F.col("n_tokens"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
+def remove_dup_spans_sql(k: int = SUBSTR_K, src: str = "documents") -> str:
+    """DuckDB twin of remove_dup_spans (string windows — identical
+    grouping whenever the injectivity certificate holds)."""
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM {src}),
+    wins AS (SELECT doc_id, u.pos AS pos, u.w AS w
+             FROM (SELECT doc_id,
+                          unnest([struct_pack(pos := i,
+                                              w := array_to_string(t[i:i+{k - 1}], ' '))
+                                  for i in generate_series(1, len(t) - {k} + 1)]) AS u
+                   FROM toks WHERE len(t) >= {k})),
+    keeper AS (SELECT w, MIN(doc_id) AS keep FROM wins
+               GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2),
+    cut_pos AS (SELECT DISTINCT doc_id, idx
+                FROM (SELECT wins.doc_id,
+                             unnest(generate_series(wins.pos, wins.pos + {k - 1})) AS idx
+                      FROM wins JOIN keeper USING (w)
+                      WHERE wins.doc_id <> keeper.keep)),
+    tokpos AS (SELECT doc_id, u.idx AS idx, u.tok AS tok
+               FROM (SELECT doc_id,
+                            unnest([struct_pack(idx := i, tok := t[i])
+                                    for i in generate_series(1, len(t))]) AS u
+                     FROM toks)),
+    kept AS (SELECT tp.doc_id, tp.idx, tp.tok FROM tokpos tp
+             ANTI JOIN cut_pos cp ON tp.doc_id = cp.doc_id AND tp.idx = cp.idx),
+    rebuilt AS (SELECT doc_id,
+                       string_agg(tok, ' ' ORDER BY idx) AS text,
+                       CAST(COUNT(*) AS BIGINT) AS n_tokens
+                FROM kept GROUP BY doc_id)
+    SELECT b.doc_id,
+           COALESCE(r.text, '') AS text,
+           COALESCE(r.n_tokens, 0) AS n_tokens,
+           CAST(len(b.t) - COALESCE(r.n_tokens, 0) AS BIGINT) AS n_removed
+    FROM toks b LEFT JOIN rebuilt r USING (doc_id)
+    """

@@ -264,6 +264,31 @@ def queries():
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings_sem.parquet"))
         return semdedup_verdicts(emb, exact_cap=6000, salt_b=16)
 
+    def dsir(spark, sf_dir):
+        # hot-text stress: 30% of docs share ONE text, so ~30% of all
+        # (bucket, count) feature mass lands on that text's ~2·len
+        # buckets — but the feature groupBy keys on (doc_id, bucket)
+        # (bounded at docs×B) and the model tables partial-agg to ≤B
+        # rows before the broadcast join, so no reducer sees the hot
+        # text's mass concentrated — expect ~1×.
+        from mrbf_spark.functions.dsir import dsir_select
+
+        docs = load_table(spark, sf_dir, "documents")
+        return dsir_select(docs, F.col("lang") == "en")
+
+    def bpe(spark, sf_dir):
+        # hot-text stress: the hot words carry 30% of corpus token
+        # mass, but word_counts is the classic partial-agg word count
+        # (map-side combine collapses the hot words per task) and all
+        # iterations run on the tiny (word, cnt) table.
+        from mrbf_spark.functions.bpe import bpe_train
+
+        docs = load_table(spark, sf_dir, "documents")
+        merges = bpe_train(docs, num_merges=8)
+        return spark.createDataFrame(
+            merges, "rank int, a string, b string, n long"
+        )
+
     def substr_spans(spark, sf_dir):
         # never pairs docs (window census + per-doc islands), so the
         # hot text must cost only its share of flagged positions.
@@ -287,6 +312,8 @@ def queries():
         "lm_cross_entropy": (lm_entropy, "documents"),
         "perplexity_buckets": (ppl_buckets, "documents"),
         "bm25[hot_term]": (bm25_hot_term, "documents"),
+        "dsir_select": (dsir, "documents"),
+        "bpe_train[8 merges]": (bpe, "documents"),
         "kmv_distinct": (kmv, "events"),
         "cms_grid_build": (cms, "events"),
         "cms_heavy_hitters[T=2000]": (cms_hh, "events"),
