@@ -87,27 +87,40 @@ def _windows(docs: DataFrame, k: int, hashed: bool) -> DataFrame:
     return gen.filter(F.col("x").isNotNull()).select("doc_id", "x.pos", "x.w")
 
 
-def substring_dup_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+def _dup_census(docs: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
+    """(wins, dup): the shared heart of the span detector AND the cut
+    step — wins = every K-window with position, cached hash-partitioned
+    by w (the jaccard engine's repartition-at-cache pattern, r5: the
+    census groupBy and the join probe side both consume the cached
+    partitioning, so the corpus-sized window extraction runs ONCE and
+    the 5M-row (w, doc_id, pos) table crosses the wire once — measured
+    3.1 s → 2.2 s at sf0.1); dup = (w, __keep) for every window seen
+    in ≥2 docs, __keep = lowest doc_id (the canonical copy's owner)."""
     from ..registry import scoped_cache
     from .dedup import _hash_injectivity_certified
 
     wins = _windows(docs, k, hashed=_hash_injectivity_certified(docs, k))
-    # Cache the window table hash-partitioned by w (the jaccard
-    # engine's repartition-at-cache pattern, r5): the census groupBy
-    # AND the semi-join probe side both consume the cached
-    # partitioning, so the corpus-sized window extraction runs ONCE
-    # and the 5M-row (w, doc_id, pos) table crosses the wire once —
-    # previously the two consumers each re-extracted and re-shuffled
-    # it (measured 3.1 s → 2.2 s at sf0.1).
     wins = scoped_cache(wins.repartition("w"))
-    wins.count()  # materialize: a lazy cache is raced by the two consumers
-    dup_w = (
+    wins.count()  # materialize: a lazy cache is raced by the consumers
+    dup = (
         wins.groupBy("w")
-        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .agg(
+            F.countDistinct("doc_id").alias("__nd"),
+            F.min("doc_id").alias("__keep"),
+        )
         .filter(F.col("__nd") >= 2)
-        .select("w")
+        .select("w", "__keep")
     )
-    flagged = wins.join(dup_w, "w", "left_semi").select("doc_id", "pos")
+    return wins, scoped_cache(dup)
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    k: int = SUBSTR_K,
+    _census: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    wins, dup = _census if _census is not None else _dup_census(docs, k)
+    flagged = wins.join(dup.select("w"), "w", "left_semi").select("doc_id", "pos")
     ord_w = W.partitionBy("doc_id").orderBy("pos")
     # gaps-and-islands: window [p, p+K−1] connects to the previous one
     # iff p ≤ prev_p + K (overlap or adjacency); a larger gap starts a
@@ -135,7 +148,12 @@ def substring_dup_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     )
 
 
-_SUBSTR_ORACLE = f"""
+# The registered catalog entry (r4; part-tagged since late r5): the
+# 'spans' detector AND the 'cut' rewriter as one union over ONE shared
+# window census — remove_dup_spans gains an independent driver
+# hash-check (including the rewritten text) without a second catalog
+# slot, and the corpus-sized window extraction runs exactly once.
+_SUBSTR_SUITE_SQL = f"""
     WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
     wins AS (SELECT doc_id, u.pos AS pos, u.w AS w
              FROM (SELECT doc_id,
@@ -143,8 +161,9 @@ _SUBSTR_ORACLE = f"""
                                               w := array_to_string(t[i:i+{SUBSTR_K - 1}], ' '))
                                   for i in generate_series(1, len(t) - {SUBSTR_K} + 1)]) AS u
                    FROM toks WHERE len(t) >= {SUBSTR_K})),
-    dup_w AS (SELECT w FROM wins GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2),
-    flagged AS (SELECT doc_id, pos FROM wins WHERE w IN (SELECT w FROM dup_w)),
+    dupk AS (SELECT w, MIN(doc_id) AS keep FROM wins
+             GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2),
+    flagged AS (SELECT doc_id, pos FROM wins WHERE w IN (SELECT w FROM dupk)),
     marked AS (SELECT doc_id, pos,
                       CASE WHEN pos > LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
                                      + {SUBSTR_K} THEN 1 ELSE 0 END AS brk
@@ -155,27 +174,82 @@ _SUBSTR_ORACLE = f"""
                 FROM marked),
     spans AS (SELECT doc_id, span_id, COUNT(*) AS n_pos,
                      MIN(pos) AS s, MAX(pos) + {SUBSTR_K - 1} AS e
-              FROM islands GROUP BY 1, 2)
-    SELECT doc_id,
-           CAST(SUM(n_pos) AS BIGINT) AS n_dup_windows,
-           COUNT(*) AS n_spans,
-           CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
-    FROM spans GROUP BY doc_id
+              FROM islands GROUP BY 1, 2),
+    spans_part AS (SELECT doc_id,
+                          CAST(SUM(n_pos) AS BIGINT) AS n_dup_windows,
+                          COUNT(*) AS n_spans,
+                          CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+                   FROM spans GROUP BY doc_id),
+    cut_pos AS (SELECT DISTINCT doc_id, idx
+                FROM (SELECT wins.doc_id,
+                             unnest(generate_series(wins.pos, wins.pos + {SUBSTR_K - 1})) AS idx
+                      FROM wins JOIN dupk USING (w)
+                      WHERE wins.doc_id <> dupk.keep)),
+    tokpos AS (SELECT doc_id, u.idx AS idx, u.tok AS tok
+               FROM (SELECT doc_id,
+                            unnest([struct_pack(idx := i, tok := t[i])
+                                    for i in generate_series(1, len(t))]) AS u
+                     FROM toks)),
+    kept AS (SELECT tp.doc_id, tp.idx, tp.tok FROM tokpos tp
+             ANTI JOIN cut_pos cp ON tp.doc_id = cp.doc_id AND tp.idx = cp.idx),
+    rebuilt AS (SELECT doc_id,
+                       string_agg(tok, ' ' ORDER BY idx) AS text,
+                       CAST(COUNT(*) AS BIGINT) AS n_tokens
+                FROM kept GROUP BY doc_id)
+    SELECT 'spans' AS part, doc_id, n_dup_windows, n_spans, dup_tokens,
+           CAST(NULL AS VARCHAR) AS text, CAST(NULL AS BIGINT) AS n_tokens,
+           CAST(NULL AS BIGINT) AS n_removed
+    FROM spans_part
+    UNION ALL
+    SELECT 'cut' AS part, b.doc_id,
+           CAST(NULL AS BIGINT) AS n_dup_windows,
+           CAST(NULL AS BIGINT) AS n_spans,
+           CAST(NULL AS BIGINT) AS dup_tokens,
+           COALESCE(r.text, '') AS text,
+           COALESCE(r.n_tokens, 0) AS n_tokens,
+           CAST(len(b.t) - COALESCE(r.n_tokens, 0) AS BIGINT) AS n_removed
+    FROM toks b LEFT JOIN rebuilt r USING (doc_id)
     """
 
 
-@register("substring_dedup_spans", _SUBSTR_ORACLE)
+@register("substring_dedup_spans", _SUBSTR_SUITE_SQL)
 def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc duplicated-span census over the documents table
-    (catalog entry since r4 — slot freed by the relational
-    consolidations; DuckDB parity also asserted in-suite by
-    tests/test_substring_dedup.py)."""
-    return substring_dup_spans(load_table(spark, sf_dir, "documents"))
+    """Per-doc duplicated-span census ('spans' part) + the Lee et al.
+    cut step's rewritten corpus ('cut' part) from ONE shared window
+    census (catalog entry since r4, part-tagged since late r5; DuckDB
+    parity also asserted in-suite by tests/test_substring_dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    census = _dup_census(docs, SUBSTR_K)
+    part_spans = substring_dup_spans(docs, _census=census).select(
+        F.lit("spans").alias("part"),
+        "doc_id",
+        "n_dup_windows",
+        "n_spans",
+        "dup_tokens",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.lit(None).cast("long").alias("n_removed"),
+    )
+    part_cut = remove_dup_spans(docs, _census=census).select(
+        F.lit("cut").alias("part"),
+        "doc_id",
+        F.lit(None).cast("long").alias("n_dup_windows"),
+        F.lit(None).cast("long").alias("n_spans"),
+        F.lit(None).cast("long").alias("dup_tokens"),
+        "text",
+        "n_tokens",
+        "n_removed",
+    )
+    return part_spans.unionByName(part_cut)
 
 
 # ----------------------------------------------------- span REMOVAL
 
-def remove_dup_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+def remove_dup_spans(
+    docs: DataFrame,
+    k: int = SUBSTR_K,
+    _census: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
     """The cut step of Lee et al. 2022 — actually REMOVE duplicated
     text, keeping one canonical copy corpus-wide: for every K-token
     window seen in ≥2 documents, the lowest doc_id containing it is
@@ -199,21 +273,7 @@ def remove_dup_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     are NOT cut — the census is cross-document, matching the span
     detector's semantics.
     """
-    from ..registry import scoped_cache
-    from .dedup import _hash_injectivity_certified
-
-    wins = _windows(docs, k, hashed=_hash_injectivity_certified(docs, k))
-    wins = scoped_cache(wins.repartition("w"))
-    wins.count()
-    keeper = (
-        wins.groupBy("w")
-        .agg(
-            F.countDistinct("doc_id").alias("__nd"),
-            F.min("doc_id").alias("__keep"),
-        )
-        .filter(F.col("__nd") >= 2)
-        .select("w", "__keep")
-    )
+    wins, keeper = _census if _census is not None else _dup_census(docs, k)
     cut_pos = (
         wins.join(keeper, "w")
         .filter(F.col("doc_id") != F.col("__keep"))

@@ -25,10 +25,13 @@ def test_substring_spans_match_duckdb(spark):
     assert sorted(got.columns) == sorted(exp.columns)
     assert len(got) == len(exp) > 0  # the testdata's planted dups must register
     cols = sorted(got.columns)
-    a = got[cols].sort_values(cols).reset_index(drop=True)
-    b = exp[cols].sort_values(cols).reset_index(drop=True)
+    a = got[cols].sort_values(["part", "doc_id"]).reset_index(drop=True)
+    b = exp[cols].sort_values(["part", "doc_id"]).reset_index(drop=True)
     for c in cols:
-        assert (a[c].to_numpy() == b[c].to_numpy()).all(), f"col {c} mismatch"
+        ok = (a[c].to_numpy() == b[c].to_numpy()) | (
+            a[c].isna().to_numpy() & b[c].isna().to_numpy()
+        )
+        assert ok.all(), f"col {c} mismatch"
 
 
 def _doc(tokens):
