@@ -35,6 +35,7 @@ Data-layout / sketch / curation jobs (r5):
     python -m mrbf_spark lm-train --input wiki.parquet --out lm/
     python -m mrbf_spark lm-score --input crawl.parquet --model lm/ --out scores/
     python -m mrbf_spark cut-spans --input docs.parquet --out cleaned/ --k 16
+    python -m mrbf_spark dsir --input docs.parquet --target "lang = 'en'" --out sel/
 
 `pipeline` runs the whole four-job sequence in one Spark application
 (what the reference needs four spark-submits + a getmerge for); with a
@@ -501,6 +502,27 @@ def cmd_curate(args) -> None:
           + (f" + {args.shards} shards" if args.shards else ""))
 
 
+def cmd_dsir(args) -> None:
+    from .functions.dsir import dsir_select
+    from .registry import release_scoped_caches
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    target = F.expr(args.target)
+    out = dsir_select(docs, target, b=args.buckets)
+    out.write.mode("overwrite").parquet(args.out)
+    stats = (
+        spark.read.parquet(args.out)
+        .selectExpr("count(*) AS n", "sum(selected) AS kept")
+        .collect()[0]
+    )
+    print(
+        f"dsir: {stats['n']} raw docs scored, {stats['kept']} selected "
+        f"-> {args.out}"
+    )
+    release_scoped_caches()
+
+
 def cmd_cut_spans(args) -> None:
     from .functions.substring_dedup import remove_dup_spans
     from .registry import release_scoped_caches
@@ -830,6 +852,20 @@ def main(argv: list[str] | None = None) -> int:
     p_sd.add_argument("--k", type=int, default=16)
     p_sd.add_argument("--iters", type=int, default=5, help="kmeans iterations")
 
+    p_dsir = sub.add_parser(
+        "dsir",
+        help="DSIR importance-resampling selection: score raw docs by "
+        "target-likeness under hashed n-gram models, keep the top "
+        "quarter",
+    )
+    p_dsir.add_argument("--input", required=True, help="parquet with doc_id, text")
+    p_dsir.add_argument(
+        "--target", required=True,
+        help="SQL predicate defining the target split, e.g. \"lang = 'en'\"",
+    )
+    p_dsir.add_argument("--out", required=True)
+    p_dsir.add_argument("--buckets", type=int, default=256)
+
     p_cs = sub.add_parser(
         "cut-spans",
         help="remove cross-document duplicated K-token spans, keeping "
@@ -902,6 +938,7 @@ def main(argv: list[str] | None = None) -> int:
         "ann-query": cmd_ann_query,
         "bpe-train": cmd_bpe_train,
         "cut-spans": cmd_cut_spans,
+        "dsir": cmd_dsir,
         "lm-train": cmd_lm_train,
         "lm-score": cmd_lm_score,
         "compact": cmd_compact,
