@@ -547,6 +547,22 @@ def cmd_cut_spans(args) -> None:
     release_scoped_caches()
 
 
+def cmd_bpe_encode(args) -> None:
+    from .functions.bpe import bpe_encode
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    merges = [
+        (int(r["rank"]), r["a"], r["b"], int(r["pair_count"]))
+        for r in spark.read.parquet(args.merges).orderBy("rank").collect()
+    ]
+    bpe_encode(docs, merges, text_col=args.text_col).write.mode(
+        "overwrite"
+    ).parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"bpe-encode: {n} docs under {len(merges)} merges -> {args.out}")
+
+
 def cmd_lm_train(args) -> None:
     from .functions.lm import train_bigram_lm
 
@@ -875,6 +891,15 @@ def main(argv: list[str] | None = None) -> int:
     p_cs.add_argument("--out", required=True)
     p_cs.add_argument("--k", type=int, default=16, help="window width in tokens")
 
+    p_bpee = sub.add_parser(
+        "bpe-encode",
+        help="segment a corpus with a persisted bpe-train merge table",
+    )
+    p_bpee.add_argument("--input", required=True)
+    p_bpee.add_argument("--merges", required=True, help="bpe-train output")
+    p_bpee.add_argument("--out", required=True)
+    p_bpee.add_argument("--text-col", default="text")
+
     p_lmt = sub.add_parser(
         "lm-train",
         help="train the add-one bigram LM on a reference corpus and "
@@ -937,6 +962,7 @@ def main(argv: list[str] | None = None) -> int:
         "curate": cmd_curate,
         "ann-query": cmd_ann_query,
         "bpe-train": cmd_bpe_train,
+        "bpe-encode": cmd_bpe_encode,
         "cut-spans": cmd_cut_spans,
         "dsir": cmd_dsir,
         "lm-train": cmd_lm_train,
