@@ -115,3 +115,46 @@ def test_bpe_partition_invariant_on_testdata(spark):
     row = docs.selectExpr("doc_id", "lower(text) AS t").first()
     joined = "".join(e1[row["doc_id"]]).replace(EOW, " ").strip()
     assert joined == " ".join(row["t"].split())
+
+
+def test_merge_fold_equals_greedy_scan_randomized(spark):
+    """The JVM fold used for merge application must equal the
+    reference greedy left-to-right non-overlapping scan on arbitrary
+    symbol sequences — including overlap runs (b b b b), products
+    re-adjacent to the pair, and absent pairs. 400 seeded random
+    sequences across 4 planted pairs, one Spark job per pair."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mrbf_spark.functions.bpe import _merge_fold
+
+    rng = np.random.RandomState(7)
+    alphabet = ["a", "b", "ab", "ba", "c"]
+
+    def greedy(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    for a, b in [("a", "b"), ("b", "b"), ("a", "a"), ("ab", "a")]:
+        seqs = [
+            [alphabet[j] for j in rng.randint(0, len(alphabet), size=n)]
+            for n in rng.randint(1, 12, size=100)
+        ]
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(seqs)], "i long, syms array<string>"
+        )
+        got = {
+            r["i"]: list(r["m"])
+            for r in df.select(
+                "i", _merge_fold(F.col("syms"), a, b).alias("m")
+            ).collect()
+        }
+        for i, s in enumerate(seqs):
+            assert got[i] == greedy(s, a, b), (a, b, s, got[i])
