@@ -13,7 +13,12 @@ comparable top-line number. NB r4: the headline key dedup_minhash_lsh
 computes strictly more than in r1-r3 (the exact Jaccard-≥0.2 pair set
 with a hash-matched oracle, vs τ=0.5 LSH candidates) — the headline
 absorbs that by-design cost; `dedup_minhash_lsh_scalepath` times the
-r3-comparable probabilistic path.
+r3-comparable probabilistic path. NB late r5: `lm_suite` additionally
+computes the DSIR part (its own hashed-feature pipeline) and
+`substring_dedup_spans` additionally computes the cut part (corpus
+rewrite) — both grew on purpose when those ops were promoted into the
+driver-checked window; round-over-round increases on those two keys
+price the added semantics, not a regression.
 
 Each query executes its full plan into the noop sink (no driver-side
 collect cost) after a warm-up of the session.
