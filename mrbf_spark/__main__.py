@@ -884,8 +884,10 @@ def main(argv: list[str] | None = None) -> int:
 
     p_cs = sub.add_parser(
         "cut-spans",
-        help="remove cross-document duplicated K-token spans, keeping "
-        "one canonical copy (the Lee et al. dedup cut)",
+        help="remove cross-document duplicated K-token spans via "
+        "per-window lowest-doc_id keeper election (the Lee et al. "
+        "dedup cut; overlapping windows with different keepers can "
+        "cut a passage from every doc — see remove_dup_spans)",
     )
     p_cs.add_argument("--input", required=True, help="parquet with doc_id, text")
     p_cs.add_argument("--out", required=True)

@@ -57,7 +57,11 @@ def curate_corpus(
     The returned DataFrame carries the input's full schema (rows are
     only ever filtered, never rewritten). Caller owns releasing the
     scoped caches after consuming the result
-    (`registry.release_scoped_caches()`)."""
+    (`registry.release_scoped_caches()`).
+
+    Near-dup stage semantics: a doc drops when ANY smaller-id doc is
+    Jaccard-≥τ similar — deliberately lossy on chains (see the stage-3
+    comment; cluster-keeper election is the less-lossy alternative)."""
     census: list[tuple[str, int]] = []
     cur = scoped_cache(docs)
     census.append(("input", cur.count()))
@@ -85,7 +89,13 @@ def curate_corpus(
 
     # 3 — near-dup removal: complete Jaccard-≥τ pairs (bounded by the
     # df cap), drop every doc that has a smaller-id partner — keeps
-    # exactly the docs with no earlier near-duplicate
+    # exactly the docs with no earlier near-duplicate.
+    # Trade-off (ADVICE r5): the drop rule is transitive-lossy. For a
+    # chain A~B~C with A≁C, both B and C drop even though C's only
+    # partner (B) is itself dropped — a deliberate one-join rule that
+    # over-deletes relative to per-cluster keeper election. If
+    # cluster-keeper semantics are wanted, run dedup.assign_clusters
+    # over the pair edges and keep min doc_id per component instead.
     pairs = exact_jaccard_pairs(cur, jaccard_tau, max_df=jaccard_max_df)
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     cur = scoped_cache(cur.join(losers, "doc_id", "left_anti"))

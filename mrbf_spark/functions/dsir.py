@@ -56,7 +56,11 @@ def _hashed_features(docs: DataFrame, target: Column, b: int) -> DataFrame:
     Tokens are the whitespace split of lower(text) (the lm.py
     tokenizer); features are every token plus every adjacent pair
     joined by one space, bucketed by the portable 60-bit md5 hash
-    mod b. A 1-token doc contributes just its unigram."""
+    mod b. A 1-token doc contributes just its unigram.
+
+    A NULL target predicate (e.g. `lang = 'en'` on a NULL lang) is
+    coalesced to FALSE — the doc counts as raw and gets scored/ranked
+    rather than silently vanishing from both sides (ADVICE r5)."""
     toks = F.split(F.lower(F.col("text")), " ")
     bigrams = F.transform(
         # greatest(...) guards sequence() against the descending
@@ -68,7 +72,9 @@ def _hashed_features(docs: DataFrame, target: Column, b: int) -> DataFrame:
     feats = F.when(F.size(toks) >= 2, F.concat(toks, bigrams)).otherwise(toks)
     return (
         docs.select(
-            "doc_id", target.alias("is_t"), F.explode(feats).alias("feat")
+            "doc_id",
+            F.coalesce(target, F.lit(False)).alias("is_t"),
+            F.explode(feats).alias("feat"),
         )
         .groupBy(
             "doc_id",
@@ -83,7 +89,8 @@ def dsir_select(
     docs: DataFrame, target: Column, b: int = DSIR_BUCKETS
 ) -> DataFrame:
     """(doc_id, n_feats, weight_q, avg_log_ratio, rank, selected) for
-    every document NOT matching `target` (the raw side).
+    every document NOT matching `target` (the raw side; a NULL
+    predicate counts as not-matching — see _hashed_features).
 
     p_b = (ct_b + 1)/(Nt + B), q_b = (cr_b + 1)/(Nr + B) with bucket
     counts ct/cr from the target/raw splits; lrq_b = trunc(1e9·ln p_b)
@@ -168,7 +175,7 @@ def dsir_duckdb_sql(
     WITH feats AS (
       SELECT doc_id, is_t, {_h60_sql('feat', DSIR_SALT)} % {b} AS b,
              CAST(COUNT(*) AS BIGINT) AS c
-      FROM (SELECT doc_id, ({target_pred}) AS is_t,
+      FROM (SELECT doc_id, COALESCE(({target_pred}), FALSE) AS is_t,
                    UNNEST(CASE WHEN len(t) >= 2
                           THEN list_concat(t, [t[i] || ' ' || t[i+1]
                                                for i in generate_series(1, len(t) - 1)])

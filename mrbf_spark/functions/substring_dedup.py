@@ -251,11 +251,20 @@ def remove_dup_spans(
     _census: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """The cut step of Lee et al. 2022 — actually REMOVE duplicated
-    text, keeping one canonical copy corpus-wide: for every K-token
-    window seen in ≥2 documents, the lowest doc_id containing it is
-    the keeper; every other document has the window's tokens cut, with
-    overlapping cuts merging into spans exactly as substring_dup_spans
-    assembles them.
+    text with PER-WINDOW lowest-doc_id keeper election: for every
+    K-token window seen in ≥2 documents, the lowest doc_id containing
+    it keeps that window's tokens; every other document has them cut,
+    with overlapping cuts merging into spans exactly as
+    substring_dup_spans assembles them.
+
+    NB (ADVICE r5): keeper election is per WINDOW, independently — NOT
+    a corpus-wide per-passage canonical copy. When overlapping
+    duplicated windows elect different keepers, the keeper of window w
+    can still lose w's tokens through an overlapping window w' owned
+    by another doc, so a duplicated passage may be cut from every
+    document. The behavior is deterministic and oracle-matched; choose
+    K ≥ the passage lengths you care about if one full surviving copy
+    per passage matters.
 
     Returns one row per input document:
       (doc_id, text, n_tokens, n_removed) — `text` rewritten from the
