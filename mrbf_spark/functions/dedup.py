@@ -881,6 +881,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 CLUSTER_TAU = 0.5
 _CC_MAX_ITERS = 25
 
+# leakage-safe split knobs (defined up here: the dedup_clusters
+# oracle composes the split layer at registration time)
+SPLIT_SEED = 11
+# percent boundaries for (train, val, test) — hash < 90 → train, etc.
+SPLIT_BOUNDS = (90, 95)
+
 
 def _cluster_edges(docs: DataFrame) -> DataFrame:
     """(doc_a, doc_b) undirected dedup edges, doc_a < doc_b."""
@@ -895,9 +901,10 @@ def _cluster_edges(docs: DataFrame) -> DataFrame:
     return near.unionByName(exact).dropDuplicates(["doc_a", "doc_b"])
 
 
-@register(
-    "dedup_clusters",
-    f"""
+# The recursive-CTE connected-components twin, a module constant so
+# both the registered entry's oracle and leakage_safe_split_duckdb_sql
+# compose it without a circular ORACLES lookup (r6 restructure).
+_CLUSTERS_SQL = f"""
     WITH RECURSIVE
     toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
     sh AS (SELECT doc_id,
@@ -921,11 +928,36 @@ def _cluster_edges(docs: DataFrame) -> DataFrame:
                         SELECT e.dst, reach.lbl
                         FROM reach JOIN esym e ON e.src = reach.dst)
     SELECT dst AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY dst
-    """,
-)
+    """
+
+
+def _clusters_split_oracle() -> str:
+    """dedup_clusters oracle + the leakage-safe split layer (r6: the
+    registered entry carries all three columns, so leakage_safe_split
+    is driver hash-checked without a new slot)."""
+    return f"""
+    WITH clusters AS ({_CLUSTERS_SQL})
+    SELECT doc_id, cluster_id,
+           CASE
+             WHEN ('0x' || substr(md5('split{SPLIT_SEED}' || ':' ||
+                    CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                  < {SPLIT_BOUNDS[0]} THEN 'train'
+             WHEN ('0x' || substr(md5('split{SPLIT_SEED}' || ':' ||
+                    CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                  < {SPLIT_BOUNDS[1]} THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM clusters
+    """
+
+
+@register("dedup_clusters", _clusters_split_oracle())
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc duplicate-cluster id (= min doc_id of the connected
-    component) over exact-fingerprint + complete Jaccard-≥τ edges.
+    component) over exact-fingerprint + complete Jaccard-≥τ edges,
+    plus (r6) the leakage-safe train/val/test split keyed on that
+    cluster (leakage_safe_split) — so the split assignment is driver
+    hash-checked per document, not just suite-pinned.
 
     Spark side is iterative min-label propagation — the standard
     distributed connected-components loop (GraphX/GraphFrames CC
@@ -943,7 +975,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     handful), bounded by _CC_MAX_ITERS as a runaway guard.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return assign_clusters(docs, _cluster_edges(docs))
+    return leakage_safe_split(docs)
 
 
 def assign_clusters(docs: DataFrame, edges: DataFrame) -> DataFrame:
@@ -994,11 +1026,6 @@ def assign_clusters(docs: DataFrame, edges: DataFrame) -> DataFrame:
 
 # ------------------------------------------------ leakage-safe split
 
-SPLIT_SEED = 11
-# percent boundaries for (train, val, test) — hash < 90 → train, etc.
-SPLIT_BOUNDS = (90, 95)
-
-
 def leakage_safe_split(docs: DataFrame) -> DataFrame:
     """(doc_id, cluster_id, split): a train/val/test split in which
     near-duplicate and verbatim-duplicate documents NEVER straddle a
@@ -1046,22 +1073,7 @@ def leakage_safe_split(docs: DataFrame) -> DataFrame:
 
 
 def leakage_safe_split_duckdb_sql() -> str:
-    """DuckDB twin: the dedup_clusters recursive-CTE oracle with the
-    split hash layered on top — composes registry.ORACLES so the
-    cluster semantics stay single-sourced."""
-    from ..registry import ORACLES
-
-    return f"""
-    WITH clusters AS ({ORACLES['dedup_clusters']})
-    SELECT doc_id, cluster_id,
-           CASE
-             WHEN ('0x' || substr(md5('split{SPLIT_SEED}' || ':' ||
-                    CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 100
-                  < {SPLIT_BOUNDS[0]} THEN 'train'
-             WHEN ('0x' || substr(md5('split{SPLIT_SEED}' || ':' ||
-                    CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 100
-                  < {SPLIT_BOUNDS[1]} THEN 'val'
-             ELSE 'test'
-           END AS split
-    FROM clusters
-    """
+    """DuckDB twin: the recursive-CTE cluster oracle with the split
+    hash layered on top. Since r6 this IS the registered
+    dedup_clusters oracle — the split is driver hash-checked."""
+    return _clusters_split_oracle()

@@ -360,6 +360,17 @@ def perplexity_buckets_duckdb_sql(k: int = PPL_BUCKETS) -> str:
 from .dsir import _DSIR_ORACLE, dsir_select  # noqa: E402  (safe: dsir
 # imports lm only lazily inside dsir_select, so no import cycle)
 
+# Frozen-model deployment split for the 'frozen' part (r6, VERDICT r5
+# next-round #6): train the bigram LM on the doc_id % MOD == 0 slice,
+# score the complement with the FROZEN artifact — exercising the
+# left-join zero-count smoothing on genuinely unseen bigrams/contexts
+# under a driver hash-match, not just in-suite parity.
+FROZEN_TRAIN_MOD = 5
+_FROZEN_SQL = lm_train_score_sql(
+    f"(SELECT * FROM documents WHERE doc_id % {FROZEN_TRAIN_MOD} = 0)",
+    f"(SELECT * FROM documents WHERE doc_id % {FROZEN_TRAIN_MOD} <> 0)",
+)
+
 # The registered catalog entry (r5): per-doc LM scores AND the
 # perplexity buckets as a part-tagged union over ONE cached score
 # table — perplexity_buckets gains an independent driver hash-check
@@ -402,6 +413,11 @@ _LM_SUITE_SQL = f"""
            CASE WHEN selected = 1 THEN 'selected' ELSE 'rejected' END AS label,
            avg_log_ratio
     FROM ({_DSIR_ORACLE}) dsir
+    UNION ALL
+    SELECT 'frozen' AS part, doc_id, n_bigrams AS n1, nll_q AS n2,
+           cross_entropy, CAST(NULL AS INT) AS bucket,
+           CAST(NULL AS VARCHAR) AS label, CAST(NULL AS DOUBLE) AS avg_log_ratio
+    FROM ({_FROZEN_SQL}) frozen
     """
 
 
@@ -446,4 +462,24 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("label"),
         "avg_log_ratio",
     )
-    return part_score.unionByName(part_bucket).unionByName(part_dsir)
+    # 'frozen' part (r6): train-once / score-new-crawl deployment —
+    # the model is trained on the % MOD == 0 slice and applied frozen
+    # to the complement (left-join smoothing over unseen bigrams).
+    train = docs.filter(F.col("doc_id") % FROZEN_TRAIN_MOD == 0)
+    score = docs.filter(F.col("doc_id") % FROZEN_TRAIN_MOD != 0)
+    model, vocab = train_bigram_lm(train)
+    part_frozen = score_with_model(score, model, vocab).select(
+        F.lit("frozen").alias("part"),
+        "doc_id",
+        F.col("n_bigrams").alias("n1"),
+        F.col("nll_q").alias("n2"),
+        "cross_entropy",
+        F.lit(None).cast("int").alias("bucket"),
+        F.lit(None).cast("string").alias("label"),
+        F.lit(None).cast("double").alias("avg_log_ratio"),
+    )
+    return (
+        part_score.unionByName(part_bucket)
+        .unionByName(part_dsir)
+        .unionByName(part_frozen)
+    )

@@ -38,7 +38,14 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..registry import register
 from ..tables import load_table
-from .text import _QUALITY_LANG_SQL, occurrences, occurrences_sql, quality_lang_cols
+from .text import (
+    _QUALITY_LANG_SQL,
+    PII_REDACTION_SQL,
+    occurrences,
+    occurrences_sql,
+    quality_lang_cols,
+    redact_pii_cols,
+)
 
 FIXED = 1_000_000  # 1e6 fixed point for the reported ratio columns
 
@@ -204,17 +211,25 @@ def quality_rules_duckdb_sql() -> str:
 # the heuristic quality/language-ID columns (functions/text.py) in ONE
 # per-row projection over one documents scan — quality_rules gains an
 # independent driver hash-check without a second catalog slot
-# (VERDICT r4 next-round #1). Plan shape unchanged: zero shuffles,
-# zero joins, whole-stage codegen end to end.
+# (VERDICT r4 next-round #1). r6 folds the PII redaction columns into
+# the same projection (the counts + redacted text are per-row JVM
+# regex expressions over the text column already being scanned),
+# freeing pii_redaction's slot for the promoted curate_corpus. Plan
+# shape unchanged: zero shuffles, zero joins, whole-stage codegen end
+# to end.
 @register(
     "quality_signals",
     f"""
-    WITH gr AS ({{GR}}), ql AS ({_QUALITY_LANG_SQL})
+    WITH gr AS ({{GR}}), ql AS ({_QUALITY_LANG_SQL}), pii AS ({{PII}})
     SELECT gr.*, ql.stopword_ratio, ql.mean_token_len, ql.length_prior,
-           ql.score_en, ql.score_de, ql.score_es, ql.lang_guess
-    FROM gr JOIN ql USING (doc_id)
-    """.format(GR=quality_rules_duckdb_sql()),
+           ql.score_en, ql.score_de, ql.score_es, ql.lang_guess,
+           pii.n_email, pii.n_ipv4, pii.n_phone, pii.redacted
+    FROM gr JOIN ql USING (doc_id) JOIN pii USING (doc_id)
+    """.format(GR=quality_rules_duckdb_sql(), PII=PII_REDACTION_SQL),
 )
 def quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    red, counts = redact_pii_cols(F.col("text"))
     d = load_table(spark, sf_dir, "documents")
-    return quality_rules(d, extra=quality_lang_cols())
+    return quality_rules(
+        d, extra=quality_lang_cols() + counts + [red.alias("redacted")]
+    )

@@ -133,6 +133,19 @@ def _consistent_k_sql() -> str:
     """
 
 
+_SHARD_SQL = f"""
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS INT)
+             AS pos
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{SHARD_SEED}'),
+                                 1, 15))::BIGINT AS k,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{SHARD_SEED}'),
+                                      1, 15))::BIGINT % {N_SHARDS} AS INT) AS shard
+          FROM documents)
+    """
+
+
 @register(
     "sampling_suite",
     f"""
@@ -144,6 +157,10 @@ def _consistent_k_sql() -> str:
     FROM ({BUILDER_SQL['stratified_sample']})
     UNION ALL
     {_consistent_k_sql()}
+    UNION ALL
+    SELECT 'shard' AS part, CAST(doc_id AS VARCHAR) AS key,
+           CAST(shard AS BIGINT) AS n1, CAST(pos AS BIGINT) AS v1
+    FROM ({_SHARD_SQL})
     """,
 )
 def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,7 +183,17 @@ def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("n1"),
         F.lit(None).cast("long").alias("v1"),
     )
-    return mix.unionByName(strat).unionByName(cons)
+    # 'shard' part (r6 consolidation): the full global shuffle+shard
+    # layout — every doc's shard and reproducible within-shard
+    # position independently hash-checked; frees the standalone slot
+    # for the promoted bpe_suite.
+    shard = global_shuffle_shard(spark, sf_dir).select(
+        F.lit("shard").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("shard").cast("long").alias("n1"),
+        F.col("pos").cast("long").alias("v1"),
+    )
+    return mix.unionByName(strat).unionByName(cons).unionByName(shard)
 
 
 # ------------------------------------------------- global shuffle+shard
@@ -204,24 +231,13 @@ def shard_key_col(doc_id: Column) -> Column:
     ).cast("long")
 
 
-@register(
-    "global_shuffle_shard",
-    f"""
-    SELECT doc_id, shard,
-           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS INT)
-             AS pos
-    FROM (SELECT doc_id,
-                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{SHARD_SEED}'),
-                                 1, 15))::BIGINT AS k,
-                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{SHARD_SEED}'),
-                                      1, 15))::BIGINT % {N_SHARDS} AS INT) AS shard
-          FROM documents)
-    """,
-)
+@builder("global_shuffle_shard", _SHARD_SQL)
 def global_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shard, pos): the full shard layout — which shard each
     document lands in and its position in that shard's reproducible
-    scan order. See the section comment for the 100 TB write shape."""
+    scan order. See the section comment for the 100 TB write shape.
+    Builder since r6: registered as sampling_suite's 'shard' part
+    (identical output, part-tagged), freeing the slot for bpe_suite."""
     d = load_table(spark, sf_dir, "documents")
     keyed = d.select(
         "doc_id",

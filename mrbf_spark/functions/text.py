@@ -471,19 +471,21 @@ for _name, _pat in PII_PATTERNS.items():
     )
 
 
-@register(
-    "pii_redaction",
-    f"""
+PII_REDACTION_SQL = f"""
     SELECT doc_id,
            {_PII_ORACLE_COUNTS},
            {_PII_ORACLE_RED} AS redacted
     FROM documents
-    """,
-)
+    """
+
+
+@builder("pii_redaction", PII_REDACTION_SQL)
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc PII match counts + redacted text (catalog entry since
-    r4 — slot freed by the stats_aggregates consolidation; DuckDB
-    parity also asserted in-suite by tests/test_packing.py)."""
+    """Per-doc PII match counts + redacted text. Builder since r6: the
+    counts + redacted columns ride the merged `quality_signals` entry
+    (same single-scan projection), freeing a catalog slot for the
+    promoted curate_corpus; DuckDB parity also asserted in-suite by
+    tests/test_packing.py."""
     d = load_table(spark, sf_dir, "documents")
     red, counts = redact_pii_cols(F.col("text"))
     return d.select("doc_id", *counts, red.alias("redacted"))
