@@ -28,10 +28,11 @@ between stages (scoped-cached), never a second copy of the text.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..registry import release_scoped_caches, scoped_cache
-from .decontam import FLAG_THRESHOLD, decontaminate_docs
+from ..registry import register, release_scoped_caches, scoped_cache
+from ..tables import load_table
+from .decontam import EVAL_MOD, FLAG_THRESHOLD, NGRAM_N, decontaminate_docs
 from .dedup import exact_jaccard_pairs
 from .similarity import semdedup_verdicts
 from .text import fingerprint_col, token_count_col
@@ -123,6 +124,132 @@ def curate_corpus(
         census.append(("decontaminate", cur.count()))
 
     return cur, census
+
+
+# ------------------------------------- the driver-checked catalog entry
+#
+# r6 (VERDICT r5 next-round #1): the end-to-end curated-training-set
+# build as ONE hash-matched entry — the survivor doc_id set AND the
+# per-stage census, against a DuckDB oracle that composes every
+# stage's already-proven twin (fingerprint dedup, quality gate, capped
+# exact-Jaccard pairs, text-SemDeDup over hashed-bigram embeddings,
+# n-gram decontamination) into a single WITH chain. Defaults mirror
+# curate_corpus's signature; eval set = doc_id % EVAL_MOD == 0 (the
+# decontaminate entry's convention), input = the complement.
+
+_C_LANG = "en"
+_C_MIN_TOKENS = 5
+_C_MAX_CPT = 15.0
+_C_TAU_NUM, _C_TAU_DEN = 1, 2  # jaccard_tau = 0.5 exactly
+_C_MAX_DF = 200
+
+
+def _curate_oracle() -> str:
+    from .similarity import _semdedup_oracle
+    from .text import FINGERPRINT_SQL, TOKEN_COUNT_SQL
+    from .text_embedding import text_embeddings_sql
+
+    fp = FINGERPRINT_SQL.format(e="text")
+    tok = TOKEN_COUNT_SQL.format(e="text")
+    sem = _semdedup_oracle(
+        tau=TEXT_SEM_TAU,
+        src="tvecs",
+        pre_cte=f"tvecs AS ({text_embeddings_sql(src='s3docs')}),",
+    )
+    n, n1 = NGRAM_N, NGRAM_N - 1
+    nb = "CAST(NULL AS BIGINT)"
+    return f"""
+    WITH input AS (SELECT * FROM documents WHERE doc_id % {EVAL_MOD} <> 0),
+    s1 AS (SELECT MIN(doc_id) AS doc_id FROM input GROUP BY {fp}),
+    s1docs AS (SELECT i.* FROM input i JOIN s1 USING (doc_id)),
+    s2docs AS (SELECT * FROM s1docs
+               WHERE lang = '{_C_LANG}' AND {tok} >= {_C_MIN_TOKENS}
+                 AND CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / {tok}
+                       <= {_C_MAX_CPT}),
+    toks3 AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM s2docs),
+    sh3 AS (SELECT doc_id,
+                   list_distinct([array_to_string(t[i:i+2], ' ')
+                                  for i in generate_series(1, greatest(len(t)-2, 1))])
+                     AS shingles
+            FROM toks3),
+    inv3 AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh3),
+    ok3 AS (SELECT s FROM inv3 GROUP BY s HAVING COUNT(*) <= {_C_MAX_DF}),
+    cap3 AS (SELECT i.doc_id, i.n, i.s FROM inv3 i JOIN ok3 USING (s)),
+    co3 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n AS na, b.n AS nb, COUNT(*) AS c
+            FROM cap3 a JOIN cap3 b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4),
+    losers3 AS (SELECT DISTINCT doc_b FROM co3
+                WHERE CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE)
+                      >= CAST({_C_TAU_NUM} AS DOUBLE) / {_C_TAU_DEN}),
+    s3docs AS (SELECT * FROM s2docs
+               WHERE doc_id NOT IN (SELECT doc_b FROM losers3)),
+    sem AS ({sem}),
+    keep4 AS (SELECT vec_id AS doc_id FROM sem WHERE keep),
+    s4docs AS (SELECT d.* FROM s3docs d JOIN keep4 USING (doc_id)),
+    toks5 AS (SELECT doc_id, string_split(text, ' ') AS t FROM s4docs),
+    grams5 AS (SELECT DISTINCT doc_id,
+                      array_to_string(t[u.i + 1 : u.i + {n}], ' ') AS g
+               FROM toks5, LATERAL UNNEST(range(greatest(len(t) - {n1}, 0))) AS u(i)),
+    evtoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+               WHERE doc_id % {EVAL_MOD} = 0),
+    ev5 AS (SELECT DISTINCT array_to_string(t[u.i + 1 : u.i + {n}], ' ') AS g
+            FROM evtoks, LATERAL UNNEST(range(greatest(len(t) - {n1}, 0))) AS u(i)),
+    tot5 AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams5 GROUP BY doc_id),
+    hits5 AS (SELECT c.doc_id, COUNT(*) AS n_contaminated
+              FROM grams5 c
+              WHERE EXISTS (SELECT 1 FROM ev5 WHERE ev5.g = c.g)
+              GROUP BY c.doc_id),
+    flagged5 AS (SELECT t.doc_id FROM tot5 t JOIN hits5 h USING (doc_id)
+                 WHERE CAST(h.n_contaminated AS DOUBLE)
+                         / CAST(t.n_grams AS DOUBLE) >= {FLAG_THRESHOLD}),
+    s5docs AS (SELECT * FROM s4docs
+               WHERE doc_id NOT IN (SELECT doc_id FROM flagged5))
+    SELECT 'doc' AS part, CAST(NULL AS VARCHAR) AS stage,
+           CAST(doc_id AS BIGINT) AS doc_id, {nb} AS n
+    FROM s5docs
+    UNION ALL SELECT 'census', 'input', {nb},
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM input)
+    UNION ALL SELECT 'census', 'exact_dedup', {nb},
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM s1docs)
+    UNION ALL SELECT 'census', 'quality_gate', {nb},
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM s2docs)
+    UNION ALL SELECT 'census', 'neardup_jaccard', {nb},
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM s3docs)
+    UNION ALL SELECT 'census', 'semantic_dedup', {nb},
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM s4docs)
+    UNION ALL SELECT 'census', 'decontaminate', {nb},
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM s5docs)
+    """
+
+
+@register("curate_corpus", _curate_oracle())
+def curate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shipped artifact, driver-checked: run curate_corpus with
+    library defaults (eval slice = doc_id % EVAL_MOD == 0) and emit
+    the surviving doc_id set ('doc' part) plus the per-stage census
+    ('census' part) — every stage's survivor arithmetic hash-matched
+    against the composed oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    eval_docs = d.filter(F.col("doc_id") % EVAL_MOD == 0)
+    cur, census = curate_corpus(
+        d.filter(F.col("doc_id") % EVAL_MOD != 0), eval_docs
+    )
+    doc_part = cur.select(
+        F.lit("doc").alias("part"),
+        F.lit(None).cast("string").alias("stage"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("n"),
+    )
+    census_part = spark.createDataFrame(
+        [(s, int(c)) for s, c in census], "stage string, n long"
+    ).select(
+        F.lit("census").alias("part"),
+        "stage",
+        F.lit(None).cast("long").alias("doc_id"),
+        "n",
+    )
+    return doc_part.unionByName(census_part)
 
 
 __all__ = ["curate_corpus", "release_scoped_caches"]
