@@ -13,6 +13,7 @@ from .functions import text as _text  # noqa: F401
 from .functions import quality_rules as _quality_rules  # noqa: F401
 from .functions import dedup as _dedup  # noqa: F401
 from .functions import curate as _curate  # noqa: F401
+from .functions import bpe as _bpe  # noqa: F401
 from .functions import substring_dedup as _substring_dedup  # noqa: F401
 from .functions import decontam as _decontam  # noqa: F401
 from .functions import lm as _lm  # noqa: F401

@@ -35,9 +35,10 @@ single-node, distributed here):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from ..registry import scoped_cache
+from ..registry import register, scoped_cache
+from ..tables import load_table
 
 EOW = "</w>"  # end-of-word marker symbol
 # truncate the encode plan's lineage every N chained fold rewrites
@@ -187,3 +188,157 @@ def bpe_vocab(
         .groupBy("token")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+# --------------------------- the driver-checked entry + DuckDB twin
+#
+# r6 (VERDICT r5 next-round #4): the TRAIN loop itself gets a DuckDB
+# twin — K chained recursive-CTE stages, each (1) counting adjacent
+# symbol pairs weighted by word frequency from the previous fold
+# state, (2) taking the deterministic argmax (n DESC, a, b), and
+# (3) folding the merge through every word by iterated string
+# replace to a fixpoint. The fold state is the word's symbol array
+# rendered as '|sym|sym|…|' — '|' occurs in no corpus token
+# (whitespace-split words; guarded by a test) — and
+# replace(seq, '|a|b|', '|ab|') is exactly one greedy left-to-right
+# non-overlapping pass EXCEPT that a match consumes the next
+# occurrence's leading separator; iterating to fixpoint restores the
+# missed adjacent matches (only possible when a == b, e.g. 'l l l l'),
+# converging to the same result as the scan-and-skip reference walk:
+# repeated leftmost-merge IS the greedy fold, and a merge can never
+# create a new (a, b) occurrence because the product 'ab' is a single
+# separator-free symbol. Early stop (best pair < min_count) is
+# replicated by a WHERE on the argmax: an empty argmax leaves the
+# fold state unchanged, so every later stage's argmax is empty too.
+
+BPE_K = 12  # merges learned by the registered entry
+BPE_MIN_COUNT = 2
+
+
+def _bpe_oracle(k: int = BPE_K, min_count: int = BPE_MIN_COUNT, src: str = "documents") -> str:
+    eow = EOW
+    ctes = [
+        f"""wc AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM {src})
+           WHERE word <> '' GROUP BY word)""",
+        f"""ff0 AS MATERIALIZED (SELECT word, cnt,
+                  '|' || array_to_string(
+                     [word[i] for i in generate_series(1, length(word))]
+                       || ['{eow}'], '|') || '|' AS seq
+           FROM wc)""",
+    ]
+    for r in range(1, k + 1):
+        prev = f"ff{r - 1}"
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+          SELECT u.a AS a, u.b AS b, CAST(SUM(cnt) AS BIGINT) AS n
+          FROM (SELECT cnt,
+                       unnest([struct_pack(a := L[i], b := L[i+1])
+                               for i in generate_series(1, len(L) - 1)]) AS u
+                FROM (SELECT cnt,
+                             list_filter(string_split(seq, '|'), x -> x <> '') AS L
+                      FROM {prev})
+                WHERE len(L) >= 2)
+          GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""b{r} AS MATERIALIZED (
+          SELECT ma, mb, mn FROM (SELECT 1 AS one)
+          LEFT JOIN (SELECT a AS ma, b AS mb, n AS mn FROM p{r}
+                     WHERE n >= {min_count}
+                     ORDER BY n DESC, a, b LIMIT 1) ON TRUE)"""
+        )
+        ctes.append(
+            f"""f{r}(word, cnt, seq, act) AS (
+          SELECT word, cnt,
+                 CASE WHEN ma IS NOT NULL
+                       AND contains(seq, '|' || ma || '|' || mb || '|')
+                      THEN replace(seq, '|' || ma || '|' || mb || '|',
+                                   '|' || ma || mb || '|')
+                      ELSE seq END,
+                 ma IS NOT NULL
+                   AND contains(seq, '|' || ma || '|' || mb || '|')
+          FROM {prev}, b{r}
+          UNION ALL
+          SELECT word, cnt,
+                 CASE WHEN contains(seq, '|' || ma || '|' || mb || '|')
+                      THEN replace(seq, '|' || ma || '|' || mb || '|',
+                                   '|' || ma || mb || '|')
+                      ELSE seq END,
+                 contains(seq, '|' || ma || '|' || mb || '|')
+          FROM f{r}, b{r}
+          WHERE act)"""
+        )
+        ctes.append(
+            f"ff{r} AS MATERIALIZED (SELECT word, cnt, seq FROM f{r} WHERE NOT act)"
+        )
+    merge_rows = "\n    UNION ALL ".join(
+        f"""SELECT 'merge' AS part, ma AS k1, mb AS k2,
+               CAST({r} AS BIGINT) AS id, mn AS n, CAST(NULL AS VARCHAR) AS s
+        FROM b{r} WHERE ma IS NOT NULL"""
+        for r in range(1, k + 1)
+    )
+    nv, nb = "CAST(NULL AS VARCHAR)", "CAST(NULL AS BIGINT)"
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH RECURSIVE
+    {cte_block},
+    toklists AS (SELECT word,
+                        list_filter(string_split(seq, '|'), x -> x <> '') AS tokL
+                 FROM ff{k}),
+    dtoks AS (SELECT doc_id, u.pos AS pos, u.w AS word
+              FROM (SELECT doc_id,
+                           unnest([struct_pack(pos := i, w := t[i])
+                                   for i in generate_series(1, len(t))]) AS u
+                    FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+                          FROM {src}))
+              WHERE u.w <> '')
+    {merge_rows}
+    UNION ALL
+    SELECT 'vocab' AS part, token AS k1, {nv} AS k2, {nb} AS id,
+           CAST(SUM(cnt) AS BIGINT) AS n, {nv} AS s
+    FROM (SELECT cnt, unnest(tokL) AS token
+          FROM ff{k} JOIN toklists USING (word))
+    GROUP BY token
+    UNION ALL
+    SELECT 'encode' AS part, {nv} AS k1, {nv} AS k2,
+           CAST(doc_id AS BIGINT) AS id,
+           CAST(SUM(len(tokL)) AS BIGINT) AS n,
+           string_agg(array_to_string(tokL, ' '), ' ' ORDER BY pos) AS s
+    FROM dtoks JOIN toklists USING (word)
+    GROUP BY doc_id
+    """
+
+
+@register("bpe_suite", _bpe_oracle())
+def bpe_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE, driver hash-checked end to end: learn BPE_K
+    merges from the corpus ('merge' part: rank, pair, count — the
+    TRAIN loop's argmax sequence), then the corpus token frequencies
+    under them ('vocab' part) and every document's segmentation
+    ('encode' part: token count + the space-joined token stream)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=BPE_K, min_pair_count=BPE_MIN_COUNT)
+    nv = F.lit(None).cast("string")
+    nb = F.lit(None).cast("long")
+    merge_part = spark.createDataFrame(
+        [(a, b, r, n) for r, a, b, n in merges],
+        "k1 string, k2 string, id long, n long",
+    ).select(F.lit("merge").alias("part"), "k1", "k2", "id", "n", nv.alias("s"))
+    vocab_part = bpe_vocab(docs, merges).select(
+        F.lit("vocab").alias("part"),
+        F.col("token").alias("k1"),
+        nv.alias("k2"),
+        nb.alias("id"),
+        F.col("cnt").alias("n"),
+        nv.alias("s"),
+    )
+    encode_part = bpe_encode(docs, merges).select(
+        F.lit("encode").alias("part"),
+        nv.alias("k1"),
+        nv.alias("k2"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("n_tokens").alias("n"),
+        F.array_join(F.col("tokens"), " ").alias("s"),
+    )
+    return merge_part.unionByName(vocab_part).unionByName(encode_part)
