@@ -889,16 +889,43 @@ SPLIT_BOUNDS = (90, 95)
 
 
 def _cluster_edges(docs: DataFrame) -> DataFrame:
-    """(doc_a, doc_b) undirected dedup edges, doc_a < doc_b."""
-    near = exact_jaccard_pairs(docs, CLUSTER_TAU, hashed=True).select(
+    """(doc_a, doc_b) undirected dedup edges, doc_a < doc_b — a
+    connectivity-equivalent SPARSIFICATION of (exact-fingerprint pairs
+    ∪ Jaccard-≥τ pairs), r6:
+
+    * verbatim-duplicate groups contribute STAR edges (group-min →
+      member), not all C(n,2) pairs — a fingerprint self-join on a
+      group of n identical docs materializes n²/2 rows (the 30%-hot
+      stress corpus would emit ~10^8 edges from ONE text), while the
+      star's n−1 edges connect exactly the same component;
+    * the Jaccard stage runs on exact-dedup SURVIVORS only (one
+      representative per fingerprint): a non-survivor has the SAME
+      text as its representative, hence the same Jaccard similarity
+      to everything, so every old edge X—Y is replaced by the path
+      X—star—S(X)—jaccard—S(Y)—star—Y. Components — and therefore
+      cluster ids and the split — are IDENTICAL (the all-pairs
+      recursive-CTE oracle stays the registered twin; equality is
+      what the driver hash-match certifies), and the co-count join
+      never sees a verbatim group's quadratic shingle blow-up.
+    """
+    fp = scoped_cache(
+        docs.select("doc_id", fingerprint_col(F.col("text")).alias("f"))
+    )
+    fp.count()  # two consumers below — materialize before the fan-out
+    mins = scoped_cache(fp.groupBy("f").agg(F.min("doc_id").alias("m")))
+    mins.count()
+    star = (
+        fp.join(mins, "f")
+        .filter(F.col("doc_id") != F.col("m"))
+        .select(F.col("m").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    survivors = docs.join(
+        mins.select(F.col("m").alias("doc_id")), "doc_id", "left_semi"
+    )
+    near = exact_jaccard_pairs(survivors, CLUSTER_TAU, hashed=True).select(
         "doc_a", "doc_b"
     )
-    fp = docs.select("doc_id", fingerprint_col(F.col("text")).alias("f"))
-    fa, fb = fp.alias("fa"), fp.alias("fb")
-    exact = fa.join(
-        fb, (F.col("fa.f") == F.col("fb.f")) & (F.col("fa.doc_id") < F.col("fb.doc_id"))
-    ).select(F.col("fa.doc_id").alias("doc_a"), F.col("fb.doc_id").alias("doc_b"))
-    return near.unionByName(exact).dropDuplicates(["doc_a", "doc_b"])
+    return near.unionByName(star).dropDuplicates(["doc_a", "doc_b"])
 
 
 # The recursive-CTE connected-components twin, a module constant so

@@ -1363,13 +1363,14 @@ def test_global_shuffle_shard_layout_and_writer(spark, tmp_path):
     (every doc exactly once, pos dense per shard), shards are
     hash-balanced, the layout is partitioning-invariant, and a written
     shard read back sequentially replays the layout's pos order."""
-    from mrbf_spark.catalog import queries
     from mrbf_spark.functions.sampling import (
         N_SHARDS,
+        global_shuffle_shard,
         write_shuffled_shards,
     )
 
-    layout = queries()["global_shuffle_shard"](spark, SF_SMOKE).collect()
+    # builder since r6 (registered as sampling_suite part=shard)
+    layout = global_shuffle_shard(spark, SF_SMOKE).collect()
     docs = load_table(spark, SF_SMOKE, "documents")
     n_docs = docs.count()
     assert len(layout) == n_docs
@@ -1387,7 +1388,7 @@ def test_global_shuffle_shard_layout_and_writer(spark, tmp_path):
     # partitioning invariance: same layout from a repartitioned input
     relayout = {
         (r["doc_id"], r["shard"], r["pos"])
-        for r in queries()["global_shuffle_shard"](spark, SF_SMOKE).collect()
+        for r in global_shuffle_shard(spark, SF_SMOKE).collect()
     }
     assert relayout == {(r["doc_id"], r["shard"], r["pos"]) for r in layout}
 

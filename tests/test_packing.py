@@ -77,11 +77,14 @@ def test_sequence_packing_no_global_single_task_window(spark):
 
 
 def test_pii_redaction_matches_duckdb(spark):
+    # builder since r6 (columns ride the quality_signals entry) — the
+    # oracle SQL lives in BUILDER_SQL for composition
     from mrbf_spark.functions.text import pii_redaction
+    from mrbf_spark.registry import BUILDER_SQL
 
     _assert_parity(
         pii_redaction(spark, SF_ORACLE),
-        _oracle(ORACLES["pii_redaction"], SF_ORACLE),
+        _oracle(BUILDER_SQL["pii_redaction"], SF_ORACLE),
     )
 
 

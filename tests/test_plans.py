@@ -193,6 +193,8 @@ _BNLJ_ALLOWED = {
     "embedding_neardup",  # same attach, standalone builder
     "semdedup",  # same attach, standalone builder
     "text_semdedup",  # same attach over derived text vectors
+    "curate_corpus",  # composes text_semdedup's matrix attach +
+    # decontaminate's one-row bloom-filter attach (both above)
     "tpch_suite",  # q22's one-row scalar-threshold broadcast attach
     "data_ops_suite",  # validate's 1-row x 1-row aggregate crossJoin
     "validate_events",  # 1-row scan-agg × 1-row fk-agg report crossJoin

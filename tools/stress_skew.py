@@ -163,6 +163,33 @@ def build_datasets(spark) -> None:
         "embeddings_sem",
     )
 
+    # text-SemDeDup's skew axis is likewise a hot CELL (r6): the
+    # min-doc_id text becomes a PURE anchor phrase (so hashed-bigram
+    # centroid 0 IS the anchor direction) and the skew twin appends
+    # the anchor to 30% of docs — their vectors gain a strong shared
+    # anchor component (argmax → cell 0) while pairwise cosines stay
+    # ~0.3 ≪ τ=0.8 (the anchor is ~⅓ of each hot doc's bigram mass),
+    # so the measurement is hot-cell OCCUPANCY, not a quadratic
+    # identical-text dup-pair OUTPUT (verbatim 30% duplication makes
+    # the τ-pair SET itself quadratic for any correct implementation —
+    # the pipeline answer there is exact-dedup first, curate stage 1).
+    mn = docs.agg(F.min("doc_id")).first()[0]
+    anchored = docs.withColumn(
+        "text", F.when(F.col("doc_id") == mn, F.lit(HOT_TEXT)).otherwise(F.col("text"))
+    )
+    write(anchored, "uniform", "documents_sem")
+    write(
+        anchored.withColumn(
+            "text",
+            F.when(
+                (F.col("doc_id") != mn) & _hot(anchored, "doc_id", 30),
+                F.concat_ws(" ", F.col("text"), F.lit(HOT_TEXT)),
+            ).otherwise(F.col("text")),
+        ),
+        "skew",
+        "documents_sem",
+    )
+
 
 def queries():
     """name -> (callable(spark, sf_dir) -> row count, input-row table)."""
@@ -294,6 +321,72 @@ def queries():
         # hot text must cost only its share of flagged positions.
         return substring_dup_spans(load_table(spark, sf_dir, "documents"))
 
+    def merge(spark, sf_dir):
+        # payload-skew stress (r6, VERDICT r5 #5): the full-outer
+        # MERGE join keys on the UNIQUE pk, so key skew is impossible
+        # by construction; the skew twin's 30%-hot user_id payload
+        # rides the same uniform pk shuffle and the null-safe column
+        # comparison is per-row — expect ~1×. (The partition-scoped
+        # variant's hot-BUCKET increment touches FEWER partitions, a
+        # pruning win, not a skew risk — plan-tested separately.)
+        from mrbf_spark.functions.diffing import merge_upsert
+
+        ev = load_table(spark, sf_dir, "events")
+        old = ev.filter(F.pmod(F.col("event_id"), F.lit(97)) != 3)
+        new = ev.filter(F.pmod(F.col("event_id"), F.lit(89)) != 7).withColumn(
+            "value",
+            F.when(
+                F.pmod(F.col("event_id"), F.lit(11)) == 0, F.col("value") * 2
+            ).otherwise(F.col("value")),
+        )
+        return merge_upsert(old, new, "event_id", delete_missing=True)
+
+    def safe_split(spark, sf_dir):
+        # giant-dup-cluster stress (r6): the skew twin's hot text is a
+        # ~30%-of-corpus verbatim component. The r6 star-edge
+        # sparsification keeps its edge set LINEAR (group-min stars;
+        # the old fingerprint self-join would materialize ~10^8 edge
+        # rows from this one text) and the Jaccard stage sees ONE
+        # survivor for the whole group; CC then iterates over
+        # edge-incident nodes and the split layer is map-only.
+        from mrbf_spark.functions.dedup import leakage_safe_split
+
+        return leakage_safe_split(load_table(spark, sf_dir, "documents"))
+
+    def qsk_const(spark, sf_dir):
+        # hot-group + constant-value stress (r6): user 1 holds 30% of
+        # the skew twin's rows and its value column is forced constant
+        # — the bottom-k sample's rank window must rewrite to the
+        # map-side Partial WindowGroupLimit (no single-task sort of
+        # the hot group) and the median's hash tie-break must absorb
+        # the all-equal values. Uniform twin: user 1 is ordinary.
+        from mrbf_spark.functions.sketches import bottomk_sample, sample_median
+
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "value",
+            F.when(F.col("user_id") == 1, F.lit(0.5)).otherwise(F.col("value")),
+        )
+        return sample_median(bottomk_sample(ev, "user_id", "value", F.col("event_id")))
+
+    def text_sem_hotcell(spark, sf_dir):
+        # hot-cell stress over RAW TEXT (r6): 30% of docs carry the
+        # anchor suffix and quantize to centroid 0's cell (see
+        # build_datasets) — the textdedup twin of the measured
+        # semdedup[hot-cell] row; the anchor adds ~⅓ extra bigram mass
+        # to hot docs, so a ratio ≲1.2 already means the hot cell cost
+        # only its share of rows.
+        from mrbf_spark.functions.similarity import semdedup_verdicts
+        from mrbf_spark.functions.text_embedding import (
+            TEXT_SEM_TAU,
+            text_hash_embeddings,
+        )
+        from mrbf_spark.registry import scoped_cache
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents_sem.parquet"))
+        emb = scoped_cache(text_hash_embeddings(docs))
+        emb.count()
+        return semdedup_verdicts(emb, tau=TEXT_SEM_TAU)
+
     return {
         "dedup_exact": (dedup_exact, "documents"),
         # hot fingerprint joins ONE index row (min-agg collapses the
@@ -317,6 +410,10 @@ def queries():
         "kmv_distinct": (kmv, "events"),
         "cms_grid_build": (cms, "events"),
         "cms_heavy_hitters[T=2000]": (cms_hh, "events"),
+        "merge_upsert[pk-unique]": (merge, "events"),
+        "leakage_safe_split[giant-cluster]": (safe_split, "documents"),
+        "quantile_sketch[hot-grp,const-val]": (qsk_const, "events"),
+        "text_semdedup[hot-cell]": (text_sem_hotcell, "documents_sem"),
     }
 
 
@@ -325,7 +422,12 @@ def main() -> int:
     from mrbf_spark.session import get_spark
 
     spark = get_spark("stress-skew", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    if "--rebuild" in sys.argv[1:] or not os.path.isdir(os.path.join(BASE, "skew")):
+    if (
+        "--rebuild" in sys.argv[1:]
+        or not os.path.isdir(os.path.join(BASE, "skew"))
+        # r6 added the documents_sem twin — rebuild older layouts
+        or not os.path.exists(os.path.join(BASE, "skew", "documents_sem.parquet"))
+    ):
         t0 = time.time()
         build_datasets(spark)
         print(f"built stress datasets in {time.time() - t0:.1f}s", file=sys.stderr)
