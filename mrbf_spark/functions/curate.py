@@ -123,6 +123,17 @@ def curate_corpus(
         cur = scoped_cache(cur.join(flagged, "doc_id", "left_anti"))
         census.append(("decontaminate", cur.count()))
 
+    # Truncate the five-stage lineage before handing the survivors
+    # out (r6): the returned plan otherwise re-runs the expensive
+    # un-cached tail above the stage caches (the semdedup pair stage,
+    # the decontamination probe) on EVERY consumer action — the
+    # top-level .cache() does not reliably serve under AQE plan
+    # canonicalization (measured: ~17 s per count at sf0.01 with all
+    # stage blocks resident). The census counts above materialized
+    # everything already, so the checkpoint adds no extra pass — it
+    # just makes the survivor set as cheap to consume as it is small.
+    cur = cur.localCheckpoint()
+
     return cur, census
 
 
