@@ -22,8 +22,10 @@ Every stage is deterministic (md5 fingerprints, integer Jaccard,
 fixed-point cosines), so two runs over the same corpus emit the same
 training set — the property that makes a 100 TB data build auditable.
 Scale shape: each stage is one of the already-ledgered plans
-(SCALING.md); the chain materializes only doc_id survivor sets
-between stages (scoped-cached), never a second copy of the text.
+(SCALING.md); stage handoffs are localCheckpoint'd (see the in-body
+comment: an accumulated five-stage tree OOMs plan stringification on
+a default driver heap), and the text crosses stages as materialized
+blocks, never as re-derived lineage.
 """
 
 from __future__ import annotations
@@ -56,15 +58,28 @@ def curate_corpus(
     where census = [(stage, docs_surviving_after_stage), ...].
 
     The returned DataFrame carries the input's full schema (rows are
-    only ever filtered, never rewritten). Caller owns releasing the
-    scoped caches after consuming the result
-    (`registry.release_scoped_caches()`).
+    only ever filtered, never rewritten) and reads its own
+    materialized checkpoint blocks — cheap to consume repeatedly.
+    Caller owns releasing the scoped caches the in-stage machinery
+    leaves (`registry.release_scoped_caches()`); checkpoint blocks
+    free when the returned DataFrame is garbage-collected.
 
     Near-dup stage semantics: a doc drops when ANY smaller-id doc is
     Jaccard-≥τ similar — deliberately lossy on chains (see the stage-3
     comment; cluster-keeper election is the less-lossy alternative)."""
+    # Stage handoffs are localCheckpoint'd, not cache()'d (r6): each
+    # stage's plan then reads the previous stage's materialized blocks
+    # instead of accumulating a five-stage logical tree. The
+    # accumulated tree is not just slow to optimize — .cache() renders
+    # it to a STRING for the cache name (CachedRDDBuilder.cachedName),
+    # and with semdedup's wide fixed-point expression subtrees inside,
+    # that stringification alone OOMs a default-1g driver-parity
+    # session (measured: vanilla session, sf0.01). The census count
+    # that follows each checkpoint was already materializing the
+    # stage, so eager checkpointing adds no extra pass and stores the
+    # same rows the old cache stored.
     census: list[tuple[str, int]] = []
-    cur = scoped_cache(docs)
+    cur = docs.localCheckpoint()
     census.append(("input", cur.count()))
     t = F.col("text")
 
@@ -74,7 +89,7 @@ def curate_corpus(
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    cur = scoped_cache(cur.join(survivors, "doc_id", "left_semi"))
+    cur = cur.join(survivors, "doc_id", "left_semi").localCheckpoint()
     census.append(("exact_dedup", cur.count()))
 
     # 2 — quality / language gate: map-only predicates
@@ -85,7 +100,7 @@ def curate_corpus(
     )
     if lang is not None:
         gate = (F.col("lang") == lang) & gate
-    cur = scoped_cache(cur.filter(gate))
+    cur = cur.filter(gate).localCheckpoint()
     census.append(("quality_gate", cur.count()))
 
     # 3 — near-dup removal: complete Jaccard-≥τ pairs (bounded by the
@@ -99,7 +114,7 @@ def curate_corpus(
     # over the pair edges and keep min doc_id per component instead.
     pairs = exact_jaccard_pairs(cur, jaccard_tau, max_df=jaccard_max_df)
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    cur = scoped_cache(cur.join(losers, "doc_id", "left_anti"))
+    cur = cur.join(losers, "doc_id", "left_anti").localCheckpoint()
     census.append(("neardup_jaccard", cur.count()))
 
     # 4 — semantic dedup over hashed-bigram embeddings
@@ -111,7 +126,7 @@ def curate_corpus(
             .filter(F.col("keep"))
             .select(F.col("vec_id").alias("doc_id"))
         )
-        cur = scoped_cache(cur.join(keep, "doc_id", "left_semi"))
+        cur = cur.join(keep, "doc_id", "left_semi").localCheckpoint()
         census.append(("semantic_dedup", cur.count()))
 
     # 5 — decontamination against an eval set (exact overlap; docs too
@@ -120,19 +135,14 @@ def curate_corpus(
         report = decontaminate_docs(cur, eval_docs, threshold=contam_threshold)
         # flagged is INT (0/1 — the NULL-portable oracle convention)
         flagged = report.filter(F.col("flagged") == 1).select("doc_id")
-        cur = scoped_cache(cur.join(flagged, "doc_id", "left_anti"))
+        # the final checkpoint doubles as the consumer handoff: the
+        # returned plan reads materialized blocks, so downstream
+        # actions (driver compare, writes) cost ~0.1 s instead of
+        # re-running the semdedup/decontamination tail (measured ~17 s
+        # per action when a plain .cache() failed to serve under AQE
+        # plan canonicalization)
+        cur = cur.join(flagged, "doc_id", "left_anti").localCheckpoint()
         census.append(("decontaminate", cur.count()))
-
-    # Truncate the five-stage lineage before handing the survivors
-    # out (r6): the returned plan otherwise re-runs the expensive
-    # un-cached tail above the stage caches (the semdedup pair stage,
-    # the decontamination probe) on EVERY consumer action — the
-    # top-level .cache() does not reliably serve under AQE plan
-    # canonicalization (measured: ~17 s per count at sf0.01 with all
-    # stage blocks resident). The census counts above materialized
-    # everything already, so the checkpoint adds no extra pass — it
-    # just makes the survivor set as cheap to consume as it is small.
-    cur = cur.localCheckpoint()
 
     return cur, census
 
