@@ -935,6 +935,65 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_verdicts(load_table(spark, sf_dir, "embeddings"))
 
 
+def _kmeans_oracle(
+    k: int = N_CENTROIDS, iters: int = IVF_ITERS, src: str = "embeddings"
+) -> str:
+    """DuckDB twin of kmeans_fit — the full-corpus Lloyd loop replayed
+    as `iters` chained CTE stages (the bpe_suite technique, r6): each
+    stage re-derives the assignment (fixed-point trunc-dot argmax,
+    first-max-wins = lowest cid on ties, exactly kmeans_assign_col's
+    array_position rule), the per-(cell, pos) exact integer sums
+    Σ trunc(x·1e9), and the new centroid value s / (1e9·n) — one IEEE
+    division of exactly-representable operands, so every intermediate
+    centroid (and hence every later assignment) is bit-identical
+    across engines. Empty cells keep the previous value via the LEFT
+    JOIN coalesce, matching the engine's dict-update. MATERIALIZED
+    hints keep the chained stages from inlining exponentially."""
+    ctes = [
+        f"""ue AS MATERIALIZED (
+        SELECT vec_id, u.pos - 1 AS pos, CAST(u.x AS DOUBLE) AS x
+        FROM (SELECT vec_id,
+                     unnest([struct_pack(pos := i, x := embedding[i])
+                             for i in generate_series(1, len(embedding))]) AS u
+              FROM {src}))""",
+        f"""cent0 AS MATERIALIZED (
+        SELECT cid, u.pos - 1 AS pos, CAST(u.x AS DOUBLE) AS val
+        FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding
+              FROM (SELECT vec_id, embedding FROM {src} ORDER BY vec_id LIMIT {k})),
+             LATERAL (SELECT unnest([struct_pack(pos := i, x := embedding[i])
+                                     for i in generate_series(1, len(embedding))]) AS u))""",
+    ]
+    for i in range(1, iters + 1):
+        p = f"cent{i - 1}"
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cid AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   SUM(CAST(TRUNC(e.x * c.val * 1000000000.0) AS BIGINT)) DESC,
+                   c.cid) AS r
+          FROM ue e JOIN {p} c ON c.pos = e.pos
+          GROUP BY 1, 2) WHERE r = 1)"""
+        )
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+        SELECT a.cell, e.pos,
+               CAST(SUM(CAST(TRUNC(e.x * 1000000000.0) AS BIGINT)) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ue e JOIN a{i} a USING (vec_id)
+        GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""cent{i} AS MATERIALIZED (
+        SELECT p.cid, p.pos,
+               CASE WHEN s.s IS NULL THEN p.val
+                    ELSE CAST(s.s AS DOUBLE) / (1000000000.0 * s.n) END AS val
+        FROM {p} p LEFT JOIN s{i} s ON s.cell = p.cid AND s.pos = p.pos)"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"WITH {body}\n    SELECT cid, pos, val FROM cent{iters}"
+
+
 # --- the registered embedding-dedup family: near-dup pairs within
 # human labels ('pair' part, the r1 entry) ∪ SemDeDup keep/drop
 # verdicts within learned cells ('semdedup' part) — one catalog slot,
@@ -961,6 +1020,11 @@ def _embedding_dedup_suite_sql() -> str:
     SELECT 'textdedup' AS part, vec_id AS k1, CAST(cell AS BIGINT) AS k2,
            cent_cosine AS cosine, CAST(keep AS BIGINT) AS keep
     FROM ({text_part})
+    UNION ALL
+    SELECT 'kmeans' AS part, CAST(cid AS BIGINT) AS k1,
+           CAST(pos AS BIGINT) AS k2, val AS cosine,
+           CAST(NULL AS BIGINT) AS keep
+    FROM ({_kmeans_oracle()})
     """
 
 
@@ -991,4 +1055,24 @@ def embedding_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cent_cosine").alias("cosine"),
         F.col("keep").cast("long").alias("keep"),
     )
-    return pairs.unionByName(sd).unionByName(td)
+    # 'kmeans' part (r6): the full-corpus Lloyd fit — every centroid
+    # value bit-matched against the chained-CTE iteration replay, so
+    # the quality-path quantizer is driver-checked, not just
+    # partition-invariance-pinned. The k×dim matrix is plan-time
+    # driver data by design (bounded scalars per iteration).
+    cent = kmeans_fit(load_table(spark, sf_dir, "embeddings"))
+    km = spark.createDataFrame(
+        [
+            (int(c), int(p), float(cent[c][p]))
+            for c in range(cent.shape[0])
+            for p in range(cent.shape[1])
+        ],
+        "k1 long, k2 long, cosine double",
+    ).select(
+        F.lit("kmeans").alias("part"),
+        "k1",
+        "k2",
+        "cosine",
+        F.lit(None).cast("long").alias("keep"),
+    )
+    return pairs.unionByName(sd).unionByName(td).unionByName(km)
