@@ -23,6 +23,12 @@ adds the frozen-model part, `data_ops_suite` the merge part,
 `sampling_suite` the shard part, `quality_signals` the PII columns,
 `dedup_clusters` the split layer, and `curate_corpus` / `bpe_suite`
 are newly timed end-to-end entries — priced scope growth again.
+NB late r6: `decontaminate` adds the SEMANTIC part (hashed-embedding
+nearest-eval cosine, a second contamination channel) AFTER the r6
+noise adjudication pinned its r4-identical plan (SCALING.md) — any
+increase on that key vs the adjudicated [4.38..5.24] window prices
+the new part (timed standalone as `semantic_decontam`), not a
+regression of the ngram path.
 
 MEASUREMENT (r6, VERDICT r5 what's-wrong #1): per-query MEDIAN of
 N_ROUNDS=3 INTERLEAVED sweeps, with the (max−min) spread emitted per
@@ -98,6 +104,7 @@ CONTAINED = {
     "quantile_sketch": "stats_aggregates",
     "cms_heavy_hitters": "stats_aggregates",
     "leakage_safe_split": "dedup_clusters",
+    "semantic_decontam": "decontaminate",
 }
 
 N_ROUNDS = 3  # interleaved sweeps per query; median reported
@@ -112,6 +119,7 @@ def legacy_builders() -> dict:
     from mrbf_spark.functions import packing as _packing
     from mrbf_spark.functions import quality_rules as _quality_rules
     from mrbf_spark.functions import validation as _validation
+    from mrbf_spark.functions import decontam as _decontam
     from mrbf_spark.functions import diffing as _diffing
     from mrbf_spark.functions import retrieval as _retrieval
     from mrbf_spark.functions import sampling as _sampling
@@ -218,6 +226,9 @@ def legacy_builders() -> dict:
         # bpe_suite); keys kept so BENCH timings stay comparable
         "pii_redaction": _text.pii_redaction,
         "global_shuffle_shard": _sampling.global_shuffle_shard,
+        # late r6: the semantic contamination channel, timed standalone
+        # (contained in the `decontaminate` entry)
+        "semantic_decontam": _decontam.semantic_decontam,
     }
 
 

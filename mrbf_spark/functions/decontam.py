@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..bloom.core import build_bloom_filters, num_hashes, probe_bloom_filters
-from ..registry import register, scoped_cache
+from ..registry import builder, register, scoped_cache
 from ..tables import load_table
 
 NGRAM_N = 3
@@ -47,6 +47,11 @@ NGRAM_N = 3
 EVAL_MOD = 97
 FLAG_THRESHOLD = 0.05
 P = 0.01  # bloom FP target: 1% of surviving grams pay the exact join
+# Semantic-contamination threshold: hashed-bigram cosines of unrelated
+# docs sit near 0 (text_embedding.py measured p99.9 ≈ 0.45); verbatim
+# and near-verbatim eval copies sit near 1.0 — same operating point as
+# TEXT_SEM_TAU.
+SEM_TAU = 0.8
 
 
 def ngrams_col(tokens: Column, n: int = NGRAM_N) -> Column:
@@ -133,6 +138,72 @@ def decontaminate_docs(
     )
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    tau: float = SEM_TAU,
+) -> DataFrame:
+    """Embedding-cosine contamination: per corpus document, the
+    nearest eval document under the deterministic hashed-bigram text
+    embedding (text_embedding.py) — the SEMANTIC complement of the
+    n-gram check above (an eval answer paraphrased past 3-gram overlap
+    still lands at high cosine; conversely shared boilerplate trigrams
+    don't fire this one).
+
+    Returns (doc_id, closest_eval_id, max_eval_cosine, flagged) —
+    every corpus doc appears (each doc has ≥1 shingle), unlike the
+    n-gram report which excludes sub-n-token docs.
+
+    Determinism: cosines are fixed-point decimal dots (similarity.py's
+    proven representation) over integer-valued hashed vectors, so the
+    argmax is engine-portable; ties on cosine resolve to the LOWEST
+    eval_id via an explicit max-then-min two-step (no reliance on
+    arg_max tie behavior).
+
+    100 TB shape: the eval side is benchmark-sized (thousands of docs)
+    → its embedding table broadcasts; the corpus is embedded in one
+    scan (two bounded int-triple shuffles, text never shuffles) and
+    then crosses the broadcast eval side map-side — no corpus shuffle.
+    The per-doc max is a partial-aggregable groupBy on doc_id."""
+    from .similarity import _decimal_dot
+    from .text_embedding import text_hash_embeddings
+
+    c = text_hash_embeddings(corpus).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("c_emb"),
+        _decimal_dot(F.col("embedding"), F.col("embedding")).alias("c_nrm"),
+    )
+    e = text_hash_embeddings(eval_docs).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("e_emb"),
+        _decimal_dot(F.col("embedding"), F.col("embedding")).alias("e_nrm"),
+    )
+    cosine = _decimal_dot(F.col("c_emb"), F.col("e_emb")) / (
+        F.sqrt(F.col("c_nrm")) * F.sqrt(F.col("e_nrm"))
+    )
+    # cached: consumed twice (the max pass and the argmax tie-break
+    # join) — without it the embedding derivation replays
+    pairs = scoped_cache(
+        c.crossJoin(F.broadcast(e)).select(
+            "doc_id", "eval_id", cosine.alias("cosine")
+        )
+    )
+    mx = pairs.groupBy("doc_id").agg(F.max("cosine").alias("max_eval_cosine"))
+    closest = (
+        pairs.join(mx, "doc_id")
+        .filter(F.col("cosine") == F.col("max_eval_cosine"))
+        .groupBy("doc_id", "max_eval_cosine")
+        .agg(F.min("eval_id").alias("closest_eval_id"))
+    )
+    return closest.select(
+        "doc_id",
+        "closest_eval_id",
+        "max_eval_cosine",
+        (F.col("max_eval_cosine") >= tau).cast("int").alias("flagged"),
+    )
+
+
 _GRAMS_CTE = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 grams AS (
@@ -150,23 +221,107 @@ hits AS (
 """.format(n=NGRAM_N, n1=NGRAM_N - 1, mod=EVAL_MOD)
 
 
+def _sem_cte() -> str:
+    """CTE block replaying semantic_decontaminate: hashed-bigram
+    embeddings of both splits, fixed-point pair cosines, per-doc max,
+    min-eval_id tie-break."""
+    from .text_embedding import text_embeddings_sql
+
+    corpus_src = f"(SELECT * FROM documents WHERE doc_id % {EVAL_MOD} <> 0)"
+    eval_src = f"(SELECT * FROM documents WHERE doc_id % {EVAL_MOD} = 0)"
+    fixsum = (
+        "CAST(CAST(SUM(CAST(TRUNC(CAST({a} AS DOUBLE) * CAST({b} AS DOUBLE)"
+        " * 1000000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000000.0"
+    )
+    return f""",
+ce AS ({text_embeddings_sql(src=corpus_src)}),
+ee AS ({text_embeddings_sql(src=eval_src)}),
+cn AS (SELECT vec_id, {fixsum.format(a='x', b='x')} AS nrm
+       FROM (SELECT vec_id, UNNEST(embedding) AS x FROM ce) GROUP BY vec_id),
+en AS (SELECT vec_id, {fixsum.format(a='x', b='x')} AS nrm
+       FROM (SELECT vec_id, UNNEST(embedding) AS x FROM ee) GROUP BY vec_id),
+semdots AS (
+  SELECT doc_id, eval_id, {fixsum.format(a='xa', b='xb')} AS dot
+  FROM (SELECT a.vec_id AS doc_id, b.vec_id AS eval_id,
+               UNNEST(a.embedding) AS xa, UNNEST(b.embedding) AS xb
+        FROM ce a, ee b)
+  GROUP BY 1, 2),
+semcos AS (SELECT d.doc_id, d.eval_id,
+                  d.dot / (SQRT(cn.nrm) * SQRT(en.nrm)) AS cosine
+           FROM semdots d
+           JOIN cn ON cn.vec_id = d.doc_id
+           JOIN en ON en.vec_id = d.eval_id),
+semmax AS (SELECT doc_id, MAX(cosine) AS max_eval_cosine
+           FROM semcos GROUP BY doc_id),
+semclosest AS (SELECT c.doc_id, m.max_eval_cosine,
+                      MIN(c.eval_id) AS closest_eval_id
+               FROM semcos c
+               JOIN semmax m ON m.doc_id = c.doc_id
+                            AND c.cosine = m.max_eval_cosine
+               GROUP BY 1, 2)
+"""
+
+
+# The registered entry is a two-part union since r6: part='ngram' is
+# the exact 3-gram-overlap report (bloom prune + exact verify) and
+# part='semantic' is the embedding-cosine nearest-eval report — the
+# two contamination channels a pipeline actually checks (token overlap
+# AND paraphrase-level similarity). Normalized columns: n1 = n_grams /
+# closest_eval_id, n2 = n_contaminated / NULL, x1 = contamination_rate
+# / max_eval_cosine.
 @register(
     "decontaminate",
     _GRAMS_CTE
+    + _sem_cte()
     + f"""
-SELECT t.doc_id, t.n_grams,
-       COALESCE(h.n_contaminated, CAST(0 AS BIGINT)) AS n_contaminated,
+SELECT 'ngram' AS part, t.doc_id, t.n_grams AS n1,
+       COALESCE(h.n_contaminated, CAST(0 AS BIGINT)) AS n2,
        CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE)
-         AS contamination_rate,
+         AS x1,
        CAST(CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
               / CAST(t.n_grams AS DOUBLE) >= {FLAG_THRESHOLD} AS INT) AS flagged
 FROM tot t LEFT JOIN hits h USING (doc_id)
+UNION ALL
+SELECT 'semantic' AS part, doc_id, closest_eval_id AS n1,
+       CAST(NULL AS BIGINT) AS n2, max_eval_cosine AS x1,
+       CAST(max_eval_cosine >= {SEM_TAU} AS INT) AS flagged
+FROM semclosest
 """,
 )
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog entry: documents with doc_id % EVAL_MOD == 0 play the
-    eval set; the rest are the training corpus."""
+    eval set; the rest are the training corpus. Two-part union —
+    'ngram' (exact 3-gram overlap) + 'semantic' (hashed-embedding
+    nearest-eval cosine)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     eval_docs = d.filter(F.col("doc_id") % EVAL_MOD == 0)
     corpus = d.filter(F.col("doc_id") % EVAL_MOD != 0)
-    return decontaminate_docs(corpus, eval_docs)
+    nb = F.lit(None).cast("long")
+    ng = decontaminate_docs(corpus, eval_docs).select(
+        F.lit("ngram").alias("part"),
+        "doc_id",
+        F.col("n_grams").alias("n1"),
+        F.col("n_contaminated").alias("n2"),
+        F.col("contamination_rate").alias("x1"),
+        "flagged",
+    )
+    sem = semantic_decontaminate(corpus, eval_docs).select(
+        F.lit("semantic").alias("part"),
+        "doc_id",
+        F.col("closest_eval_id").alias("n1"),
+        nb.alias("n2"),
+        F.col("max_eval_cosine").alias("x1"),
+        "flagged",
+    )
+    return ng.unionByName(sem)
+
+
+@builder("semantic_decontam", None)  # oracle composed into the entry above
+def semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone builder (bench row + library twin) for the semantic
+    part under the same deterministic eval split."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return semantic_decontaminate(
+        d.filter(F.col("doc_id") % EVAL_MOD != 0),
+        d.filter(F.col("doc_id") % EVAL_MOD == 0),
+    )

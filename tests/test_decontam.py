@@ -9,6 +9,7 @@ from mrbf_spark.functions.decontam import (
     NGRAM_N,
     decontaminate_docs,
     doc_ngrams,
+    semantic_decontaminate,
 )
 
 from conftest import SF_SMOKE
@@ -85,3 +86,62 @@ def test_bloom_path_equals_plain_intersection(spark):
     assert list(g["doc_id"]) == list(n["doc_id"])
     assert list(g["n_grams"]) == list(n["n_grams"])
     assert list(g["n_contaminated"]) == list(n["n_contaminated"])
+
+
+def test_semantic_flags_paraphrase_missed_by_ngrams(spark):
+    """The semantic channel's reason to exist: a near-verbatim eval
+    copy whose token stream shares bigram structure but (in the
+    extreme, word-swapped case below) shifts every 3-gram still lands
+    at high cosine — while an unrelated doc stays near 0."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta "
+        "iota kappa lambda mu nu xi omicron pi"
+    )
+    eval_docs = _docs(spark, [(99, base)])
+    corpus = _docs(
+        spark,
+        [
+            # verbatim copy of the eval doc
+            (1, base),
+            # near-copy: one word changed mid-stream (breaks 2 of 15
+            # bigrams -> cosine ~ 13/15, above tau; every 3-gram
+            # around the edit is new, so the ngram channel undercounts)
+            (2, base.replace("theta", "OMEGA")),
+            # disjoint vocabulary
+            (3, "one two three four five six seven eight"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r for r in semantic_decontaminate(corpus, eval_docs).collect()
+    }
+    assert set(out) == {1, 2, 3}  # every corpus doc reported
+    assert out[1]["flagged"] == 1 and out[1]["max_eval_cosine"] > 0.999
+    assert out[2]["flagged"] == 1  # near-copy still above tau
+    assert out[3]["flagged"] == 0 and out[3]["max_eval_cosine"] < 0.5
+    assert all(r["closest_eval_id"] == 99 for r in out.values())
+
+
+def test_semantic_argmax_tiebreak_is_min_eval_id(spark):
+    """Two identical eval docs tie on cosine exactly; the reported
+    closest_eval_id must be the LOWER id (deterministic two-step
+    max-then-min, no arg_max tie luck)."""
+    eval_docs = _docs(
+        spark,
+        [(7, "alpha beta gamma delta"), (3, "alpha beta gamma delta")],
+    )
+    corpus = _docs(spark, [(1, "alpha beta gamma delta")])
+    row = semantic_decontaminate(corpus, eval_docs).collect()[0]
+    assert row["closest_eval_id"] == 3 and row["flagged"] == 1
+
+
+def test_semantic_covers_subngram_docs(spark):
+    """Docs too short for the 3-gram report still get a semantic row
+    (the two channels complement on coverage, not just signal)."""
+    eval_docs = _docs(spark, [(99, "alpha beta")])
+    corpus = _docs(spark, [(1, "alpha beta"), (2, "solo")])
+    ng = decontaminate_docs(corpus, eval_docs)
+    sem = semantic_decontaminate(corpus, eval_docs)
+    assert ng.count() == 0  # all docs below NGRAM_N tokens
+    got = {r["doc_id"]: r for r in sem.collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["flagged"] == 1  # verbatim bigram copy

@@ -186,7 +186,9 @@ _BNLJ_ALLOWED = {
     "bloom_build_invariants",
     "bloom_split_fp_report",
     "bloom_semijoin_prune",
-    "decontaminate",
+    "decontaminate",  # bloom attach + the semantic part's broadcast
+    # eval-embedding cross (benchmark-sized side by construction)
+    "semantic_decontam",  # same broadcast eval cross, standalone builder
     "ann_bruteforce_topk",
     "ann_approx_topk",
     "embedding_dedup_suite",  # one-row hyperplane/centroid-matrix broadcast attach
