@@ -28,7 +28,10 @@ nearest-eval cosine, a second contamination channel) AFTER the r6
 noise adjudication pinned its r4-identical plan (SCALING.md) — any
 increase on that key vs the adjudicated [4.38..5.24] window prices
 the new part (timed standalone as `semantic_decontam`), not a
-regression of the ngram path.
+regression of the ngram path. Also late r6: `bm25_topk` becomes the
+retrieval SUITE (lexical top-20 + dense hashed-embedding top-20 + RRF
+fusion) — the r4-comparable lexical-only cost stays visible as
+`bm25_lexical`.
 
 MEASUREMENT (r6, VERDICT r5 what's-wrong #1): per-query MEDIAN of
 N_ROUNDS=3 INTERLEAVED sweeps, with the (max−min) spread emitted per
@@ -105,6 +108,7 @@ CONTAINED = {
     "cms_heavy_hitters": "stats_aggregates",
     "leakage_safe_split": "dedup_clusters",
     "semantic_decontam": "decontaminate",
+    "bm25_lexical": "bm25_topk",
 }
 
 N_ROUNDS = 3  # interleaved sweeps per query; median reported
@@ -229,6 +233,13 @@ def legacy_builders() -> dict:
         # late r6: the semantic contamination channel, timed standalone
         # (contained in the `decontaminate` entry)
         "semantic_decontam": _decontam.semantic_decontam,
+        # late r6: the r4-comparable lexical-only BM25 cost (the
+        # catalog's bm25_topk key now times the full retrieval suite)
+        "bm25_lexical": lambda spark, sf_dir: _retrieval.bm25_topk(
+            _tables.load_table(spark, sf_dir, "documents"),
+            ["table", "scan", "fast"],
+            k=_retrieval.K_BRANCH,
+        ),
     }
 
 

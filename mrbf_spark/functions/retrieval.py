@@ -1,6 +1,10 @@
 """BM25 lexical retrieval over the documents table — the keyword-side
 complement of the similarity module's embedding ANN (a training-data /
-RAG pipeline needs both: dense recall AND exact lexical ranking).
+RAG pipeline needs both: dense recall AND exact lexical ranking) —
+plus dense-cosine retrieval over hashed text embeddings and hybrid
+Reciprocal Rank Fusion of the two branches (Cormack, Clarke &
+Buettcher 2009: score(d) = Σ_branches 1/(k0 + rank_b(d)), k0=60 —
+the standard production hybrid-retrieval combiner).
 
 Okapi BM25 (Robertson & Walker / the standard k1-b form):
   score(d, q) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
@@ -29,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..registry import register
+from ..registry import register, scoped_cache
 from ..tables import load_table
 
 BM25_K1 = 1.2
@@ -139,14 +143,175 @@ def bm25_duckdb_sql(query_terms: list[str], k: int = BM25_TOPK) -> str:
     """
 
 
+# --- dense branch: cosine retrieval over hashed-bigram text
+# embeddings (text_embedding.py) for a literal query string. 100 TB
+# shape: the one-row query embedding broadcasts; the corpus embeds in
+# one scan (text never shuffles); top-k is TakeOrderedAndProject.
+RRF_K0 = 60  # the Cormack et al. constant
+K_BRANCH = 20  # candidates per branch fed into the fusion
+RRF_TOPK = 10
+
+
+def dense_topk(docs: DataFrame, query_text: str, k: int = K_BRANCH) -> DataFrame:
+    """(doc_id, cosine, rnk) — top-k docs by hashed-embedding cosine
+    to the query string. Deterministic: fixed-point decimal dots, ties
+    by doc_id."""
+    from .similarity import _decimal_dot
+    from .text_embedding import text_hash_embeddings
+
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame([(-1, query_text)], "doc_id long, text string")
+    q = text_hash_embeddings(qdf).select(
+        F.col("embedding").alias("q_emb"),
+        _decimal_dot(F.col("embedding"), F.col("embedding")).alias("q_nrm"),
+    )
+    c = text_hash_embeddings(docs).select(
+        F.col("vec_id").alias("doc_id"),
+        "embedding",
+        _decimal_dot(F.col("embedding"), F.col("embedding")).alias("c_nrm"),
+    )
+    cosine = _decimal_dot(F.col("embedding"), F.col("q_emb")) / (
+        F.sqrt(F.col("c_nrm")) * F.sqrt(F.col("q_nrm"))
+    )
+    scored = c.crossJoin(F.broadcast(q)).select("doc_id", cosine.alias("cosine"))
+    top = scored.orderBy(F.col("cosine").desc(), "doc_id").limit(k)
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("cosine").desc(), "doc_id")
+    return top.select("doc_id", "cosine", F.row_number().over(w).alias("rnk"))
+
+
+def rrf_fuse(
+    branches: list[DataFrame], k0: int = RRF_K0, topk: int = RRF_TOPK
+) -> DataFrame:
+    """(doc_id, n_branches, fused_q, rnk) — Reciprocal Rank Fusion of
+    (doc_id, rnk) branch rankings. Each branch contributes the exact
+    BIGINT trunc(1e9/(k0+rnk)), so the fused score is integer
+    arithmetic (order-independent, engine-portable); final order is
+    (fused_q desc, doc_id)."""
+    contrib = (
+        F.lit(1_000_000_000.0)
+        / (F.lit(float(k0)) + F.col("rnk").cast("double"))
+    ).cast("long")
+    rows = branches[0].select("doc_id", contrib.alias("c"))
+    for b in branches[1:]:
+        rows = rows.unionAll(b.select("doc_id", contrib.alias("c")))
+    fused = rows.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_branches"), F.sum("c").alias("fused_q")
+    )
+    top = fused.orderBy(F.col("fused_q").desc(), "doc_id").limit(topk)
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("fused_q").desc(), "doc_id")
+    return top.select(
+        "doc_id", "n_branches", "fused_q", F.row_number().over(w).alias("rnk")
+    )
+
+
 # The registered catalog entry (r5, VERDICT r4 next-round #1): a fixed
 # representative keyword query over the documents corpus — promoted
 # from in-suite parity to an independent driver hash-check. The terms
 # are common corpus vocabulary so every BM25 ingredient (idf spread,
 # tf>1, length normalization, the top-k cut) is exercised.
+# Since late r6 the entry is the three-part retrieval suite: 'bm25'
+# (lexical top-K_BRANCH), 'dense' (hashed-embedding cosine
+# top-K_BRANCH for the same query text), 'rrf' (their Reciprocal Rank
+# Fusion, top-RRF_TOPK). Normalized columns: n1 = n_hit_terms /
+# NULL / n_branches; score_q = BM25 fixed-point / NULL / fused_q.
 BM25_QUERY_TERMS = ["table", "scan", "fast"]
+QUERY_TEXT = " ".join(BM25_QUERY_TERMS)
 
 
-@register("bm25_topk", bm25_duckdb_sql(BM25_QUERY_TERMS))
+def _retrieval_suite_oracle() -> str:
+    from .text_embedding import text_embeddings_sql
+
+    q_src = f"(SELECT -1 AS doc_id, '{QUERY_TEXT}' AS text)"
+    fixsum = (
+        "CAST(CAST(SUM(CAST(TRUNC(CAST({a} AS DOUBLE) * CAST({b} AS DOUBLE)"
+        " * 1000000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000000.0"
+    )
+    rrf_c = f"CAST(TRUNC(1000000000.0 / ({float(RRF_K0)} + CAST(rnk AS DOUBLE))) AS BIGINT)"
+    return f"""
+    WITH lex AS ({bm25_duckdb_sql(BM25_QUERY_TERMS, K_BRANCH)}),
+    dense AS (
+      WITH qe AS ({text_embeddings_sql(src=q_src)}),
+      de AS ({text_embeddings_sql()}),
+      qn AS (SELECT vec_id, {fixsum.format(a='x', b='x')} AS nrm
+             FROM (SELECT vec_id, UNNEST(embedding) AS x FROM qe) GROUP BY vec_id),
+      dn AS (SELECT vec_id, {fixsum.format(a='x', b='x')} AS nrm
+             FROM (SELECT vec_id, UNNEST(embedding) AS x FROM de) GROUP BY vec_id),
+      ddots AS (
+        SELECT doc_id, {fixsum.format(a='xa', b='xb')} AS dot
+        FROM (SELECT d.vec_id AS doc_id,
+                     UNNEST(d.embedding) AS xa, UNNEST(q.embedding) AS xb
+              FROM de d, qe q)
+        GROUP BY doc_id),
+      dcos AS (SELECT t.doc_id,
+                      t.dot / (SQRT(dn.nrm) * SQRT(qn.nrm)) AS cosine
+               FROM ddots t
+               JOIN dn ON dn.vec_id = t.doc_id
+               CROSS JOIN qn)
+      SELECT doc_id, cosine, rnk FROM (
+        SELECT doc_id, cosine,
+               CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS INT) AS rnk
+        FROM dcos) r
+      WHERE rnk <= {K_BRANCH}),
+    contrib AS (
+      SELECT doc_id, {rrf_c} AS c FROM lex
+      UNION ALL
+      SELECT doc_id, {rrf_c} AS c FROM dense),
+    fused AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_branches,
+                     CAST(SUM(c) AS BIGINT) AS fused_q
+              FROM contrib GROUP BY doc_id),
+    rrf AS (SELECT doc_id, n_branches, fused_q, rnk FROM (
+              SELECT doc_id, n_branches, fused_q,
+                     CAST(ROW_NUMBER() OVER (ORDER BY fused_q DESC, doc_id) AS INT)
+                       AS rnk
+              FROM fused) r
+            WHERE rnk <= {RRF_TOPK})
+    SELECT 'bm25' AS part, rnk, doc_id, n_hit_terms AS n1, score_q, score
+    FROM lex
+    UNION ALL
+    SELECT 'dense' AS part, rnk, doc_id, CAST(NULL AS BIGINT) AS n1,
+           CAST(NULL AS BIGINT) AS score_q, cosine AS score
+    FROM dense
+    UNION ALL
+    SELECT 'rrf' AS part, rnk, doc_id, n_branches AS n1, fused_q AS score_q,
+           CAST(fused_q AS DOUBLE) / 1000000000.0 AS score
+    FROM rrf
+    """
+
+
+@register("bm25_topk", _retrieval_suite_oracle())
 def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return bm25_topk(load_table(spark, sf_dir, "documents"), BM25_QUERY_TERMS)
+    """The retrieval suite: lexical BM25 ∪ dense cosine ∪ RRF hybrid
+    for one representative query (see the comment above)."""
+    docs = load_table(spark, sf_dir, "documents")
+    nb = F.lit(None).cast("long")
+    # each branch feeds BOTH its own part and the fusion — cache the
+    # K_BRANCH-row results so the corpus-scan lineage runs once per
+    # branch, not twice
+    lex = scoped_cache(bm25_topk(docs, BM25_QUERY_TERMS, k=K_BRANCH))
+    dense = scoped_cache(dense_topk(docs, QUERY_TEXT, k=K_BRANCH))
+    fused = rrf_fuse([lex.select("doc_id", "rnk"), dense.select("doc_id", "rnk")])
+    return (
+        lex.select(
+            F.lit("bm25").alias("part"), "rnk", "doc_id",
+            F.col("n_hit_terms").alias("n1"), "score_q", "score",
+        )
+        .unionByName(
+            dense.select(
+                F.lit("dense").alias("part"), "rnk", "doc_id",
+                nb.alias("n1"), nb.alias("score_q"),
+                F.col("cosine").alias("score"),
+            )
+        )
+        .unionByName(
+            fused.select(
+                F.lit("rrf").alias("part"), "rnk", "doc_id",
+                F.col("n_branches").alias("n1"),
+                F.col("fused_q").alias("score_q"),
+                (F.col("fused_q").cast("double") / F.lit(1e9)).alias("score"),
+            )
+        )
+    )

@@ -1287,6 +1287,62 @@ def test_bm25_ranking_semantics(spark):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_rrf_fusion_semantics(spark):
+    """RRF exactness on hand-built branches: fused_q is the exact
+    integer sum of trunc(1e9/(60+rnk)) contributions; a doc in both
+    branches outranks a better-single-branch doc when the sums say so;
+    ties break by doc_id."""
+    from mrbf_spark.functions.retrieval import RRF_K0, rrf_fuse
+
+    b1 = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "doc_id long, rnk int")
+    b2 = spark.createDataFrame([(20, 1), (40, 2), (10, 3)], "doc_id long, rnk int")
+    out = {r["doc_id"]: r for r in rrf_fuse([b1, b2], topk=10).collect()}
+
+    def c(r):
+        return int(1e9 / (RRF_K0 + r))
+
+    assert out[20]["fused_q"] == c(2) + c(1) and out[20]["n_branches"] == 2
+    assert out[10]["fused_q"] == c(1) + c(3)
+    assert out[30]["fused_q"] == c(3) and out[30]["n_branches"] == 1
+    # both-branch docs outrank the single-branch ones here
+    assert out[20]["rnk"] == 1 and out[10]["rnk"] == 2
+    # equal single contributions (rnk 2 vs 2? no: 30 at c(3), 40 at
+    # c(2)) -> strictly ordered; check full ranking is by fused desc
+    ranked = sorted(out.values(), key=lambda r: r["rnk"])
+    vals = [r["fused_q"] for r in ranked]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_rrf_tiebreak_by_doc_id(spark):
+    """Docs with IDENTICAL fused scores (same rank in disjoint
+    branches) order by doc_id ascending."""
+    from mrbf_spark.functions.retrieval import rrf_fuse
+
+    b1 = spark.createDataFrame([(7, 1)], "doc_id long, rnk int")
+    b2 = spark.createDataFrame([(3, 1)], "doc_id long, rnk int")
+    rows = rrf_fuse([b1, b2], topk=10).orderBy("rnk").collect()
+    assert [r["doc_id"] for r in rows] == [3, 7]
+    assert rows[0]["fused_q"] == rows[1]["fused_q"]
+
+
+def test_dense_topk_ranks_query_like_doc_first(spark):
+    """The dense branch must put a verbatim query-text doc at rank 1
+    and exclude nothing (every doc has a cosine); ranking is total."""
+    from mrbf_spark.functions.retrieval import QUERY_TEXT, dense_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, QUERY_TEXT),
+            (2, "an unrelated document about other things"),
+            (3, "table scan fast table scan fast"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dense_topk(docs, QUERY_TEXT, k=10).orderBy("rnk").collect()
+    assert rows[0]["doc_id"] == 1 and rows[0]["cosine"] > 0.999
+    assert len(rows) == 3
+
+
 def test_cli_shard_and_dedup_inc(spark, tmp_path, capsys):
     """The new CLI jobs run end-to-end: `shard` writes N shard dirs;
     `dedup-inc` bootstraps an index from --history and classifies the

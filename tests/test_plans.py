@@ -189,6 +189,7 @@ _BNLJ_ALLOWED = {
     "decontaminate",  # bloom attach + the semantic part's broadcast
     # eval-embedding cross (benchmark-sized side by construction)
     "semantic_decontam",  # same broadcast eval cross, standalone builder
+    "bm25_topk",  # the dense branch's one-row query-embedding broadcast cross
     "ann_bruteforce_topk",
     "ann_approx_topk",
     "embedding_dedup_suite",  # one-row hyperplane/centroid-matrix broadcast attach
