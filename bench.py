@@ -31,7 +31,11 @@ the new part (timed standalone as `semantic_decontam`), not a
 regression of the ngram path. Also late r6: `bm25_topk` becomes the
 retrieval SUITE (lexical top-20 + dense hashed-embedding top-20 + RRF
 fusion) — the r4-comparable lexical-only cost stays visible as
-`bm25_lexical`.
+`bm25_lexical`. Also late r6: `packing_suite` adds the GPT-style
+contiguous-sequence part and `ann_approx_topk` adds the PQ
+(product-quantization) index — both timed standalone
+(`contiguous_sequences`, `ann_pq_topk`) and contained; increases on
+the suite keys price the added parts.
 
 MEASUREMENT (r6, VERDICT r5 what's-wrong #1): per-query MEDIAN of
 N_ROUNDS=3 INTERLEAVED sweeps, with the (max−min) spread emitted per
@@ -109,6 +113,8 @@ CONTAINED = {
     "leakage_safe_split": "dedup_clusters",
     "semantic_decontam": "decontaminate",
     "bm25_lexical": "bm25_topk",
+    "contiguous_sequences": "packing_suite",
+    "ann_pq_topk": "ann_approx_topk",
 }
 
 N_ROUNDS = 3  # interleaved sweeps per query; median reported
@@ -240,6 +246,10 @@ def legacy_builders() -> dict:
             ["table", "scan", "fast"],
             k=_retrieval.K_BRANCH,
         ),
+        # late r6: the new packing/ANN parts, timed standalone
+        # (contained in packing_suite / ann_approx_topk)
+        "contiguous_sequences": _packing.contiguous_sequences_q,
+        "ann_pq_topk": _similarity.ann_pq_topk,
     }
 
 

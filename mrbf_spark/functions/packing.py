@@ -41,14 +41,14 @@ from .text import TOKEN_COUNT_SQL, token_count_col
 PACK_BUDGET = 1024  # tokens per training row
 
 
-def packed_layout(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
-    """(doc_id, n_tokens, start_tok, bin_id, bin_offset, straddles)
-    for every doc, in doc_id order semantics (order-insensitive rows).
-    """
+def _with_stream_start(toks: DataFrame, val_col: str) -> DataFrame:
+    """Add `start_tok` = exclusive prefix sum of `val_col` in doc_id
+    order — the distributed 3-phase prefix sum shared by the packing
+    layout and the contiguous-sequence builder (see module docstring
+    for why this is NOT a global ordered window)."""
     from pyspark.sql import Window as W
 
-    spark = docs.sparkSession
-    toks = docs.select("doc_id", token_count_col(F.col("text")).alias("n_tokens"))
+    spark = toks.sparkSession
     # Phase 1: range partition by doc_id so partition i holds a
     # contiguous doc_id range < partition i+1's (sampled boundaries).
     parts = toks.repartitionByRange("doc_id").withColumn(
@@ -59,7 +59,7 @@ def packed_layout(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     local = parts.withColumn(
         "__local_start",
         F.coalesce(
-            F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+            F.sum(val_col).over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
         ),
     )
     # Phase 3: one row per partition to the driver, prefix-sum there,
@@ -67,17 +67,28 @@ def packed_layout(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     # driver-state budget as the bloom sizing collect.
     totals = sorted(
         (r["__pid"], r["t"])
-        for r in parts.groupBy("__pid").agg(F.sum("n_tokens").alias("t")).collect()
+        for r in parts.groupBy("__pid").agg(F.sum(val_col).alias("t")).collect()
     )
     offsets, acc = [], 0
     for pid, t in totals:
         offsets.append((pid, acc))
         acc += int(t)
     off = spark.createDataFrame(offsets, "__pid int, __offset bigint")
-    start = (F.col("__local_start") + F.col("__offset")).alias("start_tok")
     return (
         local.join(F.broadcast(off), "__pid")
-        .select("doc_id", "n_tokens", start)
+        .withColumn("start_tok", F.col("__local_start") + F.col("__offset"))
+        .drop("__pid", "__local_start", "__offset")
+    )
+
+
+def packed_layout(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """(doc_id, n_tokens, start_tok, bin_id, bin_offset, straddles)
+    for every doc, in doc_id order semantics (order-insensitive rows).
+    """
+    toks = docs.select("doc_id", token_count_col(F.col("text")).alias("n_tokens"))
+    return (
+        _with_stream_start(toks, "n_tokens")
+        .select("doc_id", "n_tokens", "start_tok")
         .select(
             "doc_id",
             "n_tokens",
@@ -185,14 +196,133 @@ def chunk_documents_duckdb_sql(
     """
 
 
+# ------------------------------------- contiguous training sequences
+
+# The GPT-style pretraining layout: concatenate every document (in
+# doc_id order) with an EOS separator into ONE virtual token stream,
+# then cut the stream into fixed-length training rows of exactly
+# SEQ_LEN tokens (the last row may be short; no padding is emitted —
+# the trainer's collator owns pad policy). This differs from
+# `packed_layout` (which only ASSIGNS bins) and from `chunk_documents`
+# (per-doc windows, no cross-doc concatenation): here a training row
+# routinely spans a doc boundary, exactly like GPT/LLaMA pretraining
+# batches.
+#
+# Scale shape: the stream position comes from the shared 3-phase
+# prefix sum (one range exchange of two longs per doc, no single-task
+# stage); each doc then emits one row PER INTERSECTED SEQUENCE whose
+# payload is only that sequence's slice of the doc (≤ SEQ_LEN tokens),
+# so the reassembly shuffle carries every token exactly once and every
+# reduce key (seq_id) owns exactly SEQ_LEN tokens — skew-free by
+# construction even when one document is a billion tokens long (it
+# just becomes many bounded slices). Exactness note: sequence ids come
+# from floor(start/L) on DOUBLE division — exact while total stream
+# length < 2^52 tokens (~4.5e15; a 100 TB corpus is ~1e13).
+SEQ_LEN = 128
+EOS_TOKEN = "<eos>"
+
+
+def contiguous_sequences(
+    docs: DataFrame, seq_len: int = SEQ_LEN, eos: str = EOS_TOKEN
+) -> DataFrame:
+    """(seq_id, seq_tokens, seq_text): the fixed-length training rows
+    of the EOS-joined doc_id-ordered token stream. Every row has
+    exactly seq_len tokens except the final one; deterministic and
+    order-insensitive (seq_text reassembled by stream position)."""
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t")).select(
+        "doc_id", "t", (F.size("t") + F.lit(1)).cast("bigint").alias("n_units")
+    )
+    laid = _with_stream_start(toks, "n_units")
+    units = F.concat(F.col("t"), F.array(F.lit(eos)))
+    lo = F.greatest(F.lit(0).cast("bigint"), F.col("seq_id") * seq_len - F.col("start_tok"))
+    hi = F.least(F.col("n_units"), (F.col("seq_id") + 1) * seq_len - F.col("start_tok"))
+    pieces = (
+        laid.select(
+            "start_tok",
+            "n_units",
+            units.alias("u"),
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("start_tok") / seq_len).cast("bigint"),
+                    F.floor((F.col("start_tok") + F.col("n_units") - 1) / seq_len).cast(
+                        "bigint"
+                    ),
+                )
+            ).alias("seq_id"),
+        )
+        .select(
+            "seq_id",
+            "start_tok",
+            (hi - lo).alias("n_piece"),
+            F.concat_ws(
+                " ", F.slice(F.col("u"), (lo + 1).cast("int"), (hi - lo).cast("int"))
+            ).alias("piece"),
+        )
+    )
+    # collect_list order is nondeterministic; array_sort by stream
+    # position restores it (start_tok is unique per doc, so the struct
+    # sort is total).
+    assembled = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("start_tok").alias("s"), F.col("piece").alias("p")))
+        ),
+        lambda x: x["p"],
+    )
+    return pieces.groupBy("seq_id").agg(
+        F.sum("n_piece").alias("seq_tokens"),
+        F.concat_ws(" ", assembled).alias("seq_text"),
+    )
+
+
+def contiguous_sequences_duckdb_sql(
+    seq_len: int = SEQ_LEN, eos: str = EOS_TOKEN
+) -> str:
+    """DuckDB twin of contiguous_sequences over the `documents` view
+    (naive global-window prefix sum — fine at oracle scale)."""
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    units AS (SELECT doc_id, list_append(t, '{eos}') AS u,
+                     CAST(len(t) + 1 AS BIGINT) AS n_units
+              FROM toks),
+    laid AS (SELECT doc_id, u, n_units,
+                    CAST(COALESCE(SUM(n_units) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                      AS start_tok
+             FROM units),
+    ex AS (SELECT start_tok, n_units, u,
+                  unnest(generate_series(start_tok // {seq_len},
+                                         (start_tok + n_units - 1) // {seq_len}))
+                    AS seq_id
+           FROM laid),
+    pieces AS (SELECT seq_id, start_tok,
+                      u[CAST(GREATEST(0, seq_id * {seq_len} - start_tok) + 1 AS BIGINT)
+                        : CAST(LEAST(n_units, (seq_id + 1) * {seq_len} - start_tok)
+                               AS BIGINT)] AS p
+               FROM ex)
+    SELECT CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(SUM(len(p)) AS BIGINT) AS seq_tokens,
+           string_agg(array_to_string(p, ' '), ' ' ORDER BY start_tok) AS seq_text
+    FROM pieces GROUP BY seq_id
+    """
+
+
+@builder("contiguous_sequences", contiguous_sequences_duckdb_sql())
+def contiguous_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length pretraining rows over the documents table (builder
+    form; the driver check rides `packing_suite` part=contig)."""
+    return contiguous_sequences(load_table(spark, sf_dir, "documents"))
+
+
 # -------------------------------------------------------- packing_suite
 
 # The registered catalog entry (r5): the packing layout ('layout'
 # part) AND the overlapping chunker ('chunk' part) in one part-tagged
 # union — chunk_documents gains an independent driver hash-check
-# without a second catalog slot (VERDICT r4 next-round #1). Each
-# branch keeps its own plan (3-phase prefix sum / map-only Generate);
-# the union adds no exchange.
+# without a second catalog slot (VERDICT r4 next-round #1). r6 adds
+# the GPT-style contiguous-sequence builder as part=contig (seq_id
+# rides n2, seq_tokens n1, seq_text s1). Each branch keeps its own
+# plan (3-phase prefix sum / map-only Generate / slice-reassembly
+# groupBy); the union adds no exchange.
 @register(
     "packing_suite",
     f"""
@@ -206,6 +336,12 @@ def chunk_documents_duckdb_sql(
            CAST(NULL AS BIGINT) AS n4, CAST(NULL AS BIGINT) AS flag,
            chunk_text AS s1
     FROM ({chunk_documents_duckdb_sql()})
+    UNION ALL
+    SELECT 'contig' AS part, CAST(NULL AS BIGINT) AS doc_id,
+           seq_tokens AS n1, seq_id AS n2, CAST(NULL AS BIGINT) AS n3,
+           CAST(NULL AS BIGINT) AS n4, CAST(NULL AS BIGINT) AS flag,
+           seq_text AS s1
+    FROM ({contiguous_sequences_duckdb_sql()})
     """,
 )
 def packing_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,4 +366,14 @@ def packing_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("flag"),
         F.col("chunk_text").alias("s1"),
     )
-    return layout.unionByName(chunks)
+    contig = contiguous_sequences(d).select(
+        F.lit("contig").alias("part"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("seq_tokens").alias("n1"),
+        F.col("seq_id").alias("n2"),
+        F.lit(None).cast("long").alias("n3"),
+        F.lit(None).cast("long").alias("n4"),
+        F.lit(None).cast("long").alias("flag"),
+        F.col("seq_text").alias("s1"),
+    )
+    return layout.unionByName(chunks).unionByName(contig)

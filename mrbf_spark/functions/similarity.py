@@ -423,6 +423,204 @@ def ann_ivf_flat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Product Quantization (PQ) ANN (Jégou et al. 2011, "Product
+# quantization for nearest neighbor search"): split the embedding into
+# M_SUB contiguous subspaces, quantize each subvector to one of
+# K_CODES codebook entries, and rank the corpus for a query by the
+# ASYMMETRIC distance — the exact query subvectors scored against the
+# codebook via a per-query lookup table (LUT), summed over subspaces.
+# This is the memory-bound 100 TB path: the scan that ranks the corpus
+# touches only the (vec_id, M_SUB-byte codes) table — 8 small ints per
+# vector instead of 64 doubles (a ~32× scan-size reduction here; 512
+# bytes → 8 codes generalizes to any width) — and the full vectors are
+# read back ONLY for the ≤ PQ_CAND candidates per query that survive
+# ADC, which the exact fixed-point re-rank then orders. Codebook =
+# the deterministic rank-indexed Forgy pattern proven by IVF-flat
+# (subvectors of the first K_CODES corpus vectors by vec_id), so
+# encode → LUT → ADC → re-rank is a pure function of the table and the
+# whole index replays in the DuckDB oracle (no recall caveat on the
+# driver check; quality itself is pinned by the recall floor test).
+M_SUB = 8  # subspaces (EMB_DIM 64 → 8 dims per subspace)
+K_CODES = 16  # codebook entries per subspace
+PQ_CAND = 32  # ADC candidates per query fed to the exact re-rank
+
+
+def _sub_slice(col: Column, s, sub_dim: int) -> Column:
+    """1-based contiguous subspace slice s (0-based id) of a vector."""
+    return F.slice(col, (s * sub_dim + F.lit(1)).cast("int"), sub_dim)
+
+
+def _pq_cnorm_fixed(cb: np.ndarray, sub_dim: int) -> list[list[int]]:
+    """Σ trunc(c_i²·1e9) per (code j, subspace s) — the same
+    per-element trunc the engine's _fixed_dot_long applies, so
+    2·dot − cnorm compares exactly across engines."""
+    return [
+        [
+            int(
+                np.sum(
+                    np.trunc(
+                        cb[j, s * sub_dim : (s + 1) * sub_dim].astype(np.float64) ** 2
+                        * float(FIXED_SCALE)
+                    )
+                )
+            )
+            for s in range(M_SUB)
+        ]
+        for j in range(K_CODES)
+    ]
+
+
+def pq_codes_col(emb: Column, mat: Column, cnorm: Column, sub_dim: int) -> Column:
+    """array<int> of M_SUB code ids: per subspace, the codebook entry
+    minimizing fixed-point squared distance — argmax of
+    2·fixdot(x_s, c_j_s) − ‖c_j_s‖²_fix (the ‖x_s‖² term is constant
+    per subvector, so it cannot change the argmax); ties resolve to
+    the lowest code id (array_position finds the FIRST max)."""
+
+    def scores(s: Column) -> Column:
+        return F.transform(
+            mat,
+            lambda c, j: F.lit(2).cast("long")
+            * _fixed_dot_long(_sub_slice(emb, s, sub_dim), _sub_slice(c, s, sub_dim))
+            - F.element_at(F.element_at(cnorm, j + 1), (s + 1).cast("int")),
+        )
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(M_SUB - 1)),
+        lambda s: (
+            F.array_position(scores(s), F.array_max(scores(s))) - 1
+        ).cast("int"),
+    )
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN over the embeddings table (see pq_topk)."""
+    return pq_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def pq_fit_codebooks(
+    emb: DataFrame, k: int = K_CODES, iters: int = IVF_ITERS
+) -> np.ndarray:
+    """k-means-refined PQ codebooks (the quality path, like
+    ann_ivf_topk is for IVF-flat): per-subspace Lloyd with a fixed
+    iteration count, ALL M_SUB subspaces updated in ONE corpus pass
+    per iteration — assignment is the same fixed-point encode rule as
+    pq_topk, the update ships K_CODES×dim fixed-point sums to the
+    driver (bounded: 16×64 rows/iter here). Init = the deterministic
+    Forgy codebook; empty codes keep their previous entry. Returns the
+    k×dim matrix whose subspace s slice is codebook s."""
+    cb = _flat_centroids(emb, k)
+    sub_dim = cb.shape[1] // M_SUB
+    dim = cb.shape[1]
+    for _ in range(iters):
+        cn = _pq_cnorm_fixed(cb, sub_dim)
+        cnorm = F.array(
+            *[F.array(*[F.lit(v).cast("long") for v in row]) for row in cn]
+        )
+        with_mat = with_matrix(emb, emb.sparkSession, cb)
+        s_col = F.floor(F.col("pos") / F.lit(sub_dim)).cast("int")
+        rows = (
+            with_mat.select(
+                pq_codes_col(
+                    F.col("embedding"), F.col("mat"), cnorm, sub_dim
+                ).alias("codes"),
+                F.posexplode("embedding").alias("pos", "x"),
+            )
+            .select(
+                "pos",
+                F.element_at(F.col("codes"), (s_col + 1).cast("int")).alias("j"),
+                (F.col("x").cast("double") * F.lit(float(FIXED_SCALE)))
+                .cast("long")
+                .alias("xs"),
+            )
+            .groupBy("j", "pos")
+            .agg(F.sum("xs").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        nxt = cb.copy()
+        for r in rows:
+            nxt[r["j"], r["pos"]] = int(r["s"]) / (FIXED_SCALE * int(r["n"]))
+        cb = nxt
+    return cb
+
+
+def pq_topk(emb: DataFrame, codebook: np.ndarray | None = None) -> DataFrame:
+    """PQ ANN: encode the corpus once (one scan, no shuffle), score
+    every query against the codes table through its broadcast LUT,
+    keep the ADC top-PQ_CAND, then exact-decimal re-rank only those
+    candidates to TOPK. The corpus never shuffles; the only joins are
+    broadcast (queries, candidate ids). Default codebook is the
+    deterministic SQL-replayable Forgy rule (what the driver
+    hash-matches); pass pq_fit_codebooks(emb) for the k-means-refined
+    quality variant."""
+    spark = emb.sparkSession
+    cb = codebook if codebook is not None else _flat_centroids(emb, K_CODES)
+    sub_dim = cb.shape[1] // M_SUB
+    cn = _pq_cnorm_fixed(cb, sub_dim)
+    cnorm = F.array(
+        *[
+            F.array(*[F.lit(v).cast("long") for v in row])
+            for row in cn
+        ]
+    )
+    with_mat = with_matrix(emb, spark, cb)
+    codes = with_mat.select(
+        "vec_id",
+        pq_codes_col(F.col("embedding"), F.col("mat"), cnorm, sub_dim).alias("codes"),
+    )
+    # Query LUT: M_SUB × K_CODES fixed dots of the EXACT query
+    # subvectors against the codebook — computed in the same scan
+    # expression language as the encode, broadcast with the query row.
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(M_SUB - 1)),
+        lambda s: F.transform(
+            F.col("mat"),
+            lambda c: _fixed_dot_long(
+                _sub_slice(F.col("embedding"), s, sub_dim),
+                _sub_slice(c, s, sub_dim),
+            ),
+        ),
+    )
+    queries = with_mat.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _decimal_dot(F.col("embedding"), F.col("embedding")).alias("q_nrm"),
+        lut.alias("lut"),
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(M_SUB - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("lut"), s + 1),
+            (F.element_at(F.col("codes"), (s + 1).cast("int")) + 1).cast("int"),
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    wc = W.partitionBy("query_id").orderBy(F.col("adc").desc(), "vec_id")
+    cands = (
+        codes.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "q_emb", "q_nrm", adc.alias("adc"))
+        .withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") <= PQ_CAND)
+        .select("query_id", "vec_id", "q_emb", "q_nrm")
+    )
+    # Exact re-rank: full vectors are read ONLY for the candidates —
+    # candidate side broadcasts (≤ N_QUERIES·PQ_CAND rows).
+    rer = emb.join(F.broadcast(cands), "vec_id")
+    cosine = _decimal_dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt(F.col("q_nrm")) * F.sqrt(_decimal_dot(F.col("embedding"), F.col("embedding")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        rer.select("query_id", "vec_id", cosine.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+    )
+
+
 def _planes_values_sql(dim: int = EMB_DIM) -> str:
     """The seeded hyperplane matrix as DuckDB VALUES rows — repr()
     emits the shortest round-trip decimal, so the SQL parser recovers
@@ -480,9 +678,46 @@ def _ann_approx_oracle() -> str:
     ivf_cand AS (SELECT DISTINCT q.query_id, s.vec_id
                  FROM qcells q
                  JOIN cells s ON s.cell = q.cell AND s.vec_id <> q.query_id),
+    pqcb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, embedding AS c
+             FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
+                   LIMIT {K_CODES})),
+    pqel AS (SELECT e.vec_id, b.j, UNNEST(e.embedding) AS x, UNNEST(b.c) AS cx,
+                    UNNEST(generate_series(1, {EMB_DIM})) AS i
+             FROM embeddings e CROSS JOIN pqcb b),
+    pqdots AS (SELECT vec_id, j, CAST((i - 1) // {EMB_DIM // M_SUB} AS INT) AS s,
+                      SUM(CAST(TRUNC(CAST(x AS DOUBLE) * CAST(cx AS DOUBLE)
+                                     * 1000000000.0) AS BIGINT)) AS dot
+               FROM pqel GROUP BY 1, 2, 3),
+    pqcel AS (SELECT j, UNNEST(c) AS cx, UNNEST(generate_series(1, {EMB_DIM})) AS i
+              FROM pqcb),
+    pqcn AS (SELECT j, CAST((i - 1) // {EMB_DIM // M_SUB} AS INT) AS s,
+                    SUM(CAST(TRUNC(CAST(cx AS DOUBLE) * CAST(cx AS DOUBLE)
+                                   * 1000000000.0) AS BIGINT)) AS cn
+             FROM pqcel GROUP BY 1, 2),
+    pqscore AS (SELECT d.vec_id, d.s, d.j, 2 * d.dot - c.cn AS sc
+                FROM pqdots d JOIN pqcn c ON c.j = d.j AND c.s = d.s),
+    pqcodes AS (SELECT vec_id, s, j AS code FROM (
+                  SELECT vec_id, s, j,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                            ORDER BY sc DESC, j) AS r
+                  FROM pqscore) t WHERE r = 1),
+    pqadc AS (SELECT qd.vec_id AS query_id, v.vec_id, SUM(qd.dot) AS adc
+              FROM pqcodes v
+              JOIN (SELECT vec_id, j, s, dot FROM pqdots
+                    WHERE vec_id < {N_QUERIES}) qd
+                ON qd.s = v.s AND qd.j = v.code
+              WHERE v.vec_id <> qd.vec_id
+              GROUP BY 1, 2),
+    pq_cand AS (SELECT query_id, vec_id FROM (
+                  SELECT query_id, vec_id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY adc DESC, vec_id) AS r
+                  FROM pqadc) t WHERE r <= {PQ_CAND}),
     cand AS (SELECT 'lsh' AS method, query_id, vec_id FROM lsh_cand
              UNION ALL
-             SELECT 'ivf_flat' AS method, query_id, vec_id FROM ivf_cand),
+             SELECT 'ivf_flat' AS method, query_id, vec_id FROM ivf_cand
+             UNION ALL
+             SELECT 'pq' AS method, query_id, vec_id FROM pq_cand),
     scored AS (SELECT c.method, c.query_id, c.vec_id,
                       d.dot / (SQRT(nq.nrm) * SQRT(nc.nrm)) AS cosine
                FROM cand c
@@ -498,14 +733,16 @@ def _ann_approx_oracle() -> str:
     """
 
 
-# --- both approximate ANN paths in one registration, HASH-MATCHED
-# since r4: the LSH signature is fixed-point (portable signs) and the
-# IVF branch is the deterministic IVF-flat quantizer, so the oracle
-# replays bucket/cell assignment, probing, and the exact re-rank
-# bit-for-bit. The union runs BOTH index structures — each branch
-# keeps its own plan (broadcast bucket equi-join; the corpus never
-# shuffles in either). The k-means-refined IVF (ann_ivf_topk) remains
-# the quality path, pinned by its recall test.
+# --- all three approximate ANN paths in one registration,
+# HASH-MATCHED since r4 (PQ added r6): the LSH signature is
+# fixed-point (portable signs), the IVF branch is the deterministic
+# IVF-flat quantizer, and the PQ branch's codebook/encode/LUT/ADC are
+# all rank-rule + fixed-point — so the oracle replays every index
+# structure, probing, and the exact re-rank bit-for-bit. The union
+# runs all three — each branch keeps its own plan (broadcast bucket
+# equi-join / broadcast-LUT codes scan; the corpus never shuffles in
+# any of them). The k-means-refined IVF (ann_ivf_topk) remains the
+# quality path, pinned by its recall test.
 @register("ann_approx_topk", _ann_approx_oracle())
 def ann_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = ann_lsh_topk(spark, sf_dir).select(
@@ -514,7 +751,10 @@ def ann_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = ann_ivf_flat_topk(spark, sf_dir).select(
         F.lit("ivf_flat").alias("method"), "query_id", "vec_id", "cosine", "rnk"
     )
-    return lsh.unionByName(ivf)
+    pq = ann_pq_topk(spark, sf_dir).select(
+        F.lit("pq").alias("method"), "query_id", "vec_id", "cosine", "rnk"
+    )
+    return lsh.unionByName(ivf).unionByName(pq)
 
 
 # --- embedding near-dup pairs (cosine ≥ τ within label groups):

@@ -76,6 +76,77 @@ def test_sequence_packing_no_global_single_task_window(spark):
     assert "SinglePartition" not in plan, "global window snuck in"
 
 
+def test_contiguous_sequences_matches_duckdb(spark):
+    from mrbf_spark.functions.packing import contiguous_sequences_q
+
+    _assert_parity(
+        contiguous_sequences_q(spark, SF_ORACLE),
+        _oracle(BUILDER_SQL["contiguous_sequences"], SF_ORACLE),
+    )
+
+
+def test_contiguous_sequences_hand_truth(spark):
+    """Three docs, L=5: the EOS-joined stream cuts at exactly the
+    expected boundaries, docs straddle rows, last row is short."""
+    from mrbf_spark.functions.packing import contiguous_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g"), (3, "h")], "doc_id long, text string"
+    )
+    # stream: a b c <eos> d | e f g <eos> h | <eos>
+    rows = {
+        r["seq_id"]: (r["seq_tokens"], r["seq_text"])
+        for r in contiguous_sequences(docs, seq_len=5).collect()
+    }
+    assert rows == {
+        0: (5, "a b c <eos> d"),
+        1: (5, "e f g <eos> h"),
+        2: (1, "<eos>"),
+    }
+
+
+def test_contiguous_sequences_invariants(spark):
+    """Every sequence except the highest id has exactly SEQ_LEN
+    tokens; the reassembled stream equals the input corpus with one
+    EOS after each doc; result is partition-invariant."""
+    from mrbf_spark.functions.packing import (
+        EOS_TOKEN,
+        SEQ_LEN,
+        contiguous_sequences,
+    )
+    from mrbf_spark.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = contiguous_sequences(docs).collect()
+    last = max(r["seq_id"] for r in out)
+    assert all(r["seq_tokens"] == SEQ_LEN for r in out if r["seq_id"] != last)
+    assert all(
+        len(r["seq_text"].split(" ")) == r["seq_tokens"] for r in out
+    )
+    stream = " ".join(r["seq_text"] for r in sorted(out, key=lambda r: r["seq_id"]))
+    expect = " ".join(
+        r["text"] + " " + EOS_TOKEN for r in docs.orderBy("doc_id").collect()
+    )
+    assert stream == expect
+    again = {
+        (r["seq_id"], r["seq_tokens"], r["seq_text"])
+        for r in contiguous_sequences(docs.repartition(37)).collect()
+    }
+    assert again == {(r["seq_id"], r["seq_tokens"], r["seq_text"]) for r in out}
+
+
+def test_contiguous_sequences_no_global_single_task_window(spark):
+    from mrbf_spark.functions.packing import contiguous_sequences_q
+
+    plan = (
+        contiguous_sequences_q(spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan, "global window snuck in"
+
+
 def test_pii_redaction_matches_duckdb(spark):
     # builder since r6 (columns ride the quality_signals entry) — the
     # oracle SQL lives in BUILDER_SQL for composition

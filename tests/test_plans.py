@@ -192,6 +192,8 @@ _BNLJ_ALLOWED = {
     "bm25_topk",  # the dense branch's one-row query-embedding broadcast cross
     "ann_bruteforce_topk",
     "ann_approx_topk",
+    "ann_pq_topk",  # the same 8-row broadcast query cross, standalone
+    # builder (the PQ branch of ann_approx_topk)
     "embedding_dedup_suite",  # one-row hyperplane/centroid-matrix broadcast attach
     "embedding_neardup",  # same attach, standalone builder
     "semdedup",  # same attach, standalone builder

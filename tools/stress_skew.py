@@ -190,6 +190,42 @@ def build_datasets(spark) -> None:
         "documents_sem",
     )
 
+    # contiguous_sequences' skew axis is ONE GIANT DOCUMENT (r6): the
+    # skew twin moves the hot 30%'s entire token mass into a single
+    # doc (the donors shrink to one token), so total volume matches
+    # the uniform twin while one input row holds ~30% of the stream.
+    # The op's claim: that row becomes many ≤SEQ_LEN slices, never one
+    # giant reduce key. The giant row rides createDataFrame (not a
+    # plan literal — a multi-MB literal would bloat every plan
+    # stringification; see the curate checkpoint note).
+    write(docs, "uniform", "documents_giant")
+    hot = _hot(docs, "doc_id", 30)
+    giant_txt = (
+        docs.filter(hot)
+        .agg(F.concat_ws(" ", F.collect_list("text")).alias("t"))
+        .first()["t"]
+    )
+    mn_row = docs.orderBy("doc_id").first()
+    giant_row = spark.createDataFrame(
+        [
+            (
+                int(mn_row["doc_id"]),
+                giant_txt,
+                mn_row["lang"],
+                mn_row["source"],
+                len(giant_txt),
+            )
+        ],
+        docs.schema.simpleString().replace("struct<", "").rstrip(">").replace(":", " "),
+    )
+    write(
+        docs.filter(F.col("doc_id") != mn_row["doc_id"])
+        .withColumn("text", F.when(hot, F.lit("x")).otherwise(F.col("text")))
+        .unionByName(giant_row),
+        "skew",
+        "documents_giant",
+    )
+
 
 def queries():
     """name -> (callable(spark, sf_dir) -> row count, input-row table)."""
@@ -387,6 +423,31 @@ def queries():
         emb.count()
         return semdedup_verdicts(emb, tau=TEXT_SEM_TAU)
 
+    def contig_giant(spark, sf_dir):
+        # one-giant-doc stress (r6): ~30% of the stream in ONE input
+        # row. contiguous_sequences slices every doc per intersected
+        # sequence (each piece ≤ SEQ_LEN tokens), so the giant doc
+        # becomes ~n/SEQ_LEN bounded rows and every reduce key owns
+        # exactly SEQ_LEN tokens — no giant key exists by construction.
+        from mrbf_spark.functions.packing import contiguous_sequences
+
+        return contiguous_sequences(
+            spark.read.parquet(os.path.join(sf_dir, "documents_giant.parquet"))
+        )
+
+    def pq_hotcell(spark, sf_dir):
+        # hot-code stress (r6): 30% of vectors share centroid 0's
+        # direction (embeddings_sem), collapsing their PQ codes to the
+        # same codewords. Per-row encode work is constant (K×M fixed
+        # dots) and ADC candidate pruning is a map-side
+        # WindowGroupLimit per query — identical codes change neither,
+        # so the claim is data-independence of the scan cost.
+        from mrbf_spark.functions.similarity import pq_topk
+
+        return pq_topk(
+            spark.read.parquet(os.path.join(sf_dir, "embeddings_sem.parquet"))
+        )
+
     return {
         "dedup_exact": (dedup_exact, "documents"),
         # hot fingerprint joins ONE index row (min-agg collapses the
@@ -414,6 +475,8 @@ def queries():
         "leakage_safe_split[giant-cluster]": (safe_split, "documents"),
         "quantile_sketch[hot-grp,const-val]": (qsk_const, "events"),
         "text_semdedup[hot-cell]": (text_sem_hotcell, "documents_sem"),
+        "contiguous_sequences[giant-doc]": (contig_giant, "documents_giant"),
+        "pq_topk[hot-code]": (pq_hotcell, "embeddings_sem"),
     }
 
 
@@ -427,15 +490,20 @@ def main() -> int:
         or not os.path.isdir(os.path.join(BASE, "skew"))
         # r6 added the documents_sem twin — rebuild older layouts
         or not os.path.exists(os.path.join(BASE, "skew", "documents_sem.parquet"))
+        # late r6 added the giant-doc twin
+        or not os.path.exists(os.path.join(BASE, "skew", "documents_giant.parquet"))
     ):
         t0 = time.time()
         build_datasets(spark)
         print(f"built stress datasets in {time.time() - t0:.1f}s", file=sys.stderr)
 
+    only = {a for a in sys.argv[1:] if a != "--rebuild"}
     results = {}
     print("| query | rows | uniform s | skew s | ratio |")
     print("|---|---|---|---|---|")
     for name, (fn, table) in queries().items():
+        if only and name.split("[")[0] not in only and name not in only:
+            continue
         times, rows = {}, {}
         for mode in ("uniform", "skew"):
             d = os.path.join(BASE, mode)
