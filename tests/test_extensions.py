@@ -1132,6 +1132,53 @@ def test_ann_index_persists_and_probe_matches_inmemory(spark, tmp_path):
     assert n_probed <= 4 < n_dirs, (in_list, n_dirs)
 
 
+def test_pq_index_persists_and_probe_matches_inmemory(spark, tmp_path):
+    """Persisted-PQ probe == the in-memory pq_topk on the same
+    corpus/queries (flat codebook); the codebook round-trips
+    bit-exactly; and the re-rank's vectors read carries a STATIC
+    vec_id IN pushdown (≤ queries×PQ_CAND ids) — the full-vector table
+    is never scanned whole."""
+    import numpy as np
+
+    from mrbf_spark.functions.ann_index import (
+        pq_index_probe,
+        read_pq_codebook,
+        write_pq_index,
+    )
+    from mrbf_spark.functions.similarity import (
+        K_CODES,
+        N_QUERIES,
+        PQ_CAND,
+        _flat_centroids,
+        pq_topk,
+    )
+
+    idx = str(tmp_path / "pq_idx")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cb = write_pq_index(emb, idx)
+    assert np.array_equal(cb, _flat_centroids(emb, K_CODES))
+    assert np.array_equal(read_pq_codebook(spark, idx), cb)
+
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = pq_index_probe(spark, idx, queries)
+    want = pq_topk(emb)
+    g = {(r["query_id"], r["vec_id"], r["rnk"], r["cosine"]) for r in got.collect()}
+    w = {(r["query_id"], r["vec_id"], r["rnk"], r["cosine"]) for r in want.collect()}
+    assert g == w and len(g) > 0
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(
+        l
+        for l in plan.splitlines()
+        if "FileScan" in l and "vec_id" in l and "PushedFilters: [In(vec_id" in l
+    )
+    in_list = scan_line.split("In(vec_id, [", 1)[1].split("]")[0]
+    n_ids = in_list.count(",") + 1
+    assert n_ids <= N_QUERIES * PQ_CAND, n_ids
+
+
 def test_streaming_semdedup_matches_exact_reference(spark):
     """The stateless semi/anti stream-static classification must agree
     with an exact numpy replay: every streamed vector appears exactly
