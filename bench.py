@@ -35,7 +35,10 @@ fusion) — the r4-comparable lexical-only cost stays visible as
 contiguous-sequence part and `ann_approx_topk` adds the PQ
 (product-quantization) index — both timed standalone
 (`contiguous_sequences`, `ann_pq_topk`) and contained; increases on
-the suite keys price the added parts.
+the suite keys price the added parts. Likewise `sampling_suite` adds
+part=temp (temperature mixture, standalone `temperature_mixture`) and
+`dedup_exact` adds the source-priority keeper column (same single
+aggregate — a column, not a pass).
 
 MEASUREMENT (r6, VERDICT r5 what's-wrong #1): per-query MEDIAN of
 N_ROUNDS=3 INTERLEAVED sweeps, with the (max−min) spread emitted per
@@ -115,6 +118,7 @@ CONTAINED = {
     "bm25_lexical": "bm25_topk",
     "contiguous_sequences": "packing_suite",
     "ann_pq_topk": "ann_approx_topk",
+    "temperature_mixture": "sampling_suite",
 }
 
 N_ROUNDS = 3  # interleaved sweeps per query; median reported
@@ -250,6 +254,7 @@ def legacy_builders() -> dict:
         # (contained in packing_suite / ann_approx_topk)
         "contiguous_sequences": _packing.contiguous_sequences_q,
         "ann_pq_topk": _similarity.ann_pq_topk,
+        "temperature_mixture": _sampling.temperature_mixture,
     }
 
 

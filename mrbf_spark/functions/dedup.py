@@ -37,11 +37,41 @@ _MAX_HOT_BROADCAST_ROWS = 1_000_000
 # Exact dedup: group by normalized-text fingerprint, keep min doc_id.
 # The groupBy is a hash shuffle on the digest — uniform keys, no skew;
 # at 100 TB this is the cheapest possible full-corpus dedup.
+#
+# keep_id_pref (late r6) is the SOURCE-PRIORITY keeper — the C4/
+# RefinedWeb rule of retaining the copy from the most-trusted source
+# when a passage appears in several (curated dump beats crawl), with
+# doc_id as the deterministic tie-break. Both keepers ride the SAME
+# single aggregate: the priority keeper is MIN over the packed
+# integer priority·1e12 + doc_id (exact BIGINT arithmetic on both
+# engines; doc_id < 1e12 by contract), decoded with % — a column, not
+# a second pass.
+PREFERRED_SOURCES = ("src7", "src3")  # rank 0, 1; everything else 99
+_PRIO_PACK = 10**12
+
+_PRIO_SQL = (
+    "CASE source WHEN '{s0}' THEN 0 WHEN '{s1}' THEN 1 ELSE 99 END".format(
+        s0=PREFERRED_SOURCES[0], s1=PREFERRED_SOURCES[1]
+    )
+)
+
+
+def source_priority_col(source: Column) -> Column:
+    return (
+        F.when(source == PREFERRED_SOURCES[0], F.lit(0))
+        .when(source == PREFERRED_SOURCES[1], F.lit(1))
+        .otherwise(F.lit(99))
+        .cast("long")
+    )
+
+
 @register(
     "dedup_exact",
     f"""
     SELECT {FINGERPRINT_SQL.format(e='text')} AS fingerprint,
            MIN(doc_id) AS keep_id,
+           CAST(MIN({_PRIO_SQL} * {_PRIO_PACK} + doc_id) % {_PRIO_PACK} AS BIGINT)
+             AS keep_id_pref,
            COUNT(*) AS n_copies
     FROM documents
     GROUP BY 1
@@ -49,10 +79,19 @@ _MAX_HOT_BROADCAST_ROWS = 1_000_000
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    packed = source_priority_col(F.col("source")) * F.lit(_PRIO_PACK) + F.col("doc_id")
     return (
-        d.select("doc_id", fingerprint_col(F.col("text")).alias("fingerprint"))
+        d.select(
+            "doc_id",
+            fingerprint_col(F.col("text")).alias("fingerprint"),
+            packed.alias("__prio_key"),
+        )
         .groupBy("fingerprint")
-        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.pmod(F.min("__prio_key"), F.lit(_PRIO_PACK)).alias("keep_id_pref"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
     )
 
 

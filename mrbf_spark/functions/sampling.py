@@ -146,6 +146,89 @@ _SHARD_SQL = f"""
     """
 
 
+# --- temperature-weighted mixture (the multilingual-LLM sampling
+# rule: XLM-R / mBERT exponentiated sampling, Conneau et al. 2020,
+# q_s ∝ p_s^α): rebalance skewed strata by upsampling scarce ones
+# toward the largest. α is fixed at 1/2 and the rates normalized so
+# the LARGEST stratum keeps rate 1 — rate_s = (n_max/n_s)^α =
+# sqrt(n_max/n_s) — because sqrt/division are CORRECTLY-ROUNDED IEEE
+# ops on both engines (a free-α POWER is not), which is what lets the
+# fractional replication be hash-matched instead of rows-only.
+# Realization is deterministic: every doc gets floor(rate_s) copies
+# plus one more iff its portable md5 bucket (doc_id:temp, % 1e6)
+# falls under trunc(frac(rate_s)·1e6) — content-addressed like the
+# stratified sampler, so membership survives repartitioning and
+# engine swaps. 100 TB shape: one tiny per-stratum census (broadcast
+# back), then a map-only codegen'd Generate — the corpus never
+# shuffles.
+TEMP_FRAC_SCALE = 1_000_000
+_TEMP_MD5 = "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':temp'), 1, 15))::BIGINT"
+
+_TEMP_SQL = f"""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT d.lang, d.n_chars,
+             UNNEST(range(r.base + CASE WHEN {_TEMP_MD5} % {TEMP_FRAC_SCALE}
+                                             < r.tfrac
+                                        THEN 1 ELSE 0 END))
+      FROM documents d
+      JOIN (SELECT lang,
+                   CAST(FLOOR(SQRT(CAST(MAX(n_s) OVER () AS DOUBLE)
+                                   / CAST(n_s AS DOUBLE))) AS INT) AS base,
+                   CAST(TRUNC((SQRT(CAST(MAX(n_s) OVER () AS DOUBLE)
+                                    / CAST(n_s AS DOUBLE))
+                               - FLOOR(SQRT(CAST(MAX(n_s) OVER () AS DOUBLE)
+                                            / CAST(n_s AS DOUBLE))))
+                              * {float(TEMP_FRAC_SCALE)}) AS BIGINT) AS tfrac
+            FROM (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang)) r
+        USING (lang))
+    GROUP BY lang
+    """
+
+
+@builder("temperature_mixture", _TEMP_SQL)
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_s"))
+    # the empty-partition window runs over the ≤|strata|-row AGG
+    # OUTPUT (a driver-sized frame), not the corpus — bounded by the
+    # stratum count like the bloom sizing collect
+    rate = F.sqrt(
+        F.max("n_s").over(Window.partitionBy()).cast("double")
+        / F.col("n_s").cast("double")
+    )
+    rates = counts.select(
+        "lang",
+        F.floor(rate).cast("int").alias("base"),
+        ((rate - F.floor(rate)) * F.lit(float(TEMP_FRAC_SCALE)))
+        .cast("long")
+        .alias("tfrac"),
+    )
+    keyed = d.select("doc_id", "lang", "n_chars").join(F.broadcast(rates), "lang")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("temp"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(TEMP_FRAC_SCALE),
+    )
+    copies = F.col("base") + (bucket < F.col("tfrac")).cast("int")
+    mixed = replicate_by_weight(
+        keyed.select("lang", "n_chars", copies.alias("__copies")),
+        F.col("__copies"),
+    )
+    return mixed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
 @register(
     "sampling_suite",
     f"""
@@ -161,6 +244,9 @@ _SHARD_SQL = f"""
     SELECT 'shard' AS part, CAST(doc_id AS VARCHAR) AS key,
            CAST(shard AS BIGINT) AS n1, CAST(pos AS BIGINT) AS v1
     FROM ({_SHARD_SQL})
+    UNION ALL
+    SELECT 'temp' AS part, lang AS key, n_rows AS n1, total_chars AS v1
+    FROM ({_TEMP_SQL})
     """,
 )
 def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,7 +279,19 @@ def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shard").cast("long").alias("n1"),
         F.col("pos").cast("long").alias("v1"),
     )
-    return mix.unionByName(strat).unionByName(cons).unionByName(shard)
+    # 'temp' part (late r6): the temperature-weighted mixture census.
+    temp = temperature_mixture(spark, sf_dir).select(
+        F.lit("temp").alias("part"),
+        F.col("lang").alias("key"),
+        F.col("n_rows").cast("long").alias("n1"),
+        F.col("total_chars").alias("v1"),
+    )
+    return (
+        mix.unionByName(strat)
+        .unionByName(cons)
+        .unionByName(shard)
+        .unionByName(temp)
+    )
 
 
 # ------------------------------------------------- global shuffle+shard

@@ -911,6 +911,90 @@ def test_multimodal_resize_spark_path(spark):
         assert np.array_equal(got, want), doc_id
 
 
+def test_temperature_mixture_semantics(spark):
+    """Temperature rebalancing (α=1/2, largest stratum pinned at rate
+    1): every stratum's census matches an independent Python replay of
+    floor(sqrt(n_max/n_s)) + md5-fraction extra copies; the largest
+    stratum is returned UNCHANGED; scarce strata only ever upsample
+    (n_rows ≥ n_s); and post-mixture shares are strictly closer to
+    uniform than the input's."""
+    import hashlib
+    import math
+
+    from mrbf_spark.functions.sampling import (
+        TEMP_FRAC_SCALE,
+        temperature_mixture,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    rows = d.select("doc_id", "lang", "n_chars").collect()
+    n_s = {}
+    for r in rows:
+        n_s[r["lang"]] = n_s.get(r["lang"], 0) + 1
+    n_max = max(n_s.values())
+    want = {}
+    for r in rows:
+        rate = math.sqrt(n_max / n_s[r["lang"]])
+        tfrac = int((rate - math.floor(rate)) * float(TEMP_FRAC_SCALE))
+        h = int(hashlib.md5(f"{r['doc_id']}:temp".encode()).hexdigest()[:15], 16)
+        k = int(math.floor(rate)) + (1 if h % TEMP_FRAC_SCALE < tfrac else 0)
+        w = want.setdefault(r["lang"], [0, 0])
+        w[0] += k
+        w[1] += k * r["n_chars"]
+    got = {
+        r["lang"]: (r["n_rows"], r["total_chars"])
+        for r in temperature_mixture(spark, SF_SMOKE).collect()
+    }
+    assert got == {k: tuple(v) for k, v in want.items()}
+    big = max(n_s, key=lambda k: n_s[k])
+    assert got[big][0] == n_s[big]
+    assert all(got[k][0] >= n_s[k] for k in n_s)
+    tot_in, tot_out = sum(n_s.values()), sum(v[0] for v in got.values())
+    for k in n_s:
+        if k == big:
+            continue
+        assert abs(got[k][0] / tot_out - 1 / len(n_s)) < abs(
+            n_s[k] / tot_in - 1 / len(n_s)
+        ), k
+
+
+def test_dedup_exact_priority_keeper(spark):
+    """The source-priority keeper retains the preferred-source copy of
+    a duplicated text even when its doc_id is larger, falls back to
+    min doc_id among equal priorities, and equals keep_id when no
+    preferred source holds a copy."""
+    from mrbf_spark.functions.dedup import PREFERRED_SOURCES
+
+    docs = spark.createDataFrame(
+        [
+            (1, "dup one", "crawl"),
+            (2, "dup one", PREFERRED_SOURCES[0]),
+            (3, "dup one", PREFERRED_SOURCES[1]),
+            (10, "dup two", "crawl"),
+            (11, "dup two", "crawl2"),
+            (20, "dup three", PREFERRED_SOURCES[1]),
+            (21, "dup three", PREFERRED_SOURCES[1]),
+        ],
+        "doc_id long, text string, source string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(f"{td}/documents.parquet")
+        from mrbf_spark.functions.dedup import dedup_exact
+
+        out = {
+            r["keep_id"]: (r["keep_id_pref"], r["n_copies"])
+            for r in dedup_exact(spark, td).collect()
+        }
+    # dup one: src7 (rank 0) wins over smaller-id crawl and src3
+    assert out[1] == (2, 3)
+    # dup two: no preferred source -> min doc_id
+    assert out[10] == (10, 2)
+    # dup three: equal priority -> min doc_id tie-break
+    assert out[20] == (20, 2)
+
+
 def test_stratified_sample_rates_and_subset(spark):
     """sampleBy: every sampled row comes from the source table, the
     en stratum (fraction 1.0) is complete, and each stratum's rate is
