@@ -51,8 +51,20 @@ def _with_stream_start(toks: DataFrame, val_col: str) -> DataFrame:
     spark = toks.sparkSession
     # Phase 1: range partition by doc_id so partition i holds a
     # contiguous doc_id range < partition i+1's (sampled boundaries).
-    parts = toks.repartitionByRange("doc_id").withColumn(
-        "__pid", F.spark_partition_id()
+    # The frame is then MATERIALIZED (localCheckpoint): phase 3
+    # collects per-partition totals in one job and the caller's final
+    # plan executes another — without pinning the blocks, AQE may
+    # re-plan the exchange between the two executions (boundary
+    # re-sampling / different coalescing), and a __pid present in one
+    # run but not the other makes the offset join silently DROP rows
+    # (caught at sf0.1: packing_suite lost 1,148 rows when two prefix
+    # sums shared one plan). Checkpointing costs the one
+    # materialization phase 3 needed anyway and guarantees both jobs
+    # see the same partition ids.
+    parts = (
+        toks.repartitionByRange("doc_id")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     # Phase 2: parallel per-partition cumsum (exclusive).
     w = W.partitionBy("__pid").orderBy("doc_id")
