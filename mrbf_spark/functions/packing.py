@@ -237,10 +237,16 @@ EOS_TOKEN = "<eos>"
 def contiguous_sequences(
     docs: DataFrame, seq_len: int = SEQ_LEN, eos: str = EOS_TOKEN
 ) -> DataFrame:
-    """(seq_id, seq_tokens, seq_text): the fixed-length training rows
-    of the EOS-joined doc_id-ordered token stream. Every row has
-    exactly seq_len tokens except the final one; deterministic and
-    order-insensitive (seq_text reassembled by stream position)."""
+    """(seq_id, seq_tokens, seq_text, doc_starts): the fixed-length
+    training rows of the EOS-joined doc_id-ordered token stream. Every
+    row has exactly seq_len tokens except the final one; deterministic
+    and order-insensitive (seq_text reassembled by stream position).
+    `doc_starts` is the comma-joined ascending list of within-sequence
+    offsets where a NEW document begins ('' when the row is the middle
+    of one long document) — the boundary positions a trainer needs to
+    reset attention / mask loss across document joins; closed form:
+    a doc starting at stream position p contributes offset p − s·L to
+    sequence s iff p ≥ s·L."""
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t")).select(
         "doc_id", "t", (F.size("t") + F.lit(1)).cast("bigint").alias("n_units")
     )
@@ -269,20 +275,37 @@ def contiguous_sequences(
             F.concat_ws(
                 " ", F.slice(F.col("u"), (lo + 1).cast("int"), (hi - lo).cast("int"))
             ).alias("piece"),
+            # the doc's first token lies in THIS sequence ⇔ its slice
+            # starts at local offset 0
+            F.when(lo == 0, F.col("start_tok") - F.col("seq_id") * seq_len)
+            .cast("long")
+            .alias("doc_start"),
         )
     )
     # collect_list order is nondeterministic; array_sort by stream
     # position restores it (start_tok is unique per doc, so the struct
     # sort is total).
-    assembled = F.transform(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("start_tok").alias("s"), F.col("piece").alias("p")))
-        ),
-        lambda x: x["p"],
+    sorted_pieces = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("start_tok").alias("s"),
+                F.col("piece").alias("p"),
+                F.col("doc_start").alias("b"),
+            )
+        )
     )
     return pieces.groupBy("seq_id").agg(
         F.sum("n_piece").alias("seq_tokens"),
-        F.concat_ws(" ", assembled).alias("seq_text"),
+        F.concat_ws(" ", F.transform(sorted_pieces, lambda x: x["p"])).alias(
+            "seq_text"
+        ),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.filter(sorted_pieces, lambda x: x["b"].isNotNull()),
+                lambda x: x["b"].cast("string"),
+            ),
+        ).alias("doc_starts"),
     )
 
 
@@ -309,11 +332,15 @@ def contiguous_sequences_duckdb_sql(
     pieces AS (SELECT seq_id, start_tok,
                       u[CAST(GREATEST(0, seq_id * {seq_len} - start_tok) + 1 AS BIGINT)
                         : CAST(LEAST(n_units, (seq_id + 1) * {seq_len} - start_tok)
-                               AS BIGINT)] AS p
+                               AS BIGINT)] AS p,
+                      CASE WHEN start_tok >= seq_id * {seq_len}
+                           THEN start_tok - seq_id * {seq_len} END AS doc_start
                FROM ex)
     SELECT CAST(seq_id AS BIGINT) AS seq_id,
            CAST(SUM(len(p)) AS BIGINT) AS seq_tokens,
-           string_agg(array_to_string(p, ' '), ' ' ORDER BY start_tok) AS seq_text
+           string_agg(array_to_string(p, ' '), ' ' ORDER BY start_tok) AS seq_text,
+           COALESCE(string_agg(CAST(doc_start AS VARCHAR), ','
+                               ORDER BY start_tok), '') AS doc_starts
     FROM pieces GROUP BY seq_id
     """
 
@@ -340,19 +367,19 @@ def contiguous_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT 'layout' AS part, doc_id, n_tokens AS n1, start_tok AS n2,
            bin_id AS n3, bin_offset AS n4, CAST(straddles AS BIGINT) AS flag,
-           CAST(NULL AS VARCHAR) AS s1
+           CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2
     FROM ({_PACKING_ORACLE})
     UNION ALL
     SELECT 'chunk' AS part, doc_id, chunk_tokens AS n1,
            CAST(chunk_id AS BIGINT) AS n2, CAST(NULL AS BIGINT) AS n3,
            CAST(NULL AS BIGINT) AS n4, CAST(NULL AS BIGINT) AS flag,
-           chunk_text AS s1
+           chunk_text AS s1, CAST(NULL AS VARCHAR) AS s2
     FROM ({chunk_documents_duckdb_sql()})
     UNION ALL
     SELECT 'contig' AS part, CAST(NULL AS BIGINT) AS doc_id,
            seq_tokens AS n1, seq_id AS n2, CAST(NULL AS BIGINT) AS n3,
            CAST(NULL AS BIGINT) AS n4, CAST(NULL AS BIGINT) AS flag,
-           seq_text AS s1
+           seq_text AS s1, doc_starts AS s2
     FROM ({contiguous_sequences_duckdb_sql()})
     """,
 )
@@ -367,6 +394,7 @@ def packing_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bin_offset").alias("n4"),
         F.col("straddles").cast("long").alias("flag"),
         F.lit(None).cast("string").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
     )
     chunks = chunk_documents(d).select(
         F.lit("chunk").alias("part"),
@@ -377,6 +405,7 @@ def packing_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n4"),
         F.lit(None).cast("long").alias("flag"),
         F.col("chunk_text").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
     )
     contig = contiguous_sequences(d).select(
         F.lit("contig").alias("part"),
@@ -387,5 +416,6 @@ def packing_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n4"),
         F.lit(None).cast("long").alias("flag"),
         F.col("seq_text").alias("s1"),
+        F.col("doc_starts").alias("s2"),
     )
     return layout.unionByName(chunks).unionByName(contig)

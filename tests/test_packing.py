@@ -94,14 +94,15 @@ def test_contiguous_sequences_hand_truth(spark):
         [(1, "a b c"), (2, "d e f g"), (3, "h")], "doc_id long, text string"
     )
     # stream: a b c <eos> d | e f g <eos> h | <eos>
+    # doc starts at stream 0 (doc1), 4 (doc2), 9 (doc3)
     rows = {
-        r["seq_id"]: (r["seq_tokens"], r["seq_text"])
+        r["seq_id"]: (r["seq_tokens"], r["seq_text"], r["doc_starts"])
         for r in contiguous_sequences(docs, seq_len=5).collect()
     }
     assert rows == {
-        0: (5, "a b c <eos> d"),
-        1: (5, "e f g <eos> h"),
-        2: (1, "<eos>"),
+        0: (5, "a b c <eos> d", "0,4"),
+        1: (5, "e f g <eos> h", "4"),
+        2: (1, "<eos>", ""),
     }
 
 
