@@ -650,6 +650,73 @@ def cmd_ann_query(args) -> None:
         print(f"{r['query_id']}	{r['rnk']}	{r['vec_id']}	{r['cosine']:.6f}")
 
 
+def cmd_pq_index(args) -> None:
+    from .functions.ann_index import write_pq_index
+
+    spark = _spark(args)
+    emb = spark.read.parquet(args.input)
+    cb = write_pq_index(
+        emb, args.out, use_kmeans=(args.codebooks == "kmeans"), iters=args.iters
+    )
+    print(
+        f"pq-index: {cb.shape[0]} codes x {cb.shape[1]} dims "
+        f"({args.codebooks} codebooks) -> {args.out}"
+    )
+
+
+def cmd_pq_query(args) -> None:
+    from .functions.ann_index import pq_index_probe
+
+    spark = _spark(args)
+    queries = spark.read.parquet(args.input).select(
+        F.col(args.id_col).alias("query_id"), args.emb_col
+    )
+    if args.emb_col != "embedding":
+        queries = queries.withColumnRenamed(args.emb_col, "embedding")
+    out = pq_index_probe(
+        spark, args.index, queries, topk=args.topk, cand=args.cand,
+        exclude_self=not args.keep_self,
+    )
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+    for r in out.orderBy("query_id", "rnk").limit(50).collect():
+        print(f"{r['query_id']}\t{r['rnk']}\t{r['vec_id']}\t{r['cosine']:.6f}")
+
+
+def cmd_pack_contig(args) -> None:
+    from .functions.packing import contiguous_sequences
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    out = contiguous_sequences(docs, seq_len=args.seq_len, eos=args.eos)
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"pack-contig: {n} sequences of {args.seq_len} tokens -> {args.out}")
+
+
+def cmd_temp_mix(args) -> None:
+    from .functions.sampling import temperature_replicate
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    temperature_replicate(docs, stratum=args.stratum).write.mode(
+        "overwrite"
+    ).parquet(args.out)
+    before = {
+        r[args.stratum]: r["n"]
+        for r in docs.groupBy(args.stratum).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    after = {
+        r[args.stratum]: r["n"]
+        for r in spark.read.parquet(args.out)
+        .groupBy(args.stratum)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for k in sorted(before):
+        print(f"temp-mix: {k}\t{before[k]} -> {after.get(k, 0)}")
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="mrbf_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -940,6 +1007,49 @@ def main(argv: list[str] | None = None) -> int:
     p_cpt.add_argument("--out", required=True)
     p_cpt.add_argument("--target-mb", type=int, default=128)
 
+    p_pqi = sub.add_parser(
+        "pq-index",
+        help="build and persist a product-quantization index "
+        "(codes/vectors/codebook; probes scan only the codes table)",
+    )
+    p_pqi.add_argument("--input", required=True, help="parquet with vec_id, embedding")
+    p_pqi.add_argument("--out", required=True)
+    p_pqi.add_argument("--codebooks", choices=("flat", "kmeans"), default="flat")
+    p_pqi.add_argument("--iters", type=int, default=5)
+
+    p_pqq = sub.add_parser(
+        "pq-query", help="probe a persisted PQ index with a query batch"
+    )
+    p_pqq.add_argument("--index", required=True)
+    p_pqq.add_argument("--input", required=True, help="query vectors parquet")
+    p_pqq.add_argument("--id-col", default="vec_id")
+    p_pqq.add_argument("--emb-col", default="embedding")
+    p_pqq.add_argument("--topk", type=int, default=5)
+    p_pqq.add_argument("--cand", type=int, default=32, help="ADC candidates/query")
+    p_pqq.add_argument("--keep-self", action="store_true")
+    p_pqq.add_argument("--out", default=None)
+
+    p_pc = sub.add_parser(
+        "pack-contig",
+        help="cut the EOS-joined doc_id-ordered token stream into "
+        "fixed-length pretraining rows (seq_text + doc_starts "
+        "attention-reset offsets)",
+    )
+    p_pc.add_argument("--input", required=True, help="parquet with doc_id, text")
+    p_pc.add_argument("--out", required=True)
+    p_pc.add_argument("--seq-len", type=int, default=128)
+    p_pc.add_argument("--eos", default="<eos>")
+
+    p_tm = sub.add_parser(
+        "temp-mix",
+        help="temperature-rebalance a corpus (alpha=1/2 exponentiated "
+        "sampling; scarce strata upsampled toward the largest with "
+        "content-addressed fractional copies)",
+    )
+    p_tm.add_argument("--input", required=True, help="parquet with doc_id")
+    p_tm.add_argument("--out", required=True)
+    p_tm.add_argument("--stratum", default="lang")
+
     args = ap.parse_args(argv)
     if args.cmd == "dedup-inc" and not (args.index or args.history):
         ap.error("dedup-inc needs --index or --history")
@@ -970,6 +1080,10 @@ def main(argv: list[str] | None = None) -> int:
         "lm-train": cmd_lm_train,
         "lm-score": cmd_lm_score,
         "compact": cmd_compact,
+        "pq-index": cmd_pq_index,
+        "pq-query": cmd_pq_query,
+        "pack-contig": cmd_pack_contig,
+        "temp-mix": cmd_temp_mix,
     }[args.cmd](args)
     return int(rc or 0)
 

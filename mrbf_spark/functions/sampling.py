@@ -187,10 +187,12 @@ _TEMP_SQL = f"""
     """
 
 
-@builder("temperature_mixture", _TEMP_SQL)
-def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_s"))
+def temperature_replicate(docs: DataFrame, stratum: str = "lang") -> DataFrame:
+    """The materializing form (the `temp-mix` CLI job): every input
+    row replicated per the temperature rule, full schema preserved.
+    Requires a `doc_id` column (the content-addressed fractional-copy
+    key)."""
+    counts = docs.groupBy(stratum).agg(F.count(F.lit(1)).alias("n_s"))
     # the empty-partition window runs over the ≤|strata|-row AGG
     # OUTPUT (a driver-sized frame), not the corpus — bounded by the
     # stratum count like the bloom sizing collect
@@ -199,13 +201,13 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("n_s").cast("double")
     )
     rates = counts.select(
-        "lang",
-        F.floor(rate).cast("int").alias("base"),
+        stratum,
+        F.floor(rate).cast("int").alias("__base"),
         ((rate - F.floor(rate)) * F.lit(float(TEMP_FRAC_SCALE)))
         .cast("long")
-        .alias("tfrac"),
+        .alias("__tfrac"),
     )
-    keyed = d.select("doc_id", "lang", "n_chars").join(F.broadcast(rates), "lang")
+    keyed = docs.join(F.broadcast(rates), stratum)
     bucket = F.pmod(
         F.conv(
             F.substring(
@@ -218,11 +220,14 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long"),
         F.lit(TEMP_FRAC_SCALE),
     )
-    copies = F.col("base") + (bucket < F.col("tfrac")).cast("int")
-    mixed = replicate_by_weight(
-        keyed.select("lang", "n_chars", copies.alias("__copies")),
-        F.col("__copies"),
-    )
+    copies = F.col("__base") + (bucket < F.col("__tfrac")).cast("int")
+    return replicate_by_weight(keyed, copies).drop("__base", "__tfrac")
+
+
+@builder("temperature_mixture", _TEMP_SQL)
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    mixed = temperature_replicate(d.select("doc_id", "lang", "n_chars"))
     return mixed.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("n_chars").cast("long").alias("total_chars"),

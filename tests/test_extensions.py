@@ -2433,6 +2433,65 @@ def test_cli_zorder_and_compact(spark, tmp_path, capsys):
     assert spark.read.parquet(cout).count() == spark.read.parquet(src).count()
 
 
+def test_cli_pq_pack_tempmix(spark, tmp_path, capsys):
+    """The late-r6 CLI jobs run end-to-end: `pq-index`/`pq-query`
+    reproduce the in-memory pq_topk for the standard query batch,
+    `pack-contig` writes the exact contiguous-sequence table, and
+    `temp-mix` writes a corpus whose per-stratum census matches the
+    registered builder's."""
+    from mrbf_spark.__main__ import main
+    from mrbf_spark.functions.packing import contiguous_sequences
+    from mrbf_spark.functions.sampling import temperature_mixture
+    from mrbf_spark.functions.similarity import N_QUERIES, pq_topk
+
+    emb_src = f"{SF_SMOKE}/embeddings.parquet"
+    doc_src = f"{SF_SMOKE}/documents.parquet"
+    idx = str(tmp_path / "pqidx")
+    assert main(["pq-index", "--input", emb_src, "--out", idx]) == 0
+
+    qsrc = str(tmp_path / "queries")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    emb.filter(F.col("vec_id") < N_QUERIES).write.parquet(qsrc)
+    pqout = str(tmp_path / "pqout")
+    assert main(["pq-query", "--index", idx, "--input", qsrc, "--out", pqout]) == 0
+    got = {
+        (r["query_id"], r["vec_id"], r["rnk"], r["cosine"])
+        for r in spark.read.parquet(pqout).collect()
+    }
+    want = {
+        (r["query_id"], r["vec_id"], r["rnk"], r["cosine"])
+        for r in pq_topk(emb).collect()
+    }
+    assert got == want and len(got) > 0
+
+    cout = str(tmp_path / "contig")
+    assert main(["pack-contig", "--input", doc_src, "--out", cout]) == 0
+    docs = load_table(spark, SF_SMOKE, "documents")
+    written = {
+        (r["seq_id"], r["seq_tokens"], r["seq_text"], r["doc_starts"])
+        for r in spark.read.parquet(cout).collect()
+    }
+    expect = {
+        (r["seq_id"], r["seq_tokens"], r["seq_text"], r["doc_starts"])
+        for r in contiguous_sequences(docs).collect()
+    }
+    assert written == expect
+
+    mout = str(tmp_path / "mixed")
+    assert main(["temp-mix", "--input", doc_src, "--out", mout]) == 0
+    census = {
+        r["lang"]: r["n"]
+        for r in spark.read.parquet(mout)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    expect_census = {
+        r["lang"]: r["n_rows"] for r in temperature_mixture(spark, SF_SMOKE).collect()
+    }
+    assert census == expect_census
+
+
 def test_cli_sketch(spark, tmp_path, capsys):
     """The r5 sketch CLI job: kmv prints one distinct-estimate line per
     group; cms prints a top-N probe that never underestimates."""
