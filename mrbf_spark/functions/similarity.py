@@ -466,7 +466,9 @@ def _pq_cnorm_fixed(cb: np.ndarray, sub_dim: int) -> list[list[int]]:
             )
             for s in range(M_SUB)
         ]
-        for j in range(K_CODES)
+        # cb may hold fewer than K_CODES rows (corpus smaller than the
+        # codebook): iterate what exists
+        for j in range(cb.shape[0])
     ]
 
 

@@ -339,3 +339,105 @@ def test_cms_counts_match_python_reference(spark):
         for r in cms_probe(cms_counters(df, "item"), probes).collect()
     }
     assert all(est[k] >= truth[k] for k in truth)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "cc"]), min_size=1, max_size=9),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=2, max_value=7),
+)
+@settings(max_examples=12, deadline=None)
+def test_contiguous_sequences_match_python_reference(spark, token_lists, seq_len):
+    """contiguous_sequences against a pure-Python stream builder on
+    random corpora and sequence lengths: identical sequence set,
+    texts, token counts, AND doc_starts boundary lists — exercises
+    every boundary case (doc exactly filling a row, multi-row docs,
+    final short row, boundary-straddling EOS)."""
+    from mrbf_spark.functions.packing import contiguous_sequences
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    stream, starts = [], []
+    for _, text in docs:
+        starts.append(len(stream))
+        stream.extend(text.split(" ") + ["<eos>"])
+    expected = {}
+    n_seqs = (len(stream) + seq_len - 1) // seq_len
+    for s in range(n_seqs):
+        chunk = stream[s * seq_len : (s + 1) * seq_len]
+        bounds = [str(p - s * seq_len) for p in starts if s * seq_len <= p < (s + 1) * seq_len]
+        expected[s] = (len(chunk), " ".join(chunk), ",".join(bounds))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["seq_id"]: (r["seq_tokens"], r["seq_text"], r["doc_starts"])
+        for r in contiguous_sequences(df, seq_len=seq_len).collect()
+    }
+    assert got == expected
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from([-1.0, -0.5, 0.0, 0.5, 1.0]), min_size=16, max_size=16
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_pq_codes_match_python_on_random_vectors(spark, vecs):
+    """PQ encode on random tie-heavy vectors (coordinates from a tiny
+    grid force exact fixed-point score ties) against a pure-Python
+    replay — pins the argmax rule and the lowest-code tie-break where
+    they are hardest."""
+    import numpy as np
+
+    import pyspark.sql.functions as F
+
+    from mrbf_spark.functions.similarity import (
+        FIXED_SCALE,
+        K_CODES,
+        M_SUB,
+        _flat_centroids,
+        _pq_cnorm_fixed,
+        pq_codes_col,
+        with_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    cb = _flat_centroids(df, K_CODES)
+    sub = cb.shape[1] // M_SUB
+    cn = _pq_cnorm_fixed(cb, sub)
+    cnorm = F.array(*[F.array(*[F.lit(v).cast("long") for v in row]) for row in cn])
+    got = {
+        r["vec_id"]: r["codes"]
+        for r in with_matrix(df, spark, cb)
+        .select(
+            "vec_id",
+            pq_codes_col(F.col("embedding"), F.col("mat"), cnorm, sub).alias("codes"),
+        )
+        .collect()
+    }
+    for i, v in enumerate(vecs):
+        x = np.array(v, dtype=np.float64)
+        want = []
+        for s in range(M_SUB):
+            xs = x[s * sub : (s + 1) * sub]
+            sc = [
+                2
+                * int(
+                    np.trunc(
+                        xs * cb[j, s * sub : (s + 1) * sub] * float(FIXED_SCALE)
+                    )
+                    .astype(np.int64)
+                    .sum()
+                )
+                - cn[j][s]
+                for j in range(cb.shape[0])
+            ]
+            want.append(int(np.argmax(sc)))
+        assert got[i] == want, (i, got[i], want)
