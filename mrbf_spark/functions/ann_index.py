@@ -258,9 +258,17 @@ def pq_index_probe(
         .filter(F.col("crnk") <= cand)
         .select("query_id", "vec_id", "q_emb", "q_nrm")
     )
-    ids = sorted({r["vec_id"] for r in cands.select("vec_id").distinct().collect()})
+    # ONE execution of the ADC job (ADVICE r6 #4): collect the full
+    # candidate rows (bounded at queries×cand — the same driver budget
+    # the id-list collect already paid) and rebuild the broadcast side
+    # from the collected rows, so the expensive codes scan doesn't run
+    # a second, uncached time when cands joins the vectors read. The
+    # vec_id IN pushdown below still comes from the same collect.
+    cand_rows = cands.collect()
+    ids = sorted({r["vec_id"] for r in cand_rows})
+    cands_local = spark.createDataFrame(cand_rows, cands.schema)
     vectors = spark.read.parquet(f"{path}/vectors").filter(F.col("vec_id").isin(ids))
-    rer = vectors.join(F.broadcast(cands), "vec_id")
+    rer = vectors.join(F.broadcast(cands_local), "vec_id")
     cosine = _decimal_dot(F.col("q_emb"), F.col("embedding")) / (
         F.sqrt(F.col("q_nrm")) * F.sqrt(F.col("nrm"))
     )

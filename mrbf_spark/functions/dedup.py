@@ -42,10 +42,18 @@ _MAX_HOT_BROADCAST_ROWS = 1_000_000
 # RefinedWeb rule of retaining the copy from the most-trusted source
 # when a passage appears in several (curated dump beats crawl), with
 # doc_id as the deterministic tie-break. Both keepers ride the SAME
-# single aggregate: the priority keeper is MIN over the packed
-# integer priority·1e12 + doc_id (exact BIGINT arithmetic on both
-# engines; doc_id < 1e12 by contract), decoded with % — a column, not
-# a second pass.
+# single aggregate: the priority keeper is a struct-ordered MIN over
+# (priority, doc_id) — lexicographic struct comparison, so no packing
+# limit and no doc_id-range contract on the Spark side (ADVICE r6:
+# the previous packed-BIGINT MIN silently decoded a wrong keep id
+# past doc_id ≥ 1e12). The DuckDB twin keeps the packed-integer MIN
+# (exact BIGINT arithmetic; testdata doc_ids ≪ 1e12, asserted by
+# test_advice_guards) — both formulations are MIN over the same
+# total order, so they agree wherever the oracle itself is valid.
+#
+# PREFERRED_SOURCES is only the TEST DEFAULT used by the registered
+# entry (the synthetic corpus's source names); a deployment passes
+# its own ranking via the `priority_sources` parameter.
 PREFERRED_SOURCES = ("src7", "src3")  # rank 0, 1; everything else 99
 _PRIO_PACK = 10**12
 
@@ -56,13 +64,16 @@ _PRIO_SQL = (
 )
 
 
-def source_priority_col(source: Column) -> Column:
-    return (
-        F.when(source == PREFERRED_SOURCES[0], F.lit(0))
-        .when(source == PREFERRED_SOURCES[1], F.lit(1))
-        .otherwise(F.lit(99))
-        .cast("long")
-    )
+def source_priority_col(
+    source: Column, priority_sources: tuple[str, ...] = PREFERRED_SOURCES
+) -> Column:
+    """Rank of `source` in `priority_sources` (0 = most trusted);
+    unlisted sources rank 99 + their would-be position so any listed
+    source always beats any unlisted one."""
+    expr = F.lit(99 + len(priority_sources))
+    for rank in range(len(priority_sources) - 1, -1, -1):
+        expr = F.when(source == priority_sources[rank], F.lit(rank)).otherwise(expr)
+    return expr.cast("long")
 
 
 @register(
@@ -78,18 +89,27 @@ def source_priority_col(source: Column) -> Column:
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    packed = source_priority_col(F.col("source")) * F.lit(_PRIO_PACK) + F.col("doc_id")
+    return dedup_exact_report(load_table(spark, sf_dir, "documents"))
+
+
+def dedup_exact_report(
+    docs: DataFrame, priority_sources: tuple[str, ...] = PREFERRED_SOURCES
+) -> DataFrame:
+    """(fingerprint, keep_id, keep_id_pref, n_copies) — the library
+    form: one fingerprint-hash aggregate; keep_id_pref is the
+    source-priority keeper under `priority_sources` (see the section
+    comment). The struct-ordered MIN has no doc_id-range limit."""
+    prio = source_priority_col(F.col("source"), priority_sources)
     return (
-        d.select(
+        docs.select(
             "doc_id",
             fingerprint_col(F.col("text")).alias("fingerprint"),
-            packed.alias("__prio_key"),
+            F.struct(prio.alias("p"), F.col("doc_id").alias("d")).alias("__prio_key"),
         )
         .groupBy("fingerprint")
         .agg(
             F.min("doc_id").alias("keep_id"),
-            F.pmod(F.min("__prio_key"), F.lit(_PRIO_PACK)).alias("keep_id_pref"),
+            F.min("__prio_key")["d"].alias("keep_id_pref"),
             F.count(F.lit(1)).alias("n_copies"),
         )
     )

@@ -181,6 +181,67 @@ def dense_topk(docs: DataFrame, query_text: str, k: int = K_BRANCH) -> DataFrame
     return top.select("doc_id", "cosine", F.row_number().over(w).alias("rnk"))
 
 
+# --- dense branch, production shape (r7, VERDICT r6 next-round #1):
+# the batch `dense_topk` above embeds the WHOLE corpus inside every
+# query — right for the self-contained catalog entry, wrong for
+# repeated queries at 100 TB, where the corpus is embedded + PQ-encoded
+# ONCE (build_dense_pq_index) and each query embeds only ITSELF and
+# probes the persisted codes table (ann_index.pq_index_probe: broadcast
+# LUT → integer ADC over the ~32×-smaller codes scan → exact decimal
+# re-rank over the vec_id-IN-pushed-down vectors read). Per-query cost
+# is then independent of corpus (re-)embedding — the bench row
+# `dense_topk_indexed` times exactly the probe.
+# Operating point (measured, sf0.01, query=QUERY_TEXT, k=20 — the
+# sweep is in SCALING.md's PQ recall table): flat Forgy codebooks give
+# recall 0.70/0.90/1.00 at cand=160/320/640; KMEANS-refined codebooks
+# give 0.95/1.00/1.00 with a ~2× one-time build cost and identical
+# probe cost. Defaults below (kmeans build, cand=16·k) sit at measured
+# recall 1.00 with a factor-2 cand margin over the 0.95 point.
+DENSE_IDX_CAND_FACTOR = 16  # ADC survivors per requested result
+
+
+def build_dense_pq_index(docs: DataFrame, path: str, use_kmeans: bool = True):
+    """Embed the corpus (hashed-bigram text embeddings) and persist the
+    PQ index at `path` (codes + vectors + codebook); returns the
+    codebook matrix. Build-once: every subsequent dense_topk_indexed
+    probe reads only the persisted tables. use_kmeans=True (default)
+    refines the per-subspace codebooks with the distributed Lloyd loop
+    — measured recall 0.95→1.00 vs 0.70→1.00 flat across the cand
+    sweep, for ~2× one-time build cost."""
+    from .ann_index import write_pq_index
+    from .text_embedding import text_hash_embeddings
+
+    return write_pq_index(text_hash_embeddings(docs), path, use_kmeans=use_kmeans)
+
+
+def dense_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    query_text: str,
+    k: int = K_BRANCH,
+    cand: int | None = None,
+) -> DataFrame:
+    """(doc_id, cosine, rnk) — the dense branch served from the
+    persisted PQ index at `path`: embeds ONLY the query string (one
+    row), never touches corpus text. `cand` is the ADC survivor count
+    fed to the exact re-rank (default DENSE_IDX_CAND_FACTOR·k; the
+    re-rank makes every returned cosine EXACT, so approximation shows
+    up only as missing tail members, never as a wrong score —
+    recall-floor-tested against the exact dense_topk in
+    tests/test_extensions.py)."""
+    from .ann_index import pq_index_probe
+    from .text_embedding import text_hash_embeddings
+
+    if cand is None:
+        cand = DENSE_IDX_CAND_FACTOR * k
+    qdf = spark.createDataFrame([(-1, query_text)], "doc_id long, text string")
+    q = text_hash_embeddings(qdf).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = pq_index_probe(spark, path, q, topk=k, cand=cand, exclude_self=False)
+    return res.select(F.col("vec_id").alias("doc_id"), "cosine", "rnk")
+
+
 def rrf_fuse(
     branches: list[DataFrame], k0: int = RRF_K0, topk: int = RRF_TOPK
 ) -> DataFrame:

@@ -85,6 +85,62 @@ def test_dsir_null_target_predicate_counts_as_raw(spark):
     assert ids == {2, 3, 4}
 
 
+def test_keep_id_pref_struct_min_no_packing_limit(spark):
+    """ADVICE r6 #1: the source-priority keeper must survive doc_ids
+    past the old 1e12 packed-BIGINT bound — the struct-ordered MIN has
+    no packing contract. A corpus with a 1e13 doc_id in the preferred
+    source must elect IT, not a corrupted decode."""
+    from mrbf_spark.functions.dedup import dedup_exact_report
+
+    big = 10**13 + 7
+    docs = spark.createDataFrame(
+        [
+            (1, "srcX", "same text"),
+            (big, "src7", "same text"),  # preferred source, huge id
+            (2, "src3", "same text"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    row = dedup_exact_report(docs).collect()[0]
+    assert row["keep_id"] == 1  # plain min unchanged
+    assert row["keep_id_pref"] == big  # rank-0 source wins despite id
+    assert row["n_copies"] == 3
+
+
+def test_keep_id_pref_oracle_contract_holds_on_testdata(spark):
+    """The DuckDB twin still uses the packed-BIGINT MIN (valid while
+    doc_id < 1e12) — assert the testdata actually honors that contract
+    so the oracle comparison itself is sound."""
+    from conftest import SF_ORACLE
+    from mrbf_spark.tables import load_table
+
+    mx = (
+        load_table(spark, SF_ORACLE, "documents")
+        .agg(F.max("doc_id").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert mx < 10**12, "testdata violates the oracle's packing bound"
+
+
+def test_source_priority_is_parameterizable(spark):
+    """ADVICE r6 #2: the priority ranking is a parameter — a custom
+    ordering must elect a different keeper than the test default."""
+    from mrbf_spark.functions.dedup import dedup_exact_report
+
+    docs = spark.createDataFrame(
+        [
+            (10, "crawl", "dup text"),
+            (20, "curated", "dup text"),
+            (30, "books", "dup text"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    default = dedup_exact_report(docs).collect()[0]
+    assert default["keep_id_pref"] == 10  # no listed source → min id
+    custom = dedup_exact_report(docs, priority_sources=("books", "curated"))
+    assert custom.collect()[0]["keep_id_pref"] == 30  # books outranks all
+
+
 def test_dsir_null_predicate_duckdb_parity(spark):
     """The oracle twin applies the same COALESCE(..., FALSE) — the two
     engines agree row-for-row on a corpus with NULL langs."""

@@ -1263,6 +1263,62 @@ def test_pq_index_persists_and_probe_matches_inmemory(spark, tmp_path):
     assert n_ids <= N_QUERIES * PQ_CAND, n_ids
 
 
+def test_dense_topk_indexed_equals_exact_dense_topk(spark, tmp_path):
+    """r7 (VERDICT r6 next-round #1): the dense retrieval branch served
+    from the persisted PQ index must reproduce the exact corpus-embed
+    dense_topk. With cand ≥ corpus the ADC stage passes every doc to
+    the exact re-rank, so the composition (query-only embedding → LUT →
+    integer ADC → vec_id-IN-pushed-down re-rank) is EQUALITY-checked —
+    ids, ranks, and bit-exact cosines. Recall at production cand is the
+    measured sweep in SCALING.md (kmeans codebooks: 0.95/1.00 at
+    cand=8k/16k, sf0.01); approximation can only drop tail members,
+    never alter a returned cosine (the re-rank is exact)."""
+    from mrbf_spark.functions.retrieval import (
+        QUERY_TEXT,
+        build_dense_pq_index,
+        dense_topk,
+        dense_topk_indexed,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    idx = str(tmp_path / "dense_pq")
+    # flat build: the codebook flavor is equality-irrelevant once
+    # cand ≥ corpus (every doc reaches the exact re-rank)
+    build_dense_pq_index(docs, idx, use_kmeans=False)
+    n_docs = docs.count()
+    got = {
+        (r["doc_id"], r["rnk"], r["cosine"])
+        for r in dense_topk_indexed(
+            spark, idx, QUERY_TEXT, k=10, cand=n_docs
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["rnk"], r["cosine"])
+        for r in dense_topk(docs, QUERY_TEXT, k=10).collect()
+    }
+    assert got == want and len(got) == 10
+
+
+def test_dense_topk_indexed_embeds_only_the_query(spark, tmp_path):
+    """The probe plan must not contain the corpus text-embedding
+    derivation — per-query cost is independent of corpus embedding.
+    Pinned structurally: the probe's plan reads the persisted
+    codes/vectors parquet and never scans documents.parquet."""
+    from mrbf_spark.functions.retrieval import (
+        QUERY_TEXT,
+        build_dense_pq_index,
+        dense_topk_indexed,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    idx = str(tmp_path / "dense_pq2")
+    build_dense_pq_index(docs, idx, use_kmeans=False)
+    probe = dense_topk_indexed(spark, idx, QUERY_TEXT, k=5)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan, "probe re-scans the corpus"
+    assert probe.count() == 5
+
+
 def test_streaming_semdedup_matches_exact_reference(spark):
     """The stateless semi/anti stream-static classification must agree
     with an exact numpy replay: every streamed vector appears exactly

@@ -148,6 +148,48 @@ def test_contiguous_sequences_no_global_single_task_window(spark):
     assert "SinglePartition" not in plan, "global window snuck in"
 
 
+def test_packing_suite_shares_one_prefix_sum(spark, monkeypatch):
+    """r7 (VERDICT r6 #2): the suite's layout and contig parts must
+    ride ONE 3-phase prefix sum — one range exchange, one checkpoint,
+    one driver collect. The exchange itself is invisible in the final
+    plan (the localCheckpoint truncates lineage), so the pin counts
+    invocations of the prefix-sum machine and asserts the single call
+    carries BOTH stream positions."""
+    from mrbf_spark.functions import packing
+
+    calls: list[dict] = []
+    real = packing._with_stream_starts
+
+    def counting(toks, starts):
+        calls.append(dict(starts))
+        return real(toks, starts)
+
+    monkeypatch.setattr(packing, "_with_stream_starts", counting)
+    packing.packing_suite(spark, SF_ORACLE).count()
+    assert len(calls) == 1, f"prefix sum ran {len(calls)}× in the suite"
+    assert set(calls[0]) == {"start_layout", "start_contig"}
+
+
+def test_contiguous_sequences_doc_size_guard_fires(spark):
+    """The 2^31 within-doc slice-offset guard (ADVICE r6) must raise
+    loudly, not slice a wrong window. Exercised symbolically: the
+    checked cast is a when/raise_error expression, so feed the guard
+    expression a literal past the bound via a 1-row frame with a faked
+    n_units/start_tok (a real 2^31-token doc is not constructible in a
+    test)."""
+    import pytest
+    from mrbf_spark.functions.packing import _contig_from_laid
+
+    laid = spark.createDataFrame(
+        [(["a", "b"], 2**31 + 10, 0)],
+        "t array<string>, n_units bigint, start_tok bigint",
+    )
+    # seq_len = 2^30 keeps the explode tiny (3 pieces) while the third
+    # piece's within-doc offset lands past 2^31 and must raise
+    with pytest.raises(Exception, match="2\\^31-1|raise_error|USER_RAISED"):
+        _contig_from_laid(laid, seq_len=2**30).collect()
+
+
 def test_pii_redaction_matches_duckdb(spark):
     # builder since r6 (columns ride the quality_signals entry) — the
     # oracle SQL lives in BUILDER_SQL for composition
