@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..registry import register, release_scoped_caches, scoped_cache
 from ..tables import load_table
 from .decontam import EVAL_MOD, FLAG_THRESHOLD, NGRAM_N, decontaminate_docs
-from .dedup import exact_jaccard_pairs
+from .dedup import assign_clusters, exact_jaccard_pairs, lex_min_independent_set
 from .similarity import semdedup_verdicts
 from .text import fingerprint_col, token_count_col
 from .text_embedding import TEXT_SEM_TAU, text_hash_embeddings
@@ -50,6 +50,7 @@ def curate_corpus(
     max_chars_per_token: float = 15.0,
     jaccard_tau: float = 0.5,
     jaccard_max_df: int | None = 200,
+    neardup_keeper: str = "pairwise",
     semantic: bool = True,
     sem_tau: float = TEXT_SEM_TAU,
     contam_threshold: float = FLAG_THRESHOLD,
@@ -64,9 +65,24 @@ def curate_corpus(
     leaves (`registry.release_scoped_caches()`); checkpoint blocks
     free when the returned DataFrame is garbage-collected.
 
-    Near-dup stage semantics: a doc drops when ANY smaller-id doc is
-    Jaccard-≥τ similar — deliberately lossy on chains (see the stage-3
-    comment; cluster-keeper election is the less-lossy alternative)."""
+    Near-dup stage semantics — `neardup_keeper` (r7, VERDICT r6
+    next-round #3) selects the keeper election:
+      * "pairwise" (default, the registered entry's oracle): drop a
+        doc when ANY smaller-id doc is Jaccard-≥τ similar.
+        Transitive-lossy on chains: A~B~C (A≁C) loses both B and C
+        even though C's only partner B is itself dropped.
+      * "cluster": one keeper (min doc_id) per CONNECTED COMPONENT of
+        the pair graph (assign_clusters). The most aggressive rule —
+        a star P~R~Q keeps only P although P≁Q; right when "near-dup
+        of a near-dup" should still dedup (boilerplate families).
+      * "greedy": lexicographically-first maximal-independent-set
+        election (lex_min_independent_set) — the least lossy rule:
+        every dropped doc is Jaccard-≥τ similar to a doc that
+        actually SURVIVES, so no content disappears without a kept
+        representative. A~B~C keeps A and C; P~R~Q keeps P and Q.
+    Survivor-set containment: cluster ⊆ pairwise ⊆ greedy (component
+    min has no smaller neighbor; a pairwise survivor is its
+    neighborhood's minimum, hence greedy-kept)."""
     # Stage handoffs are localCheckpoint'd, not cache()'d (r6): each
     # stage's plan then reads the previous stage's materialized blocks
     # instead of accumulating a five-stage logical tree. The
@@ -104,16 +120,34 @@ def curate_corpus(
     census.append(("quality_gate", cur.count()))
 
     # 3 — near-dup removal: complete Jaccard-≥τ pairs (bounded by the
-    # df cap), drop every doc that has a smaller-id partner — keeps
-    # exactly the docs with no earlier near-duplicate.
-    # Trade-off (ADVICE r5): the drop rule is transitive-lossy. For a
-    # chain A~B~C with A≁C, both B and C drop even though C's only
-    # partner (B) is itself dropped — a deliberate one-join rule that
-    # over-deletes relative to per-cluster keeper election. If
-    # cluster-keeper semantics are wanted, run dedup.assign_clusters
-    # over the pair edges and keep min doc_id per component instead.
+    # df cap), keeper election per `neardup_keeper` (docstring). All
+    # three modes consume the SAME bounded pair set; the election
+    # machinery (components / MIS rounds) runs over edges only, never
+    # the corpus.
     pairs = exact_jaccard_pairs(cur, jaccard_tau, max_df=jaccard_max_df)
-    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    if neardup_keeper == "pairwise":
+        losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    elif neardup_keeper == "cluster":
+        # assign_clusters labels every doc (singletons label
+        # themselves), so "not the component min" is the drop set
+        losers = (
+            assign_clusters(cur, pairs.select("doc_a", "doc_b"))
+            .filter(F.col("doc_id") != F.col("cluster_id"))
+            .select("doc_id")
+        )
+    elif neardup_keeper == "greedy":
+        incident = (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        kept = lex_min_independent_set(pairs)
+        losers = incident.join(kept, "doc_id", "left_anti")
+    else:
+        raise ValueError(
+            f"neardup_keeper must be pairwise|cluster|greedy, got"
+            f" {neardup_keeper!r}"
+        )
     cur = cur.join(losers, "doc_id", "left_anti").localCheckpoint()
     census.append(("neardup_jaccard", cur.count()))
 

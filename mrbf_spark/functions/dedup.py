@@ -1110,6 +1110,95 @@ def assign_clusters(docs: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
+def lex_min_independent_set(
+    edges: DataFrame, max_iters: int = _CC_MAX_ITERS
+) -> DataFrame:
+    """Kept node ids (one column, `doc_id`) of the LEXICOGRAPHICALLY-
+    FIRST maximal independent set over the undirected graph `edges`
+    (doc_a, doc_b; doc_a < doc_b required) — bit-identical to the
+    sequential greedy election "walk ids ascending, keep a node iff
+    none of its neighbors is already kept".
+
+    This is the near-dup keeper rule under which every DROPPED doc is
+    similar to a doc that actually SURVIVES (maximality), unlike
+    either the pairwise rule (drop on any smaller-id partner — a chain
+    A~B~C loses C although C's only partner B is itself dropped) or
+    the one-keeper-per-component rule (a star P~R~Q keeps only P
+    although Q is not similar to P). Nodes not incident to any edge
+    are NOT returned — the caller keeps them unconditionally.
+
+    Parallel form: the classic deterministic-priority MIS round —
+    select every node with no smaller ACTIVE neighbor (with doc_a <
+    doc_b that is exactly "never appears as doc_b"), retire the
+    selected nodes and their neighborhoods, drop edges with a retired
+    endpoint, repeat; when no edges remain, every still-active node is
+    isolated and kept. Equivalence to the sequential greedy is the
+    standard lex-first-MIS argument: a node selected in round k is
+    the minimum of its remaining neighborhood, which is precisely when
+    the sequential walk keeps it.
+
+    Scale: every per-round frame is bounded by the EDGE set (itself
+    bounded by the df-capped pair generation upstream), never the
+    corpus; each round localCheckpoints the shrinking active/edge
+    frames so round i does not replay rounds 0..i-1 (the
+    assign_clusters lineage lesson). Rounds needed = greedy rounds of
+    the component structure — near-dup components are shallow
+    (assign_clusters' measured property); a path component of 2k
+    nodes needs k rounds, bounded loudly by max_iters.
+    """
+    edges = scoped_cache(edges.select("doc_a", "doc_b"))
+    edges.count()
+    active = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = edges.localCheckpoint()
+    kept: DataFrame | None = None
+    for _ in range(max_iters):
+        if cur.isEmpty():
+            break
+        # S = active nodes with no smaller active neighbor: doc_a <
+        # doc_b everywhere, so "appears as doc_b in a live edge" IS
+        # "has a smaller active neighbor".
+        s = active.join(
+            cur.select(F.col("doc_b").alias("doc_id")), "doc_id", "left_anti"
+        ).localCheckpoint()
+        kept = s if kept is None else kept.unionByName(s)
+        neigh = (
+            cur.join(
+                s.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+            )
+            .select(F.col("doc_b").alias("doc_id"))
+            .unionByName(
+                cur.join(
+                    s.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi"
+                ).select(F.col("doc_a").alias("doc_id"))
+            )
+        )
+        active = active.join(
+            s.unionByName(neigh).distinct(), "doc_id", "left_anti"
+        ).localCheckpoint()
+        cur = (
+            cur.join(
+                active.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+            )
+            .join(
+                active.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi"
+            )
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(
+            f"lex_min_independent_set did not converge in {max_iters} rounds —"
+            " a component needs more greedy rounds than the guard allows;"
+            " raise max_iters (rounds ≈ half the longest path)"
+        )
+    # edges empty ⇒ every remaining active node is isolated: keep all.
+    return active if kept is None else kept.unionByName(active)
+
+
 # ------------------------------------------------ leakage-safe split
 
 def leakage_safe_split(docs: DataFrame) -> DataFrame:
