@@ -256,6 +256,10 @@ def legacy_builders() -> dict:
         # late r6: the semantic contamination channel, timed standalone
         # (contained in the `decontaminate` entry)
         "semantic_decontam": _decontam.semantic_decontam,
+        # r7: the IVF-pruned semantic channel (the large-eval-suite
+        # scale path) — NOT contained in any entry; its cost tracks
+        # what cell routing buys vs the exact cross above
+        "semantic_decontam_pruned": _decontam.semantic_decontam_pruned,
         # late r6: the r4-comparable lexical-only BM25 cost (the
         # catalog's bm25_topk key now times the full retrieval suite)
         "bm25_lexical": lambda spark, sf_dir: _retrieval.bm25_topk(

@@ -145,3 +145,70 @@ def test_semantic_covers_subngram_docs(spark):
     got = {r["doc_id"]: r for r in sem.collect()}
     assert set(got) == {1, 2}
     assert got[1]["flagged"] == 1  # verbatim bigram copy
+
+
+# ---------------- IVF-pruned semantic channel (r7, VERDICT r6 #6)
+
+def _splits(spark):
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return d.filter(F.col("doc_id") % 3 != 0), d.filter(F.col("doc_id") % 3 == 0)
+
+
+def _rows(df):
+    return {
+        r.doc_id: (r.closest_eval_id, float(r.max_eval_cosine), r.flagged)
+        for r in df.collect()
+    }
+
+
+def test_semantic_pruned_full_probe_equals_exact(spark):
+    """n_probe = n_cells ⇒ candidates are ALL pairs ⇒ the pruned
+    channel is bit-identical to the exact one (structural equality at
+    catalog scale, the r6 #6 done criterion)."""
+    from mrbf_spark.functions.decontam import semantic_decontaminate_pruned
+    from mrbf_spark.registry import release_scoped_caches
+
+    corpus, evals = _splits(spark)
+    exact = _rows(semantic_decontaminate(corpus, evals))
+    pruned = _rows(
+        semantic_decontaminate_pruned(corpus, evals, n_cells=8, n_probe=8)
+    )
+    release_scoped_caches()
+    assert pruned == exact
+
+
+def test_semantic_pruned_is_one_sided_and_flags_planted(spark):
+    """Narrow probing (n_probe=2 of 16 cells): per doc the pruned max
+    cosine never exceeds the exact one (candidates ⊆ all pairs ⇒ no
+    false flags), every doc is still reported (totality fallback), and
+    PLANTED near-copies of eval docs — the rows that matter — are
+    flagged with the same argmax row as the exact channel."""
+    from mrbf_spark.functions.decontam import semantic_decontaminate_pruned
+    from mrbf_spark.registry import release_scoped_caches
+
+    corpus, evals = _splits(spark)
+    ev = {r.doc_id: r.text for r in evals.limit(40).collect()}
+    planted_ids = sorted(ev)[:3]
+    planted = _docs(
+        spark,
+        [
+            (100000 + i, ev[i] + " tailword")  # near-copy, J < 1, cos ≈ 1
+            for i in planted_ids
+        ],
+    )
+    corpus = corpus.unionByName(planted)
+    exact = _rows(semantic_decontaminate(corpus, evals))
+    pruned = _rows(
+        semantic_decontaminate_pruned(corpus, evals, n_cells=16, n_probe=2)
+    )
+    release_scoped_caches()
+    assert set(pruned) == set(exact)  # totality
+    for k, (_, cos, flg) in pruned.items():
+        assert cos <= exact[k][1] + 1e-12, k  # one-sided
+        assert flg <= exact[k][2], k  # no false flags
+    for i in planted_ids:  # the contaminated rows survive pruning
+        assert pruned[100000 + i] == exact[100000 + i]
+        assert pruned[100000 + i][2] == 1
+        assert pruned[100000 + i][0] == i
