@@ -187,11 +187,12 @@ _TEMP_SQL = f"""
     """
 
 
-def temperature_replicate(docs: DataFrame, stratum: str = "lang") -> DataFrame:
-    """The materializing form (the `temp-mix` CLI job): every input
-    row replicated per the temperature rule, full schema preserved.
-    Requires a `doc_id` column (the content-addressed fractional-copy
-    key)."""
+def temperature_rates(docs: DataFrame, stratum: str = "lang") -> DataFrame:
+    """Per-stratum replication rates (stratum, __base, __tfrac) from a
+    census of `docs` — the tiny broadcast side of the temperature
+    rule, exposed separately (r7) so the STREAMING twin can freeze the
+    rates from a static snapshot and replicate an unbounded stream
+    against them (streaming/sampling_stream.py)."""
     counts = docs.groupBy(stratum).agg(F.count(F.lit(1)).alias("n_s"))
     # the empty-partition window runs over the ≤|strata|-row AGG
     # OUTPUT (a driver-sized frame), not the corpus — bounded by the
@@ -200,18 +201,28 @@ def temperature_replicate(docs: DataFrame, stratum: str = "lang") -> DataFrame:
         F.max("n_s").over(Window.partitionBy()).cast("double")
         / F.col("n_s").cast("double")
     )
-    rates = counts.select(
+    return counts.select(
         stratum,
         F.floor(rate).cast("int").alias("__base"),
         ((rate - F.floor(rate)) * F.lit(float(TEMP_FRAC_SCALE)))
         .cast("long")
         .alias("__tfrac"),
     )
-    keyed = docs.join(F.broadcast(rates), stratum)
+
+
+def temperature_copies_col() -> Column:
+    """Copy count per row once joined to the rates frame: base copies
+    plus one iff the row's portable md5 bucket falls under the
+    fractional-rate threshold (content-addressed — survives
+    repartitioning, engine swaps, and batch/stream boundaries)."""
     bucket = F.pmod(
         F.conv(
             F.substring(
-                F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("temp"))),
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("doc_id").cast("string"), F.lit("temp")
+                    )
+                ),
                 1,
                 15,
             ),
@@ -220,8 +231,18 @@ def temperature_replicate(docs: DataFrame, stratum: str = "lang") -> DataFrame:
         ).cast("long"),
         F.lit(TEMP_FRAC_SCALE),
     )
-    copies = F.col("__base") + (bucket < F.col("__tfrac")).cast("int")
-    return replicate_by_weight(keyed, copies).drop("__base", "__tfrac")
+    return F.col("__base") + (bucket < F.col("__tfrac")).cast("int")
+
+
+def temperature_replicate(docs: DataFrame, stratum: str = "lang") -> DataFrame:
+    """The materializing form (the `temp-mix` CLI job): every input
+    row replicated per the temperature rule, full schema preserved.
+    Requires a `doc_id` column (the content-addressed fractional-copy
+    key)."""
+    keyed = docs.join(F.broadcast(temperature_rates(docs, stratum)), stratum)
+    return replicate_by_weight(keyed, temperature_copies_col()).drop(
+        "__base", "__tfrac"
+    )
 
 
 @builder("temperature_mixture", _TEMP_SQL)

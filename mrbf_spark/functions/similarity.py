@@ -546,7 +546,12 @@ def pq_fit_codebooks(
     return cb
 
 
-def pq_topk(emb: DataFrame, codebook: np.ndarray | None = None) -> DataFrame:
+def pq_topk(
+    emb: DataFrame,
+    codebook: np.ndarray | None = None,
+    *,
+    cand: int = PQ_CAND,
+) -> DataFrame:
     """PQ ANN: encode the corpus once (one scan, no shuffle), score
     every query against the codes table through its broadcast LUT,
     keep the ADC top-PQ_CAND, then exact-decimal re-rank only those
@@ -606,7 +611,7 @@ def pq_topk(emb: DataFrame, codebook: np.ndarray | None = None) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", "q_emb", "q_nrm", adc.alias("adc"))
         .withColumn("crnk", F.row_number().over(wc))
-        .filter(F.col("crnk") <= PQ_CAND)
+        .filter(F.col("crnk") <= cand)
         .select("query_id", "vec_id", "q_emb", "q_nrm")
     )
     # Exact re-rank: full vectors are read ONLY for the candidates —
