@@ -1,0 +1,298 @@
+"""Schema-compatible testdata generator for scale-robustness gates
+(r7, VERDICT r6 next-round #5).
+
+The driver's /root/testdata is read-only and stops at sf0.1; the
+oracle gate is SELF-consistent (Spark vs DuckDB over the SAME
+parquet), so proving the catalog holds at sf1 (100× the gate) only
+needs data with the same schemas, key relationships, and value
+shapes — not the driver's exact rows. This mirrors the observed
+tables (types incl. timestamp[us] no-tz, FK ranges like events.user_id
+⊂ customer keys, the documents vocab/length/duplication structure,
+label-clustered unit embeddings) at any sf, deterministically
+(seed 42).
+
+Usage: python tools/gen_testdata.py [sf] [out_dir]
+Default sf=1, out_dir=<repo>/.testdata/sf{sf}. Never writes outside
+the repo.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 42
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+STATUSES = ["O", "F", "P"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+RETFLAGS = ["A", "N", "R"]
+LINESTATUS = ["F", "O"]
+PTYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+PADJ = ["large", "hot", "blue", "red", "small", "dark", "pale", "slow"]
+PNOUN = ["ring", "bolt", "screw", "nut", "cog", "gear", "pin", "cap"]
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+LANGS = ["en", "de", "es", "fr", "zh"]
+LANG_W = [0.41, 0.14, 0.15, 0.15, 0.15]
+VOCAB = (
+    "a agg batch big column customer data dup fast filter group hash join "
+    "key line merge order part query row scan slow small sort spark stream "
+    "table the value vector window"
+).split()
+
+DAY_US = 86_400_000_000
+
+
+def _ts_array(us: np.ndarray) -> pa.Array:
+    return pa.array(us.astype("int64"), type=pa.timestamp("us"))
+
+
+def _write(out_dir: str, name: str, table: pa.Table) -> None:
+    path = os.path.join(out_dir, f"{name}.parquet")
+    pq.write_table(table, path)
+    print(f"wrote {path} ({table.num_rows} rows)")
+
+
+def generate(sf: float, out_dir: str) -> None:
+    rng = np.random.RandomState(SEED)
+    os.makedirs(out_dir, exist_ok=True)
+
+    n_cust = int(150_000 * sf)
+    n_supp = int(10_000 * sf)
+    n_part = int(200_000 * sf)
+    n_orders = int(1_500_000 * sf)
+    n_li = int(6_000_000 * sf)
+    n_events = int(1_000_000 * sf)
+    n_docs = max(500, int(50_000 * sf))
+    n_emb = max(500, int(20_000 * sf))
+
+    _write(
+        out_dir,
+        "region",
+        pa.table(
+            {
+                "r_regionkey": pa.array(range(5), pa.int32()),
+                "r_name": REGIONS,
+            }
+        ),
+    )
+    _write(
+        out_dir,
+        "nation",
+        pa.table(
+            {
+                "n_nationkey": pa.array(range(25), pa.int32()),
+                "n_name": [f"NATION_{i}" for i in range(25)],
+                "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+            }
+        ),
+    )
+    _write(
+        out_dir,
+        "customer",
+        pa.table(
+            {
+                "c_custkey": pa.array(np.arange(n_cust, dtype="int64")),
+                "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+                "c_nationkey": pa.array(
+                    rng.randint(0, 25, n_cust).astype("int32")
+                ),
+                "c_acctbal": np.round(rng.uniform(-999, 9999, n_cust), 2),
+                "c_mktsegment": [
+                    SEGMENTS[i] for i in rng.randint(0, 5, n_cust)
+                ],
+            }
+        ),
+    )
+    _write(
+        out_dir,
+        "supplier",
+        pa.table(
+            {
+                "s_suppkey": pa.array(np.arange(n_supp, dtype="int64")),
+                "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+                "s_nationkey": pa.array(
+                    rng.randint(0, 25, n_supp).astype("int32")
+                ),
+                "s_acctbal": np.round(rng.uniform(-999, 9999, n_supp), 2),
+            }
+        ),
+    )
+    _write(
+        out_dir,
+        "part",
+        pa.table(
+            {
+                "p_partkey": pa.array(np.arange(n_part, dtype="int64")),
+                "p_name": [
+                    f"{PADJ[i % 8]} {PNOUN[(i // 8) % 8]}" for i in range(n_part)
+                ],
+                "p_brand": [f"Brand#{i}" for i in rng.randint(0, 25, n_part)],
+                "p_type": [PTYPES[i] for i in rng.randint(0, 6, n_part)],
+                "p_size": pa.array(rng.randint(1, 51, n_part).astype("int32")),
+                "p_retailprice": np.round(
+                    900.0 + 0.1 * np.arange(n_part, dtype="float64"), 2
+                ),
+            }
+        ),
+    )
+
+    # orders: dates over 1995-01-01 .. 2001-08-01 at day granularity
+    o_epoch = np.datetime64("1995-01-01").astype("datetime64[us]").astype("int64")
+    o_days = rng.randint(0, 2405, n_orders).astype("int64")
+    _write(
+        out_dir,
+        "orders",
+        pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(n_orders, dtype="int64")),
+                "o_custkey": pa.array(
+                    rng.randint(0, max(n_cust, 1), n_orders).astype("int64")
+                ),
+                "o_orderstatus": [
+                    STATUSES[i] for i in rng.randint(0, 3, n_orders)
+                ],
+                "o_totalprice": np.round(
+                    rng.uniform(1000, 500_000, n_orders), 2
+                ),
+                "o_orderdate": _ts_array(o_epoch + o_days * DAY_US),
+                "o_orderpriority": [
+                    PRIORITIES[i] for i in rng.randint(0, 5, n_orders)
+                ],
+            }
+        ),
+    )
+
+    li_days = rng.randint(1, 2500, n_li).astype("int64")
+    _write(
+        out_dir,
+        "lineitem",
+        pa.table(
+            {
+                "l_orderkey": pa.array(
+                    rng.randint(0, max(n_orders, 1), n_li).astype("int64")
+                ),
+                "l_partkey": pa.array(
+                    rng.randint(0, max(n_part, 1), n_li).astype("int64")
+                ),
+                "l_suppkey": pa.array(
+                    rng.randint(0, max(n_supp, 1), n_li).astype("int64")
+                ),
+                "l_linenumber": pa.array(
+                    rng.randint(1, 8, n_li).astype("int32")
+                ),
+                "l_quantity": rng.randint(1, 51, n_li).astype("float64"),
+                "l_extendedprice": np.round(rng.uniform(900, 105_000, n_li), 2),
+                "l_discount": np.round(rng.randint(0, 11, n_li) * 0.01, 2),
+                "l_tax": np.round(rng.randint(0, 9, n_li) * 0.01, 2),
+                "l_returnflag": [RETFLAGS[i] for i in rng.randint(0, 3, n_li)],
+                "l_linestatus": [LINESTATUS[i] for i in rng.randint(0, 2, n_li)],
+                "l_shipdate": _ts_array(o_epoch + li_days * DAY_US),
+            }
+        ),
+    )
+
+    # events: Jan 2024, user_id ⊂ first tenth of customer keys (the
+    # observed FK shape), value skewed-positive, props tiny JSON
+    e_epoch = np.datetime64("2024-01-01").astype("datetime64[us]").astype("int64")
+    e_us = np.sort(rng.randint(0, 30 * DAY_US, n_events).astype("int64"))
+    _write(
+        out_dir,
+        "events",
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n_events, dtype="int64")),
+                "ts": _ts_array(e_epoch + e_us),
+                "user_id": pa.array(
+                    rng.randint(0, max(n_cust // 10, 1), n_events).astype(
+                        "int64"
+                    )
+                ),
+                "event_type": [
+                    EVENT_TYPES[i] for i in rng.randint(0, 5, n_events)
+                ],
+                "value": np.round(rng.exponential(60, n_events), 2),
+                "props": [json.dumps({"k": int(k)}) for k in rng.randint(0, 100, n_events)],
+            }
+        ),
+    )
+
+    # documents: word-salad over the observed 31-word vocab, 10-100
+    # tokens, ~1.5‰ planted verbatim duplicates + ~1‰ near-duplicates
+    # (one token appended) so every dedup family has real work
+    lang_idx = rng.choice(len(LANGS), n_docs, p=LANG_W)
+    lens = rng.randint(10, 101, n_docs)
+    texts: list[str] = []
+    for i in range(n_docs):
+        toks = [VOCAB[j] for j in rng.randint(0, len(VOCAB), lens[i])]
+        texts.append(" ".join(toks))
+    n_dup = max(4, n_docs // 650)
+    for j in range(n_dup):
+        src = int(rng.randint(0, n_docs // 2))
+        dst = n_docs // 2 + int(rng.randint(0, n_docs // 2))
+        texts[dst] = texts[src]  # verbatim duplicate
+    for j in range(max(2, n_docs // 1000)):
+        src = int(rng.randint(0, n_docs - 1))
+        dst = (src + n_docs // 3) % n_docs
+        texts[dst] = texts[src] + " extra"  # near-duplicate
+    _write(
+        out_dir,
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n_docs, dtype="int64")),
+                "text": texts,
+                "lang": [LANGS[i] for i in lang_idx],
+                "source": [f"src{i}" for i in rng.randint(0, 20, n_docs)],
+                "n_chars": pa.array(
+                    np.array([len(t) for t in texts], dtype="int64")
+                ),
+            }
+        ),
+    )
+
+    # embeddings: 10 label clusters on the unit sphere (center pull +
+    # noise, L2-normalized float32), a few exact-duplicate vectors
+    dim = 64
+    centers = rng.randn(10, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.randint(0, 10, n_emb)
+    x = centers[labels] * 0.6 + rng.randn(n_emb, dim) * 0.35
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    for j in range(max(2, n_emb // 500)):
+        src = int(rng.randint(0, n_emb // 2))
+        dst = n_emb // 2 + int(rng.randint(0, n_emb // 2))
+        x[dst] = x[src]
+        labels[dst] = labels[src]
+    emb32 = x.astype("float32")
+    _write(
+        out_dir,
+        "embeddings",
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n_emb, dtype="int64")),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(emb32.ravel(), pa.float32()), dim
+                ).cast(pa.list_(pa.float32())),
+                "label": pa.array(labels.astype("int32")),
+            }
+        ),
+    )
+
+
+if __name__ == "__main__":
+    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    sf_name = f"{sf:g}"
+    out = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.join(REPO, ".testdata", f"sf{sf_name}")
+    )
+    generate(sf, out)
