@@ -482,6 +482,7 @@ def cmd_curate(args) -> None:
         lang=args.lang or None,
         min_tokens=args.min_tokens,
         jaccard_tau=args.jaccard_tau,
+        neardup_keeper=args.neardup_keeper,
         semantic=not args.no_semantic,
     )
     curated.write.mode("overwrite").parquet(args.out)
@@ -893,6 +894,15 @@ def main(argv: list[str] | None = None) -> int:
     p_cu.add_argument("--lang", default="en", help="'' disables the lang gate")
     p_cu.add_argument("--min-tokens", type=int, default=5)
     p_cu.add_argument("--jaccard-tau", type=float, default=0.5)
+    p_cu.add_argument(
+        "--neardup-keeper",
+        choices=("pairwise", "cluster", "greedy"),
+        default="pairwise",
+        help="near-dup keeper election: pairwise = drop on any "
+        "smaller-id partner; cluster = one keeper per connected "
+        "component; greedy = maximal independent set (every dropped "
+        "doc keeps a surviving near-dup partner)",
+    )
     p_cu.add_argument("--no-semantic", action="store_true")
     p_cu.add_argument("--shards", type=int, default=0)
 

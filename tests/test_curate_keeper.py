@@ -187,3 +187,41 @@ def test_lex_mis_matches_sequential_greedy(spark):
         got = {r.doc_id for r in lex_min_independent_set(df).collect()}
         release_scoped_caches()
         assert got == kept & incident, f"graph with {len(edges)} edges"
+
+
+def test_curate_cli_neardup_keeper_flag(spark, tmp_path):
+    """`python -m mrbf_spark curate --neardup-keeper greedy` end to
+    end: the CLI writes exactly the greedy survivor set."""
+    from mrbf_spark.__main__ import main
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "curated")
+    _planted(spark).write.parquet(src)
+    assert (
+        main(
+            [
+                "curate",
+                "--input", src,
+                "--out", out,
+                "--jaccard-tau", str(TAU),
+                "--no-semantic",
+            ]
+        )
+        == 0
+    )
+    pairwise = {r.doc_id for r in spark.read.parquet(out).collect()}
+    out2 = str(tmp_path / "curated_greedy")
+    main(
+        [
+            "curate",
+            "--input", src,
+            "--out", out2,
+            "--jaccard-tau", str(TAU),
+            "--neardup-keeper", "greedy",
+            "--no-semantic",
+        ]
+    )
+    greedy = {r.doc_id for r in spark.read.parquet(out2).collect()}
+    filler_ids = {i for i, _ in _FILLER}
+    assert pairwise == {1, 10, 11} | filler_ids
+    assert greedy == {1, 3, 10, 11} | filler_ids
