@@ -260,6 +260,15 @@ def legacy_builders() -> dict:
         # scale path) — NOT contained in any entry; its cost tracks
         # what cell routing buys vs the exact cross above
         "semantic_decontam_pruned": _decontam.semantic_decontam_pruned,
+        # r7 (VERDICT r6 next-round #1 done criterion): the dense
+        # retrieval branch served from the persisted PQ index. The
+        # index builds ONCE per sf (on the warm-up pass — build cost
+        # excluded by the discarded-sweep design, exactly the
+        # build-once/probe-many deployment shape); the timed number is
+        # the per-query probe, whose cost is independent of corpus
+        # embedding (compare: the contained `bm25_topk` dense branch
+        # embeds the corpus per call).
+        "dense_topk_indexed": _dense_indexed_builder(),
         # late r6: the r4-comparable lexical-only BM25 cost (the
         # catalog's bm25_topk key now times the full retrieval suite)
         "bm25_lexical": lambda spark, sf_dir: _retrieval.bm25_topk(
@@ -273,6 +282,33 @@ def legacy_builders() -> dict:
         "ann_pq_topk": _similarity.ann_pq_topk,
         "temperature_mixture": _sampling.temperature_mixture,
     }
+
+
+def _dense_indexed_builder():
+    """Closure giving dense_topk_indexed a build-once/probe-many index
+    under the repo's gitignored .tmp/ scratch (keyed by sf dir)."""
+    cache: dict[str, str] = {}
+
+    def q(spark, sf_dir):
+        from mrbf_spark import tables as _t
+        from mrbf_spark.functions import retrieval as _r
+
+        path = cache.get(sf_dir)
+        if path is None:
+            base = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), ".tmp"
+            )
+            os.makedirs(base, exist_ok=True)
+            path = os.path.join(
+                base, "dense_idx_" + sf_dir.strip("/").replace("/", "_")
+            )
+            _r.build_dense_pq_index(
+                _t.load_table(spark, sf_dir, "documents"), path
+            )
+            cache[sf_dir] = path
+        return _r.dense_topk_indexed(spark, path, "table scan fast")
+
+    return q
 
 
 def run_query(df) -> None:
