@@ -1035,7 +1035,11 @@ def main(argv: list[str] | None = None) -> int:
     p_pqq.add_argument("--id-col", default="vec_id")
     p_pqq.add_argument("--emb-col", default="embedding")
     p_pqq.add_argument("--topk", type=int, default=5)
-    p_pqq.add_argument("--cand", type=int, default=32, help="ADC candidates/query")
+    from .functions.similarity import PQ_CAND as _PQ_CAND
+
+    p_pqq.add_argument(
+        "--cand", type=int, default=_PQ_CAND, help="ADC candidates/query"
+    )
     p_pqq.add_argument("--keep-self", action="store_true")
     p_pqq.add_argument("--out", default=None)
 

@@ -442,7 +442,14 @@ def ann_ivf_flat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver check; quality itself is pinned by the recall floor test).
 M_SUB = 8  # subspaces (EMB_DIM 64 → 8 dims per subspace)
 K_CODES = 16  # codebook entries per subspace
-PQ_CAND = 32  # ADC candidates per query fed to the exact re-rank
+# ADC candidates per query fed to the exact re-rank. Raised 32 → 64 in
+# r7 from the measured sweep (tools/pq_recall_sweep.py, table in
+# SCALING.md): cand is the recall lever at ~FLAT probe cost until cand
+# approaches the corpus (recall@5 at sf0.1: 0.50 → 0.80 for the same
+# ~2.7 s probe), while k_codes 16→32 costs ~40% more probe time for a
+# gain that vanishes once cand ≥ 64. The re-rank broadcast stays
+# bounded at queries×cand rows.
+PQ_CAND = 64
 
 
 def _sub_slice(col: Column, s, sub_dim: int) -> Column:
@@ -554,12 +561,15 @@ def pq_topk(
 ) -> DataFrame:
     """PQ ANN: encode the corpus once (one scan, no shuffle), score
     every query against the codes table through its broadcast LUT,
-    keep the ADC top-PQ_CAND, then exact-decimal re-rank only those
-    candidates to TOPK. The corpus never shuffles; the only joins are
-    broadcast (queries, candidate ids). Default codebook is the
-    deterministic SQL-replayable Forgy rule (what the driver
-    hash-matches); pass pq_fit_codebooks(emb) for the k-means-refined
-    quality variant."""
+    keep the ADC top-`cand` (default PQ_CAND), then exact-decimal
+    re-rank only those candidates to TOPK. The corpus never shuffles;
+    the only joins are broadcast (queries, candidate ids). Default
+    codebook is the deterministic SQL-replayable Forgy rule (what the
+    driver hash-matches); pass pq_fit_codebooks(emb) for the
+    k-means-refined quality variant. `cand` is the recall/cost knob —
+    see the r7 sweep table in SCALING.md (recall rises near-linearly
+    with log cand at fixed codebook; probe cost is ~flat until cand
+    approaches the corpus)."""
     spark = emb.sparkSession
     cb = codebook if codebook is not None else _flat_centroids(emb, K_CODES)
     sub_dim = cb.shape[1] // M_SUB

@@ -352,11 +352,12 @@ def test_ivf_flat_recall_vs_bruteforce(spark):
 
 
 def test_pq_topk_recall_vs_bruteforce(spark):
-    """PQ ADC (8 codes/vector) + exact re-rank must recover a useful
-    share of the exact top-k (measured 0.75 at sf0.001 / 0.6 at
-    sf0.01; floor set below both), and every returned pair carries the
-    exact fixed-point cosine — the re-rank is exact, so any hit that
-    IS in the brute-force top-k has an identical score."""
+    """PQ ADC (8 codes/vector) + exact re-rank must recover most of
+    the exact top-k (r7 default PQ_CAND=64 from the sweep: measured
+    0.90 at sf0.001 / 0.825 at sf0.01 / 0.80 at sf0.1; floor set
+    below all three), and every returned pair carries the exact
+    fixed-point cosine — the re-rank is exact, so any hit that IS in
+    the brute-force top-k has an identical score."""
     from mrbf_spark.catalog import queries
     from mrbf_spark.functions.similarity import ann_pq_topk
 
@@ -372,16 +373,17 @@ def test_pq_topk_recall_vs_bruteforce(spark):
         if (r["query_id"], r["vec_id"]) in exact_cos:
             assert abs(r["cosine"] - exact_cos[(r["query_id"], r["vec_id"])]) < 1e-12
     recalls = [len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact]
-    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
 
 
 def test_pq_refined_codebooks_recall(spark):
     """The k-means-refined codebooks (pq_fit_codebooks — the quality
     path, no SQL twin) must hold a useful recall floor. Measured at
-    sf0.01: refined 0.65 vs flat 0.60 (the MSE-lower codebooks win at
-    realistic cell occupancy); at sf0.001 the 100-vector corpus
-    overfits 16 codes/subspace and the two are statistically
-    indistinguishable — so the pin is a floor, not superiority."""
+    sf0.01: refined 0.65 vs flat 0.60 at the old cand=32 (the
+    MSE-lower codebooks win at realistic cell occupancy); at the r7
+    default cand=64 both land ~0.85-0.90 at sf0.001 and the sweep
+    shows the refinement no longer buys recall once cand ≥ 64 — so
+    the pin is a floor, not superiority (rationale in SCALING.md)."""
     from mrbf_spark.catalog import queries
     from mrbf_spark.functions.similarity import pq_fit_codebooks, pq_topk
     from mrbf_spark.tables import load_table
@@ -394,7 +396,7 @@ def test_pq_refined_codebooks_recall(spark):
     for r in pq_topk(emb, pq_fit_codebooks(emb)).collect():
         got.setdefault(r["query_id"], set()).add(r["vec_id"])
     recalls = [len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact]
-    assert sum(recalls) / len(recalls) >= 0.45, recalls
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
 
 
 def test_pq_codes_match_numpy_ground_truth(spark):
