@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from ..exprs import davg, davg_sql, dsum, dsum_sql
+from ..exprs import davg, davg_sql, dfix, dfix_sql, dsum, dsum_sql
 from ..registry import BUILDER_SQL, builder, register, scoped_cache
 from ..tables import load_table
 
@@ -356,10 +356,10 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- pivot extension: per-returnflag quantity by linestatus.
 @builder(
     "pivot_sum",
-    """
+    f"""
     SELECT l_returnflag,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_O,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_F
+           {dsum_sql('l_quantity', filter_where="l_linestatus = 'O'")} AS qty_O,
+           {dsum_sql('l_quantity', filter_where="l_linestatus = 'F'")} AS qty_F
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -598,21 +598,26 @@ def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # into the filter, i.e. two passes over orders, no join shuffle.
 @builder(
     "scalar_subquery",
-    """
+    f"""
     SELECT o_orderkey, o_totalprice FROM orders
     WHERE o_totalprice > (
-      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+      SELECT {davg_sql('o_totalprice')}
       FROM orders)
     """,
 )
 def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     o.createOrReplaceTempView("__orders_sq")
+    # the Spark-SQL rendering of davg_sql's fixed-point rule: per-row
+    # toward-zero trunc ((long) x), exact integer sum, one final
+    # int→double conversion — see exprs.py's r7 portability note
     return spark.sql(
         """
         SELECT o_orderkey, o_totalprice FROM __orders_sq
         WHERE o_totalprice > (
-          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+          SELECT CAST(SUM(CAST(CAST(o_totalprice * 10000.0D AS BIGINT)
+                              AS DECIMAL(38,0))) AS DOUBLE) / 10000.0D
+                 / COUNT(*)
           FROM __orders_sq)
         """
     )
@@ -622,21 +627,24 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # their order's average — decorrelates to a join on the group key.
 @builder(
     "correlated_subquery",
-    """
+    f"""
     SELECT l.l_orderkey, l.l_linenumber FROM lineitem l
     WHERE l.l_extendedprice > (
-      SELECT CAST(SUM(CAST(l2.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+      SELECT {davg_sql('l2.l_extendedprice')}
       FROM lineitem l2 WHERE l2.l_orderkey = l.l_orderkey)
     """,
 )
 def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("__lineitem_cs")
+    # Spark-SQL rendering of davg_sql's fixed-point rule (exprs.py r7)
     return spark.sql(
         """
         SELECT l.l_orderkey, l.l_linenumber FROM __lineitem_cs l
         WHERE l.l_extendedprice > (
-          SELECT CAST(SUM(CAST(l2.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+          SELECT CAST(SUM(CAST(CAST(l2.l_extendedprice * 10000.0D AS BIGINT)
+                              AS DECIMAL(38,0))) AS DOUBLE) / 10000.0D
+                 / COUNT(*)
           FROM __lineitem_cs l2 WHERE l2.l_orderkey = l.l_orderkey)
         """
     )
@@ -994,7 +1002,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE o.o_orderkey IN (
       SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-      HAVING SUM(CAST(l_quantity AS DECIMAL(38,4))) > 250)
+      HAVING SUM({dfix_sql('l_quantity')}) > 250 * 10000)
     GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
     """,
 )
@@ -1002,10 +1010,12 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # fixed-point HAVING (exprs.py r7 portability rule): the sum and
+    # the threshold compare as exact integers on both engines
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(38,4)")).alias("q"))
-        .filter(F.col("q") > 250)
+        .agg(F.sum(dfix("l_quantity").cast("decimal(38,0)")).alias("q"))
+        .filter(F.col("q") > 250 * 10000)
         .select("l_orderkey")
     )
     return (
@@ -1217,14 +1227,14 @@ def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 # membership can't flip on float-average low bits between engines.
 @builder(
     "q22_idle_rich_customers",
-    """
+    f"""
     SELECT c_mktsegment,
            COUNT(*) AS n_custs,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_acctbal
+           {dsum_sql('c_acctbal', 6)} AS total_acctbal
     FROM customer c
-    WHERE CAST(c_acctbal AS DECIMAL(38,6))
+    WHERE {dfix_sql('c_acctbal', 6)}
             * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
-          > (SELECT SUM(CAST(c_acctbal AS DECIMAL(38,6)))
+          > (SELECT SUM({dfix_sql('c_acctbal', 6)})
              FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
@@ -1236,10 +1246,14 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     pos = c.filter(F.col("c_acctbal") > 0).agg(
         F.count(F.lit(1)).alias("__n"),
-        F.sum(F.col("c_acctbal").cast("decimal(38,6)")).alias("__sum"),
+        F.sum(dfix("c_acctbal", 6).cast("decimal(38,0)")).alias("__sum"),
     )
+    # fixed-point cross-multiplied threshold (exprs.py r7): exact
+    # integers on both engines, so membership can't flip on a
+    # double→decimal rounding-boundary row
     rich = c.crossJoin(F.broadcast(pos)).filter(
-        F.col("c_acctbal").cast("decimal(38,6)") * F.col("__n") > F.col("__sum")
+        dfix("c_acctbal", 6).cast("decimal(38,0)") * F.col("__n")
+        > F.col("__sum")
     )
     urgent = (
         load_table(spark, sf_dir, "orders")
@@ -1362,9 +1376,9 @@ def median_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
 # through decimal so both engines aggregate the frame exactly.
 @builder(
     "moving_avg",
-    """
+    f"""
     SELECT event_id, user_id,
-           CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER w AS DOUBLE)
+           CAST(CAST(SUM({dfix_sql('value')}) OVER w AS DOUBLE) / 10000.0
                   / COUNT(*) OVER w AS DOUBLE) AS trailing_avg
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -1382,7 +1396,8 @@ def moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         (
-            F.sum(F.col("value").cast("decimal(38,4)")).over(w).cast("double")
+            F.sum(dfix("value").cast("decimal(38,0)")).over(w).cast("double")
+            / F.lit(10000.0)
             / F.count(F.lit(1)).over(w)
         )
         .cast("double")
@@ -1399,9 +1414,9 @@ def moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # interval into its covered buckets first (same plan shape).
 @builder(
     "range_join_bucketed",
-    """
+    f"""
     SELECT w.win_start, COUNT(*) AS n_events,
-           CAST(SUM(CAST(e.value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+           {dsum_sql('e.value')} AS total_value
     FROM events e
     JOIN (SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01',
                                         TIMESTAMP '2024-01-31',
@@ -1430,7 +1445,7 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("win_start")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("total_value"),
+            dsum("value").alias("total_value"),
         )
     )
 
@@ -2096,14 +2111,14 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # flip on float low bits.
 @builder(
     "q11_important_stock",
-    """
+    f"""
     WITH scoped AS (
-      SELECT l.l_partkey, CAST(l.l_extendedprice AS DECIMAL(38,4)) AS v
+      SELECT l.l_partkey, {dfix_sql('l.l_extendedprice')} AS v
       FROM lineitem l
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       JOIN nation n ON n.n_nationkey = s.s_nationkey
       WHERE n.n_name = 'NATION_3')
-    SELECT l_partkey, CAST(SUM(v) AS DOUBLE) AS stock_value
+    SELECT l_partkey, CAST(SUM(v) AS DOUBLE) / 10000.0 AS stock_value
     FROM scoped
     GROUP BY l_partkey
     HAVING SUM(v) * 50 > (SELECT SUM(v) FROM scoped)
@@ -2113,10 +2128,15 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    # per-row fixed point (exprs.py r7): the HAVING cross-multiply and
+    # the reported value aggregate exact integers on both engines
     scoped = (
         li.join(s, li.l_suppkey == s.s_suppkey)
         .join(n, s.s_nationkey == n.n_nationkey)
-        .select("l_partkey", F.col("l_extendedprice").cast("decimal(38,4)").alias("v"))
+        .select(
+            "l_partkey",
+            dfix("l_extendedprice").cast("decimal(38,0)").alias("v"),
+        )
     )
     scoped = scoped_cache(scoped)
     total = scoped.agg(F.sum("v").alias("__total"))
@@ -2125,7 +2145,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("v").alias("__value"))
         .crossJoin(F.broadcast(total))
         .filter(F.col("__value") * 50 > F.col("__total"))
-        .select("l_partkey", F.col("__value").cast("double").alias("stock_value"))
+        .select(
+            "l_partkey",
+            (F.col("__value").cast("double") / F.lit(10000.0)).alias(
+                "stock_value"
+            ),
+        )
     )
 
 
@@ -2162,15 +2187,16 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as in the spec).
 @builder(
     "q15_top_supplier",
-    """
+    f"""
     WITH rev AS (
       SELECT l_suppkey,
-             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS r
+             SUM({dfix_sql('l_extendedprice * (1 - l_discount)')}) AS r
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         AND l_shipdate < TIMESTAMP '1997-04-01'
       GROUP BY l_suppkey)
-    SELECT s.s_suppkey, s.s_name, CAST(rev.r AS DOUBLE) AS total_revenue
+    SELECT s.s_suppkey, s.s_name, CAST(rev.r AS DOUBLE) / 10000.0
+             AS total_revenue
     FROM supplier s JOIN rev ON rev.l_suppkey = s.s_suppkey
     WHERE rev.r = (SELECT MAX(r) FROM rev)
     """,
@@ -2180,12 +2206,14 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
+    # fixed-point revenue (exprs.py r7): the MAX-equality match and
+    # the reported value ride exact integers on both engines
     rev = scoped_cache(
         li.groupBy("l_suppkey").agg(
             F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(38,4)"
-                )
+                dfix(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(38,0)")
             ).alias("r")
         )
     )
@@ -2195,7 +2223,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("r") == F.col("__mx"))
         .join(s, F.col("l_suppkey") == s.s_suppkey)
-        .select("s_suppkey", "s_name", F.col("r").cast("double").alias("total_revenue"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("r").cast("double") / F.lit(10000.0)).alias(
+                "total_revenue"
+            ),
+        )
     )
 
 
@@ -2241,14 +2275,11 @@ def q16_part_supplier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (decimal-sum / count) — deterministic both engines.
 @builder(
     "q17_small_qty_revenue",
-    """
+    f"""
     WITH pq AS (
-      SELECT l_partkey,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)
-               / COUNT(*) AS avg_qty
+      SELECT l_partkey, {davg_sql('l_quantity')} AS avg_qty
       FROM lineitem GROUP BY l_partkey)
-    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / 7.0
-             AS avg_yearly,
+    SELECT {dsum_sql('l.l_extendedprice')} / 7.0 AS avg_yearly,
            COUNT(*) AS n_lines
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -2260,18 +2291,14 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     pq = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
-        (
-            F.sum(F.col("l_quantity").cast("decimal(38,4)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avg_qty")
+        davg("l_quantity").alias("avg_qty")
     )
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .join(pq, li.l_partkey == F.col("__pk"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
-            (F.sum(F.col("l_extendedprice").cast("decimal(38,4)")).cast("double") / 7.0)
-            .alias("avg_yearly"),
+            (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -2327,7 +2354,7 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 1997 alone; exact decimal cross-multiplied compare.
 @builder(
     "q20_excess_stock_suppliers",
-    """
+    f"""
     SELECT s.s_name, n.n_name
     FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
     WHERE s.s_suppkey IN (
@@ -2338,8 +2365,8 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND l_shipdate < TIMESTAMP '1999-01-01'
       GROUP BY l_suppkey, l_partkey
       HAVING SUM(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
-                      THEN CAST(l_quantity AS DECIMAL(38,4)) ELSE 0 END) * 2
-             > SUM(CAST(l_quantity AS DECIMAL(38,4))))
+                      THEN {dfix_sql('l_quantity')} ELSE 0 END) * 2
+             > SUM({dfix_sql('l_quantity')}))
     ORDER BY s_name
     """,
 )
@@ -2353,10 +2380,11 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_type") == "SMALL")
         .select("p_partkey")
     )
-    qdec = F.col("l_quantity").cast("decimal(38,4)")
+    # fixed-point HAVING cross-multiply (exprs.py r7)
+    qdec = dfix("l_quantity").cast("decimal(38,0)")
     early = F.when(
         F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"), qdec
-    ).otherwise(F.lit(0).cast("decimal(38,4)"))
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
     excess = (
         li.join(small, li.l_partkey == small.p_partkey, "left_semi")
         .groupBy("l_suppkey", "l_partkey")

@@ -47,17 +47,20 @@ def salted_agg(
 # no-op proof). (Unregistered builder; see `skew_ops`.)
 def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    from ..exprs import dfix
+
     partials = salted_agg(
         li,
         ["l_returnflag"],
         {
             "pn": F.count(F.lit(1)),
-            "pq": F.sum(F.col("l_quantity").cast("decimal(38,4)")),
+            # fixed-point partials (exprs.py r7 portability rule)
+            "pq": F.sum(dfix("l_quantity").cast("decimal(38,0)")),
         },
     )
     return partials.groupBy("l_returnflag").agg(
         F.sum("pn").alias("n"),
-        F.sum("pq").cast("double").alias("sum_qty"),
+        (F.sum("pq").cast("double") / F.lit(10000.0)).alias("sum_qty"),
     )
 
 

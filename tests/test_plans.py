@@ -189,6 +189,10 @@ _BNLJ_ALLOWED = {
     "decontaminate",  # bloom attach + the semantic part's broadcast
     # eval-embedding cross (benchmark-sized side by construction)
     "semantic_decontam",  # same broadcast eval cross, standalone builder
+    "semantic_decontam_pruned",  # r7: the centroid-matrix broadcast
+    # attach + the (normally EMPTY, edge-bounded) exact-fallback
+    # residue cross — both deliberate broadcast-tiny-side shapes; the
+    # candidate join itself is a cell-keyed equi-join, not a cross
     "bm25_topk",  # the dense branch's one-row query-embedding broadcast cross
     "ann_bruteforce_topk",
     "ann_approx_topk",
