@@ -53,7 +53,6 @@ def streaming_temperature_mixture(
     static = spark.read.parquet(path).select("doc_id", "lang", "n_chars")
     if rates is None:
         rates = temperature_rates(static)
-    schema = static.schema
     # FileStreamSource globs rather than listing a single file — the
     # [t] wrapper makes the literal path a pattern (same trick as
     # streaming/dedup_stream.py).
@@ -61,7 +60,7 @@ def streaming_temperature_mixture(
         spark.readStream.schema(spark.read.parquet(path).schema)
         .format("parquet")
         .load(f"{sf_dir}/documents.parque[t]")
-        .select(*(f.name for f in schema.fields))
+        .select(*(f.name for f in static.schema.fields))
     )
     keyed = docs.join(F.broadcast(rates), "lang")
     mixed = replicate_by_weight(keyed, temperature_copies_col()).drop(
