@@ -377,6 +377,20 @@ def main() -> None:
             print(
                 f"bench r{rnd} {name} {dt:.2f}s{tag}", file=sys.stderr, flush=True
             )
+        # Inter-sweep storage release (r7): localCheckpoint blocks from
+        # checkpoint-heavy queries (curate/packing/dedup_clusters) are
+        # freed only when their DataFrames are garbage-collected —
+        # across a 98-query sweep the dangling blocks pressure executor
+        # storage and surface as multi-second localized stalls in the
+        # NEXT sweep's samples. Collect both heaps at the sweep
+        # boundary so each sweep starts with clean storage.
+        import gc
+
+        gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass  # JVM gc is best-effort; the Python collect is the lever
     kept = {n: v[N_DISCARD:] for n, v in samples.items()}
     timings = {n: round(sorted(v)[len(v) // 2], 3) for n, v in kept.items()}
     spread = {n: round(max(v) - min(v), 3) for n, v in kept.items()}

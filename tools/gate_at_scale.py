@@ -67,8 +67,23 @@ def main() -> int:
         results[name] = {"status": status, "sec": round(dt, 1), "detail": detail}
         print(f"{status:9s} {name} ({dt:.1f}s)  {detail}", flush=True)
     out_path = os.path.join(REPO, "gate_scale_results.json")
+    # merge with a prior run over the same sf_dir so a targeted
+    # re-check (e.g. after a fix) refreshes only its entries
+    merged = results
+    if ONLY and os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prior = json.load(f)
+            if prior.get("sf_dir") == SF_DIR:
+                merged = {**prior.get("results", {}), **results}
+        except Exception:
+            pass
     with open(out_path, "w") as f:
-        json.dump({"sf_dir": SF_DIR, "timeout_s": TIMEOUT, "results": results}, f, indent=1)
+        json.dump(
+            {"sf_dir": SF_DIR, "timeout_s": TIMEOUT, "results": merged},
+            f,
+            indent=1,
+        )
     n_bad = sum(r["status"] == "FAIL" for r in results.values())
     n_to = sum(r["status"] == "TIMEOUT" for r in results.values())
     print(f"\n{len(results)} entries: {n_bad} FAIL, {n_to} TIMEOUT -> {out_path}")
