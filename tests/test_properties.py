@@ -441,3 +441,59 @@ def test_pq_codes_match_python_on_random_vectors(spark, vecs):
             ]
             want.append(int(np.argmax(sc)))
         assert got[i] == want, (i, got[i], want)
+
+
+# ---- portable double aggregation (r7, the sf1-gate bug's guard) ----
+#
+# The sf1 scale gate caught `CAST(double AS DECIMAL(38,s))` rounding
+# via Spark's SHORTEST decimal repr vs DuckDB's exact binary
+# expansion — divergent for ~1-in-1e6 rows. dsum/dsum_sql now
+# truncate the same IEEE double on both sides; this property test
+# feeds ADVERSARIAL boundary values (multiples of 10^-s, half-ulp
+# neighbors, shortest-repr traps like 0.1+0.2) and asserts exact
+# cross-engine equality of the aggregate AND the per-row fixed-point.
+
+def _boundary_doubles():
+    from hypothesis import strategies as st
+
+    plain = st.floats(
+        min_value=-1e8, max_value=1e8, allow_nan=False, allow_infinity=False
+    )
+    # values engineered to sit at/near the scale-4 truncation boundary
+    near_grid = st.integers(min_value=-10**12, max_value=10**12).map(
+        lambda n: n / 10000.0
+    )
+    eps = st.sampled_from([0.0, 5e-13, -5e-13, 1e-10, -1e-10])
+    gridish = st.tuples(near_grid, eps).map(lambda t: t[0] + t[1])
+    return st.one_of(plain, gridish)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(_boundary_doubles(), min_size=1, max_size=50))
+def test_dsum_matches_duckdb_exactly_on_boundary_values(spark, xs):
+    import duckdb
+
+    from mrbf_spark.exprs import dfix, dfix_sql, dsum, dsum_sql
+
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    got_sum = df.agg(dsum("x").alias("s")).collect()[0]["s"]
+    got_fix = [r["f"] for r in df.select(dfix("x").alias("f")).collect()]
+
+    # Parameterized inserts, NOT inline literals: DuckDB parses an
+    # unquoted numeric literal as DECIMAL, and its DECIMAL→DOUBLE cast
+    # is not correctly rounded once the scaled integer exceeds 2^53
+    # (CAST(90071992.99999999 AS DOUBLE) → 90071993.0, one ulp off the
+    # correctly-rounded parse) — a literal-authoring trap, not a data
+    # path: real tables arrive via parquet with exact doubles, which
+    # is what the parameterized insert reproduces.
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(float(x),) for x in xs])
+    want_sum = con.sql(f"SELECT {dsum_sql('x')} AS s FROM t").fetchone()[0]
+    want_fix = [
+        r[0] for r in con.sql(f"SELECT {dfix_sql('x')} FROM t").fetchall()
+    ]
+    assert got_fix == want_fix  # per-row truncation bit-identical
+    # the sums are the same exact integer divided by the same power of
+    # ten in the same IEEE op — equality is exact, not approximate
+    assert got_sum == want_sum
