@@ -65,21 +65,72 @@ def _shingle_col(text: Column) -> Column:
     )
 
 
+def _slot_col(tok: Column, dim: int = TE_DIM) -> Column:
+    """Hashed feature slot of one shingle (shared by the grouped batch
+    embedding and the r7 per-row streaming twin)."""
+    return F.pmod(_h60(tok, TE_SALT), F.lit(dim)).cast("long")
+
+
+def _sign_col(tok: Column) -> Column:
+    """±1 hash sign of one shingle (Weinberger et al. feature
+    hashing; md5 nibble parity — engine-portable)."""
+    return F.when(
+        F.pmod(
+            F.conv(F.substring(F.md5(tok), 16, 1), 16, 10).cast("long"),
+            F.lit(2),
+        )
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+
+
+def _bigrams_col(text: Column) -> Column:
+    """The UN-exploded bigram array behind _shingle_col (the per-row
+    form the streaming twin folds over)."""
+    toks = F.split(F.lower(text), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    return F.when(F.size(toks) >= 2, bigrams).otherwise(
+        F.array(F.element_at(toks, 1))
+    )
+
+
+def row_text_embedding_col(text: Column, dim: int = TE_DIM) -> Column:
+    """MAP-ONLY twin of text_hash_embeddings: the same signed hashed
+    bigram-count vector computed entirely inside the row (a dim-wide
+    transform folding the bigram array) — no explode, no groupBy, so
+    it runs on an unbounded STREAM with zero state. O(dim·n_bigrams)
+    expression work per row vs the batch path's two shuffles; the
+    batch path stays right for corpus-wide embedding (the fold
+    re-reads the bigram array dim times), this one for per-row online
+    classification. Bit-equality with the batch embedding is
+    test-pinned (integer counts, same slot/sign hashes)."""
+    bigrams = _bigrams_col(text)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.aggregate(
+            bigrams,
+            F.lit(0).cast("long"),
+            lambda acc, b: acc
+            + F.when(_slot_col(b, dim) == i.cast("long"), _sign_col(b)).otherwise(
+                F.lit(0)
+            ),
+        ).cast("double"),
+    )
+
+
 def text_hash_embeddings(docs: DataFrame, dim: int = TE_DIM) -> DataFrame:
     """(vec_id, embedding array<double>): signed hashed shingle
     counts. Integer values cast to double ⇒ exact everywhere."""
     toks = docs.select(
         F.col("doc_id").alias("vec_id"), _shingle_col(F.col("text")).alias("tok")
     )
-    slot = F.pmod(_h60(F.col("tok"), TE_SALT), F.lit(dim)).cast("long")
-    sign = F.when(
-        F.pmod(
-            F.conv(F.substring(F.md5(F.col("tok")), 16, 1), 16, 10).cast("long"),
-            F.lit(2),
-        )
-        == 0,
-        F.lit(1),
-    ).otherwise(F.lit(-1))
+    slot = _slot_col(F.col("tok"), dim)
+    sign = _sign_col(F.col("tok"))
     sparse = (
         toks.groupBy("vec_id", slot.alias("slot"))
         .agg(F.sum(sign).cast("long").alias("val"))
