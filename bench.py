@@ -325,6 +325,15 @@ def main() -> None:
         if fn is not None and name not in qs:
             qs[name] = fn
     names = list(qs)
+    # Optional subset (r7): SPARK_GRAFT_BENCH_ONLY="headline" or a
+    # comma list — used for one-off large-SF runs (e.g. the sf1
+    # scale-timing table in SCALING.md) where the full ~98-query
+    # sweep would take hours. The driver's per-round run leaves this
+    # unset and times everything.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    if only:
+        want = set(HEADLINE) if only == "headline" else set(only.split(","))
+        names = [n for n in names if n in want]
     # Warm up the JVM + parquet footers, and the Arrow Python workers
     # (they're forked lazily per core on first pandas-UDF use — a
     # fixed startup cost, not query throughput).
