@@ -269,6 +269,13 @@ def legacy_builders() -> dict:
         # embedding (compare: the contained `bm25_topk` dense branch
         # embeds the corpus per call).
         "dense_topk_indexed": _dense_indexed_builder(),
+        # r7: contrastive (anchor, positive, hard-negative) mining —
+        # the IVF-routed scale path over the embeddings table
+        "contrastive_triplets": lambda spark, sf_dir: __import__(
+            "mrbf_spark.functions.mining", fromlist=["contrastive_triplets"]
+        ).contrastive_triplets(
+            _tables.load_table(spark, sf_dir, "embeddings"), method="ivf"
+        ),
         # late r6: the r4-comparable lexical-only BM25 cost (the
         # catalog's bm25_topk key now times the full retrieval suite)
         "bm25_lexical": lambda spark, sf_dir: _retrieval.bm25_topk(

@@ -199,6 +199,8 @@ _BNLJ_ALLOWED = {
     "ann_pq_topk",  # the same 8-row broadcast query cross, standalone
     # builder (the PQ branch of ann_approx_topk)
     "embedding_dedup_suite",  # one-row hyperplane/centroid-matrix broadcast attach
+    "contrastive_triplets",  # r7: the same one-row centroid-matrix
+    # attach (ivf routing) — the candidate join itself is cell-keyed
     "embedding_neardup",  # same attach, standalone builder
     "semdedup",  # same attach, standalone builder
     "text_semdedup",  # same attach over derived text vectors
