@@ -46,14 +46,19 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 from ..registry import scoped_cache
 from .similarity import (
     IVF_SAMPLE,
+    MINE_K_NEG,
+    MINE_NEG_LO,
     NEARDUP_TAU,
     _decimal_dot,
     ivf_cell_col,
     with_matrix,
 )
 
-NEG_LO = 0.15  # default hard-negative band floor
-K_NEG = 3  # hard negatives per (anchor, positive)
+# Band defaults live in similarity.py (next to NEARDUP_TAU) so the
+# registered suite oracle can cite them without a mining<->similarity
+# import cycle; re-exported here under their historical names.
+NEG_LO = MINE_NEG_LO  # default hard-negative band floor
+K_NEG = MINE_K_NEG  # hard negatives per (anchor, positive)
 MINE_CELLS = 16
 MINE_PROBE = 4
 
@@ -68,16 +73,23 @@ def contrastive_triplets(
     method: str = "exact",
     n_cells: int = MINE_CELLS,
     n_probe: int = MINE_PROBE,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """(anchor_id, positive_id, negative_id, pos_cosine, neg_cosine,
     neg_rank) — one row per hard negative of each directed positive
-    pair. See the module docstring for semantics and scale shape."""
+    pair. See the module docstring for semantics and scale shape.
+
+    `pairs` optionally supplies a pre-computed (vec_a, vec_b, cosine)
+    positive-pair frame (already ≥ tau_pos) so a caller that has one —
+    the embedding_dedup_suite's 'pair' part — shares the near-dup scan
+    instead of paying it twice."""
     from .similarity import neardup_pairs
 
     if neg_hi is None:
         neg_hi = tau_pos
-    pairs = scoped_cache(neardup_pairs(emb, tau_pos))
-    pairs.count()
+    if pairs is None:
+        pairs = scoped_cache(neardup_pairs(emb, tau_pos))
+        pairs.count()
     directed = pairs.select(
         F.col("vec_a").alias("anchor_id"),
         F.col("vec_b").alias("positive_id"),

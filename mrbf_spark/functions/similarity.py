@@ -778,6 +778,13 @@ def ann_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the embedding-space twin of minhash dedup. Label partitioning bounds
 # the pair space; exact decimal cosine keeps it oracle-checkable.
 NEARDUP_TAU = 0.35
+
+# Contrastive-mining hard-negative band defaults (consumed by
+# functions/mining.py and the suite oracle below; kept here so the
+# oracle builder never has to import mining, which imports this
+# module at top level).
+MINE_NEG_LO = 0.15
+MINE_K_NEG = 3
 # Label groups up to this many rows pair exactly; larger groups fall
 # back to LSH buckets. The exact path's pair space is salted over a
 # B×B cell grid (below), so even a cap-boundary group's ~5·10⁹ pairs
@@ -1256,6 +1263,56 @@ def _kmeans_oracle(
 # verdicts within learned cells ('semdedup' part) — one catalog slot,
 # both oracles composed from BUILDER_SQL (the r4 consolidation
 # pattern), each independently hash-checked by the driver.
+def _mining_oracle() -> str:
+    """SQL twin of `mining.contrastive_triplets(method="exact")` at the
+    registered defaults: positives = the embedding_neardup pairs
+    (within-label, fixed-point cosine ≥ NEARDUP_TAU) emitted
+    symmetrically; hard negatives = per-anchor ROW_NUMBER top-MINE_K_NEG
+    over the [MINE_NEG_LO, NEARDUP_TAU) cosine band against the whole
+    corpus, ties broken (cosine DESC, vec_id). Same fixed-point
+    trunc-dot as every other embedding oracle, so the doubles are
+    bit-identical across engines."""
+    from ..registry import BUILDER_SQL
+
+    return f"""
+    WITH mpairs AS MATERIALIZED (SELECT * FROM ({BUILDER_SQL['embedding_neardup']})),
+    mdirected AS (
+      SELECT vec_a AS anchor_id, vec_b AS positive_id, cosine AS pos_cosine FROM mpairs
+      UNION ALL
+      SELECT vec_b, vec_a, cosine FROM mpairs),
+    mnorms AS (
+      SELECT vec_id,
+             CAST(CAST(SUM(CAST(TRUNC(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000000.0 AS nrm
+      FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings)
+      GROUP BY vec_id),
+    mscored AS (
+      SELECT d.a_id AS anchor_id, d.b_id AS vec_id,
+             d.dot / (SQRT(na.nrm) * SQRT(nb.nrm)) AS cosine
+      FROM (SELECT a_id, b_id,
+                   CAST(CAST(SUM(CAST(TRUNC(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE) * 1000000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000000.0 AS dot
+            FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                         UNNEST(a.embedding) AS xa, UNNEST(b.embedding) AS xb
+                  FROM embeddings a
+                  JOIN (SELECT DISTINCT anchor_id FROM mdirected) m
+                    ON m.anchor_id = a.vec_id,
+                       embeddings b
+                  WHERE b.vec_id <> a.vec_id)
+            GROUP BY 1, 2) d
+      JOIN mnorms na ON na.vec_id = d.a_id
+      JOIN mnorms nb ON nb.vec_id = d.b_id),
+    mnegs AS (
+      SELECT anchor_id, vec_id AS negative_id, cosine AS neg_cosine,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY cosine DESC, vec_id) AS rk
+      FROM mscored
+      WHERE cosine >= {MINE_NEG_LO} AND cosine < {NEARDUP_TAU})
+    SELECT d.anchor_id, d.positive_id, n.negative_id,
+           d.pos_cosine, n.neg_cosine, n.rk
+    FROM mdirected d JOIN mnegs n USING (anchor_id)
+    WHERE n.rk <= {MINE_K_NEG}
+    """
+
+
 def _embedding_dedup_suite_sql() -> str:
     from ..registry import BUILDER_SQL
     from .text_embedding import TEXT_SEM_TAU, text_embeddings_sql
@@ -1267,27 +1324,50 @@ def _embedding_dedup_suite_sql() -> str:
     )
     return f"""
     SELECT 'pair' AS part, vec_a AS k1, CAST(vec_b AS BIGINT) AS k2,
-           cosine, CAST(NULL AS BIGINT) AS keep
+           cosine, CAST(NULL AS BIGINT) AS keep,
+           CAST(NULL AS DOUBLE) AS cos2, CAST(NULL AS BIGINT) AS rk
     FROM ({BUILDER_SQL['embedding_neardup']})
     UNION ALL
     SELECT 'semdedup' AS part, vec_id AS k1, CAST(cell AS BIGINT) AS k2,
-           cent_cosine AS cosine, CAST(keep AS BIGINT) AS keep
+           cent_cosine AS cosine, CAST(keep AS BIGINT) AS keep,
+           CAST(NULL AS DOUBLE) AS cos2, CAST(NULL AS BIGINT) AS rk
     FROM ({BUILDER_SQL['semdedup']})
     UNION ALL
     SELECT 'textdedup' AS part, vec_id AS k1, CAST(cell AS BIGINT) AS k2,
-           cent_cosine AS cosine, CAST(keep AS BIGINT) AS keep
+           cent_cosine AS cosine, CAST(keep AS BIGINT) AS keep,
+           CAST(NULL AS DOUBLE) AS cos2, CAST(NULL AS BIGINT) AS rk
     FROM ({text_part})
     UNION ALL
     SELECT 'kmeans' AS part, CAST(cid AS BIGINT) AS k1,
            CAST(pos AS BIGINT) AS k2, val AS cosine,
-           CAST(NULL AS BIGINT) AS keep
+           CAST(NULL AS BIGINT) AS keep,
+           CAST(NULL AS DOUBLE) AS cos2, CAST(NULL AS BIGINT) AS rk
     FROM ({_kmeans_oracle()})
+    UNION ALL
+    SELECT 'mining' AS part, anchor_id AS k1, CAST(positive_id AS BIGINT) AS k2,
+           pos_cosine AS cosine, CAST(negative_id AS BIGINT) AS keep,
+           neg_cosine AS cos2, CAST(rk AS BIGINT) AS rk
+    FROM ({_mining_oracle()})
     """
+
+
+def _null_tail() -> list:
+    """The cos2/rk columns every non-mining part NULL-pads (doubles and
+    BIGINTs, never booleans — see the `keep` comment below)."""
+    return [
+        F.lit(None).cast("double").alias("cos2"),
+        F.lit(None).cast("long").alias("rk"),
+    ]
 
 
 @register("embedding_dedup_suite", _embedding_dedup_suite_sql())
 def embedding_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = embedding_neardup(spark, sf_dir).select(
+    emb = load_table(spark, sf_dir, "embeddings")
+    # ONE near-dup pair scan shared by the 'pair' part and the 'mining'
+    # part's positives (mining would otherwise re-run it).
+    raw_pairs = scoped_cache(neardup_pairs(emb))
+    raw_pairs.count()
+    pairs = raw_pairs.select(
         F.lit("pair").alias("part"),
         F.col("vec_a").alias("k1"),
         F.col("vec_b").cast("long").alias("k2"),
@@ -1295,6 +1375,7 @@ def embedding_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         # BIGINT, not BOOLEAN: a NULL boolean canonicalizes differently
         # across the two engines' pandas paths (None vs NaN-object)
         F.lit(None).cast("long").alias("keep"),
+        *_null_tail(),
     )
     sd = semdedup(spark, sf_dir).select(
         F.lit("semdedup").alias("part"),
@@ -1302,6 +1383,7 @@ def embedding_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").cast("long").alias("k2"),
         F.col("cent_cosine").alias("cosine"),
         F.col("keep").cast("long").alias("keep"),
+        *_null_tail(),
     )
     from .text_embedding import text_semdedup
 
@@ -1311,6 +1393,7 @@ def embedding_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").cast("long").alias("k2"),
         F.col("cent_cosine").alias("cosine"),
         F.col("keep").cast("long").alias("keep"),
+        *_null_tail(),
     )
     # 'kmeans' part (r6): the full-corpus Lloyd fit — every centroid
     # value bit-matched against the chained-CTE iteration replay, so
@@ -1331,5 +1414,26 @@ def embedding_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k2",
         "cosine",
         F.lit(None).cast("long").alias("keep"),
+        *_null_tail(),
     )
-    return pairs.unionByName(sd).unionByName(td).unionByName(km)
+    # 'mining' part (r7): contrastive (anchor, positive, hard-negative)
+    # triplets at the registered defaults — positives ARE raw_pairs
+    # (shared scan), negatives = per-anchor top-MINE_K_NEG in the
+    # [MINE_NEG_LO, NEARDUP_TAU) band against the whole corpus.
+    from .mining import contrastive_triplets
+
+    mining = contrastive_triplets(emb, pairs=raw_pairs).select(
+        F.lit("mining").alias("part"),
+        F.col("anchor_id").alias("k1"),
+        F.col("positive_id").cast("long").alias("k2"),
+        F.col("pos_cosine").alias("cosine"),
+        F.col("negative_id").cast("long").alias("keep"),
+        F.col("neg_cosine").alias("cos2"),
+        F.col("neg_rank").cast("long").alias("rk"),
+    )
+    return (
+        pairs.unionByName(sd)
+        .unionByName(td)
+        .unionByName(km)
+        .unionByName(mining)
+    )
