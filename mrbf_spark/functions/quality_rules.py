@@ -214,22 +214,36 @@ def quality_rules_duckdb_sql() -> str:
 # (VERDICT r4 next-round #1). r6 folds the PII redaction columns into
 # the same projection (the counts + redacted text are per-row JVM
 # regex expressions over the text column already being scanned),
-# freeing pii_redaction's slot for the promoted curate_corpus. Plan
-# shape unchanged: zero shuffles, zero joins, whole-stage codegen end
-# to end.
-@register(
-    "quality_signals",
-    f"""
-    WITH gr AS ({{GR}}), ql AS ({_QUALITY_LANG_SQL}), pii AS ({{PII}})
+# freeing pii_redaction's slot for the promoted curate_corpus.
+# r7 joins in the REPETITION half of the Gopher battery
+# (functions/repetition.py) on doc_id — that family needs per-doc
+# unit-multiset aggregation, so the entry's plan is no longer a pure
+# zero-shuffle projection: it is one projection branch plus the
+# repetition subplan's doc-keyed aggregates, joined on doc_id. Every
+# shuffle in the joined branch is doc-local (see repetition.py's 100 TB
+# note), so the entry stays embarrassingly parallel across documents.
+def _quality_signals_sql() -> str:
+    from .repetition import repetition_duckdb_sql
+
+    return f"""
+    WITH gr AS ({quality_rules_duckdb_sql()}), ql AS ({_QUALITY_LANG_SQL}),
+         pii AS ({PII_REDACTION_SQL}), rep AS ({repetition_duckdb_sql()})
     SELECT gr.*, ql.stopword_ratio, ql.mean_token_len, ql.length_prior,
            ql.score_en, ql.score_de, ql.score_es, ql.lang_guess,
-           pii.n_email, pii.n_ipv4, pii.n_phone, pii.redacted
+           pii.n_email, pii.n_ipv4, pii.n_phone, pii.redacted,
+           rep.* EXCLUDE (doc_id)
     FROM gr JOIN ql USING (doc_id) JOIN pii USING (doc_id)
-    """.format(GR=quality_rules_duckdb_sql(), PII=PII_REDACTION_SQL),
-)
+            JOIN rep USING (doc_id)
+    """
+
+
+@register("quality_signals", _quality_signals_sql())
 def quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .repetition import repetition_signals
+
     red, counts = redact_pii_cols(F.col("text"))
     d = load_table(spark, sf_dir, "documents")
-    return quality_rules(
+    qr = quality_rules(
         d, extra=quality_lang_cols() + counts + [red.alias("redacted")]
     )
+    return qr.join(repetition_signals(d), "doc_id")
