@@ -483,6 +483,7 @@ def cmd_curate(args) -> None:
         min_tokens=args.min_tokens,
         jaccard_tau=args.jaccard_tau,
         neardup_keeper=args.neardup_keeper,
+        repetition=args.repetition,
         semantic=not args.no_semantic,
     )
     curated.write.mode("overwrite").parquet(args.out)
@@ -886,7 +887,14 @@ def main(argv: list[str] | None = None) -> int:
     p_cu = sub.add_parser(
         "curate",
         help="build the curated training set: exact dedup -> quality "
-        "gate -> Jaccard near-dup -> semantic dedup -> decontamination",
+        "gate [-> repetition gate] -> Jaccard near-dup -> semantic "
+        "dedup -> decontamination",
+    )
+    p_cu.add_argument(
+        "--repetition",
+        action="store_true",
+        help="enable the 13-threshold Gopher repetition gate after the"
+        " quality gate (aggressive on short documents)",
     )
     p_cu.add_argument("--input", required=True)
     p_cu.add_argument("--out", required=True)

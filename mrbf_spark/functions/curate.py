@@ -7,6 +7,8 @@ implements, each stage composed from the already-tested library ops:
     input
       → exact dedup          (fingerprint, keep min doc_id)
       → quality / lang gate  (lang, token floor, chars-per-token cap)
+      → repetition gate      (optional: the 13-threshold Gopher
+                              repetition battery, functions/repetition)
       → near-dup removal     (exact n-gram Jaccard ≥ τ pairs, drop
                               any doc with a smaller-id partner)
       → semantic dedup       (text_semdedup: hashed-bigram vectors →
@@ -51,6 +53,7 @@ def curate_corpus(
     jaccard_tau: float = 0.5,
     jaccard_max_df: int | None = 200,
     neardup_keeper: str = "pairwise",
+    repetition: bool = False,
     semantic: bool = True,
     sem_tau: float = TEXT_SEM_TAU,
     contam_threshold: float = FLAG_THRESHOLD,
@@ -118,6 +121,22 @@ def curate_corpus(
         gate = (F.col("lang") == lang) & gate
     cur = cur.filter(gate).localCheckpoint()
     census.append(("quality_gate", cur.count()))
+
+    # 2b — optional Gopher repetition gate (r7): drop docs failing any
+    # of the 13 repetition thresholds (functions/repetition.py). Off by
+    # default — the paper's top-n-gram thresholds assume long documents
+    # and are aggressive on short corpora; the registered entry runs
+    # WITH it so the stage is driver-checked.
+    if repetition:
+        from .repetition import repetition_signals
+
+        rep_keep = (
+            repetition_signals(cur)
+            .filter(F.col("rep_pass"))
+            .select("doc_id")
+        )
+        cur = cur.join(rep_keep, "doc_id", "left_semi").localCheckpoint()
+        census.append(("repetition_gate", cur.count()))
 
     # 3 — near-dup removal: complete Jaccard-≥τ pairs (bounded by the
     # df cap), keeper election per `neardup_keeper` (docstring). All
@@ -200,12 +219,14 @@ _C_MAX_DF = 200
 
 
 def _curate_oracle() -> str:
+    from .repetition import repetition_duckdb_sql
     from .similarity import _semdedup_oracle
     from .text import FINGERPRINT_SQL, TOKEN_COUNT_SQL
     from .text_embedding import text_embeddings_sql
 
     fp = FINGERPRINT_SQL.format(e="text")
     tok = TOKEN_COUNT_SQL.format(e="text")
+    rep = repetition_duckdb_sql(src="s2docs")
     sem = _semdedup_oracle(
         tau=TEXT_SEM_TAU,
         src="tvecs",
@@ -216,12 +237,15 @@ def _curate_oracle() -> str:
     return f"""
     WITH input AS (SELECT * FROM documents WHERE doc_id % {EVAL_MOD} <> 0),
     s1 AS (SELECT MIN(doc_id) AS doc_id FROM input GROUP BY {fp}),
-    s1docs AS (SELECT i.* FROM input i JOIN s1 USING (doc_id)),
-    s2docs AS (SELECT * FROM s1docs
+    s1docs AS MATERIALIZED (SELECT i.* FROM input i JOIN s1 USING (doc_id)),
+    s2docs AS MATERIALIZED (SELECT * FROM s1docs
                WHERE lang = '{_C_LANG}' AND {tok} >= {_C_MIN_TOKENS}
                  AND CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / {tok}
                        <= {_C_MAX_CPT}),
-    toks3 AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM s2docs),
+    s2rep AS MATERIALIZED (SELECT doc_id FROM ({rep}) WHERE rep_pass),
+    s2bdocs AS MATERIALIZED (SELECT * FROM s2docs
+                WHERE doc_id IN (SELECT doc_id FROM s2rep)),
+    toks3 AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM s2bdocs),
     sh3 AS (SELECT doc_id,
                    list_distinct([array_to_string(t[i:i+2], ' ')
                                   for i in generate_series(1, greatest(len(t)-2, 1))])
@@ -237,11 +261,11 @@ def _curate_oracle() -> str:
     losers3 AS (SELECT DISTINCT doc_b FROM co3
                 WHERE CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE)
                       >= CAST({_C_TAU_NUM} AS DOUBLE) / {_C_TAU_DEN}),
-    s3docs AS (SELECT * FROM s2docs
+    s3docs AS MATERIALIZED (SELECT * FROM s2bdocs
                WHERE doc_id NOT IN (SELECT doc_b FROM losers3)),
     sem AS ({sem}),
     keep4 AS (SELECT vec_id AS doc_id FROM sem WHERE keep),
-    s4docs AS (SELECT d.* FROM s3docs d JOIN keep4 USING (doc_id)),
+    s4docs AS MATERIALIZED (SELECT d.* FROM s3docs d JOIN keep4 USING (doc_id)),
     toks5 AS (SELECT doc_id, string_split(text, ' ') AS t FROM s4docs),
     grams5 AS (SELECT DISTINCT doc_id,
                       array_to_string(t[u.i + 1 : u.i + {n}], ' ') AS g
@@ -258,7 +282,7 @@ def _curate_oracle() -> str:
     flagged5 AS (SELECT t.doc_id FROM tot5 t JOIN hits5 h USING (doc_id)
                  WHERE CAST(h.n_contaminated AS DOUBLE)
                          / CAST(t.n_grams AS DOUBLE) >= {FLAG_THRESHOLD}),
-    s5docs AS (SELECT * FROM s4docs
+    s5docs AS MATERIALIZED (SELECT * FROM s4docs
                WHERE doc_id NOT IN (SELECT doc_id FROM flagged5))
     SELECT 'doc' AS part, CAST(NULL AS VARCHAR) AS stage,
            CAST(doc_id AS BIGINT) AS doc_id, {nb} AS n
@@ -269,6 +293,8 @@ def _curate_oracle() -> str:
                      (SELECT CAST(COUNT(*) AS BIGINT) FROM s1docs)
     UNION ALL SELECT 'census', 'quality_gate', {nb},
                      (SELECT CAST(COUNT(*) AS BIGINT) FROM s2docs)
+    UNION ALL SELECT 'census', 'repetition_gate', {nb},
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM s2bdocs)
     UNION ALL SELECT 'census', 'neardup_jaccard', {nb},
                      (SELECT CAST(COUNT(*) AS BIGINT) FROM s3docs)
     UNION ALL SELECT 'census', 'semantic_dedup', {nb},
@@ -288,7 +314,7 @@ def curate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     eval_docs = d.filter(F.col("doc_id") % EVAL_MOD == 0)
     cur, census = curate_corpus(
-        d.filter(F.col("doc_id") % EVAL_MOD != 0), eval_docs
+        d.filter(F.col("doc_id") % EVAL_MOD != 0), eval_docs, repetition=True
     )
     doc_part = cur.select(
         F.lit("doc").alias("part"),

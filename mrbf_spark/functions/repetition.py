@@ -314,17 +314,17 @@ def repetition_duckdb_sql(src: str = "documents") -> str:
     qcols_sql = sep.join(qcols)
     rcols_sql = sep.join(rcols)
     return f"""
-    WITH rbase AS (
+    WITH rbase AS MATERIALIZED (
       SELECT doc_id,
              list_filter(regexp_split_to_array(text, '{_WS}'), x -> x <> '') AS w,
              list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ln,
              list_filter(string_split(text, chr(10) || chr(10)), p -> trim(p) <> '') AS pa
       FROM {src}),
-    rswl AS (
+    rswl AS MATERIALIZED (
       SELECT doc_id,
              CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT) AS swl
       FROM rbase),
-    runits AS (
+    runits AS MATERIALIZED (
       SELECT doc_id, 'ln' AS kind, 1 AS n, CAST(u.i - 1 AS BIGINT) AS pos,
              u.x AS key, CAST(length(u.x) AS BIGINT) AS wlen
       FROM (SELECT doc_id,
@@ -340,7 +340,7 @@ def repetition_duckdb_sql(src: str = "documents") -> str:
             FROM rbase)
       UNION ALL
 {ngram_units}),
-    rcnts AS (
+    rcnts AS MATERIALIZED (
       SELECT doc_id, kind, n, key, CAST(COUNT(*) AS BIGINT) AS c,
              MIN(wlen) AS wlen
       FROM runits GROUP BY 1, 2, 3, 4),
@@ -372,12 +372,12 @@ def repetition_duckdb_sql(src: str = "documents") -> str:
     rdupk AS (
       SELECT doc_id, kind, n, key FROM rcnts
       WHERE n >= {min(DUP_NS)} AND c >= 2),
-    rocc AS (
+    rocc AS MATERIALIZED (
       SELECT DISTINCT doc_id, kind, wp
       FROM (SELECT u.doc_id, u.kind,
                    UNNEST(generate_series(u.pos, u.pos + u.n - 1)) AS wp
             FROM runits u JOIN rdupk d USING (doc_id, kind, n, key))),
-    rtoks AS (
+    rtoks AS MATERIALIZED (
       SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS wp,
              CAST(length(u.x) AS BIGINT) AS wordlen
       FROM (SELECT doc_id,

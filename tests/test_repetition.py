@@ -113,6 +113,36 @@ def test_planted_duckdb_twin_parity(spark):
         assert (got[c].values == want[c].values).all(), c
 
 
+def test_curate_repetition_gate(spark):
+    from mrbf_spark.functions.curate import curate_corpus
+    from mrbf_spark.registry import release_scoped_caches
+
+    # 60 distinct 3-char words -> passes every top-n threshold; the
+    # spammy doc repeats one 6-word phrase ten times -> fails several
+    clean = " ".join(f"a{i:02d}" for i in range(60))
+    spam = " ".join(["the spam phrase repeats here again"] * 10)
+    docs = spark.createDataFrame(
+        [(1, clean, "en"), (2, spam, "en")],
+        "doc_id long, text string, lang string",
+    )
+    cur, census = curate_corpus(
+        docs, None, repetition=True, semantic=False, jaccard_max_df=None
+    )
+    release_scoped_caches()
+    stages = dict(census)
+    assert stages["quality_gate"] == 2
+    assert stages["repetition_gate"] == 1
+    assert [r["doc_id"] for r in cur.collect()] == [1]
+
+    # gate off (the default): both docs survive to the near-dup stage
+    cur2, census2 = curate_corpus(
+        docs, None, semantic=False, jaccard_max_df=None
+    )
+    release_scoped_caches()
+    assert "repetition_gate" not in dict(census2)
+    assert cur2.count() == 2
+
+
 def test_overlapping_dup_ngrams_not_double_counted(spark):
     from mrbf_spark.functions.repetition import repetition_signals
 
