@@ -719,6 +719,74 @@ def cmd_temp_mix(args) -> None:
         print(f"temp-mix: {k}\t{before[k]} -> {after.get(k, 0)}")
 
 
+def cmd_pretrain_build(args) -> None:
+    """The end-to-end training-data build, every stage an
+    already-tested op with a durable parquet handoff (each stage reads
+    the previous stage's files, so a failed build resumes by re-running
+    from the last written artifact):
+
+        curate → [temperature mixture] → BPE train+encode
+               → contiguous pack → shuffled shards
+    """
+    from .functions.bpe import bpe_encode, bpe_train
+    from .functions.curate import curate_corpus
+    from .functions.packing import contiguous_sequences_tokens
+    from .functions.sampling import (
+        temperature_replicate_indexed,
+        write_shuffled_shards,
+    )
+    from .registry import release_scoped_caches
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    eval_docs = spark.read.parquet(args.eval) if args.eval else None
+    out = args.out.rstrip("/")
+
+    curated, census = curate_corpus(
+        docs,
+        eval_docs,
+        lang=args.lang or None,
+        repetition=args.repetition,
+        neardup_keeper=args.neardup_keeper,
+    )
+    curated.write.mode("overwrite").parquet(f"{out}/curated")
+    release_scoped_caches()
+    for stage, n in census:
+        print(f"pretrain-build: curate/{stage}\t{n}")
+    cur = spark.read.parquet(f"{out}/curated")
+
+    if args.temperature_stratum:
+        temperature_replicate_indexed(
+            cur, args.temperature_stratum
+        ).write.mode("overwrite").parquet(f"{out}/mixed")
+        cur = spark.read.parquet(f"{out}/mixed")
+        print(f"pretrain-build: mixed\t{cur.count()}")
+
+    merges = bpe_train(cur, num_merges=args.bpe_merges)
+    spark.createDataFrame(
+        merges, "rank int, a string, b string, pair_count long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/bpe_merges")
+    bpe_encode(cur, merges).write.mode("overwrite").parquet(f"{out}/encoded")
+    release_scoped_caches()
+    enc = spark.read.parquet(f"{out}/encoded")
+    n_tok = enc.agg(F.sum("n_tokens")).collect()[0][0]
+    print(f"pretrain-build: encoded\t{enc.count()} docs, {n_tok} tokens")
+
+    contiguous_sequences_tokens(enc, seq_len=args.seq_len).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/sequences")
+    seqs = spark.read.parquet(f"{out}/sequences")
+    n_seq = seqs.count()
+    print(f"pretrain-build: sequences\t{n_seq} x {args.seq_len}")
+
+    write_shuffled_shards(seqs, "seq_id", f"{out}/shards", n_shards=args.shards)
+    print(
+        f"pretrain-build: done -> {out} (curated"
+        + (", mixed" if args.temperature_stratum else "")
+        + f", bpe_merges, encoded, sequences, {args.shards} shards)"
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="mrbf_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -1072,6 +1140,27 @@ def main(argv: list[str] | None = None) -> int:
     p_tm.add_argument("--out", required=True)
     p_tm.add_argument("--stratum", default="lang")
 
+    p_pb = sub.add_parser(
+        "pretrain-build",
+        help="end-to-end training-data build: curate -> [temperature "
+        "mixture] -> BPE train+encode -> contiguous pack -> shuffled "
+        "shards; every stage a durable parquet handoff",
+    )
+    p_pb.add_argument("--input", required=True, help="documents parquet")
+    p_pb.add_argument("--out", required=True, help="build directory")
+    p_pb.add_argument("--eval", default=None, help="eval set for decontamination")
+    p_pb.add_argument("--lang", default="en", help="'' disables the lang gate")
+    p_pb.add_argument("--repetition", action="store_true",
+                      help="enable the Gopher repetition gate in curate")
+    p_pb.add_argument("--neardup-keeper",
+                      choices=("pairwise", "cluster", "greedy"),
+                      default="pairwise")
+    p_pb.add_argument("--temperature-stratum", default="",
+                      help="e.g. 'source'; '' skips the mixture stage")
+    p_pb.add_argument("--bpe-merges", type=int, default=50)
+    p_pb.add_argument("--seq-len", type=int, default=128)
+    p_pb.add_argument("--shards", type=int, default=8)
+
     args = ap.parse_args(argv)
     if args.cmd == "dedup-inc" and not (args.index or args.history):
         ap.error("dedup-inc needs --index or --history")
@@ -1106,6 +1195,7 @@ def main(argv: list[str] | None = None) -> int:
         "pq-query": cmd_pq_query,
         "pack-contig": cmd_pack_contig,
         "temp-mix": cmd_temp_mix,
+        "pretrain-build": cmd_pretrain_build,
     }[args.cmd](args)
     return int(rc or 0)
 

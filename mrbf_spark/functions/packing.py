@@ -282,6 +282,25 @@ def contiguous_sequences(
     return _contig_from_laid(_with_stream_start(toks, "n_units"), seq_len, eos)
 
 
+def contiguous_sequences_tokens(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    seq_len: int = SEQ_LEN,
+    eos: str = EOS_TOKEN,
+) -> DataFrame:
+    """contiguous_sequences over a PRE-TOKENIZED corpus — `tokens_col`
+    is an array<string> column (e.g. bpe_encode's `tokens`), so the
+    packed stream is the learned segmentation rather than a whitespace
+    split. This is the packing stage of the pretrain-build composition
+    (curate → BPE → pack): same layout machinery (3-phase prefix sum,
+    EOS document joints, doc_starts loss-mask offsets), identical
+    guarantees."""
+    toks = docs.select("doc_id", F.col(tokens_col).alias("t")).select(
+        "doc_id", "t", (F.size("t") + F.lit(1)).cast("bigint").alias("n_units")
+    )
+    return _contig_from_laid(_with_stream_start(toks, "n_units"), seq_len, eos)
+
+
 def _contig_from_laid(
     laid: DataFrame, seq_len: int = SEQ_LEN, eos: str = EOS_TOKEN
 ) -> DataFrame:

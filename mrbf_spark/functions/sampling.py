@@ -245,6 +245,53 @@ def temperature_replicate(docs: DataFrame, stratum: str = "lang") -> DataFrame:
     )
 
 
+def temperature_replicate_indexed(
+    docs: DataFrame, stratum: str = "lang", id_stride: int = 64
+) -> DataFrame:
+    """temperature_replicate with UNIQUE re-keyed doc ids: copy k of
+    doc d becomes doc_id = d * id_stride + k, so consumers that need a
+    unique orderable key — the contiguous packer's doc_id-ordered
+    token stream — can run on a mixed corpus. Replicas get ADJACENT
+    ids (they pack next to each other; the shard shuffle at the end of
+    pretrain-build is what separates them for training).
+
+    Loud guards, never silent corruption (the keep_id_pref lesson,
+    ADVICE r6): a copy count reaching id_stride or a doc_id that would
+    overflow BIGINT under the stride raises inside the plan."""
+    keyed = docs.join(F.broadcast(temperature_rates(docs, stratum)), stratum)
+    copies = temperature_copies_col().cast("int")
+    checked = F.when(copies < id_stride, copies).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"temperature_replicate_indexed: copy count >= "
+                    f"id_stride ({id_stride}) for doc_id="
+                ),
+                F.col("doc_id").cast("string"),
+            )
+        ).cast("int")
+    )
+    id_max = (2**62) // id_stride
+    new_id = F.when(
+        F.col("doc_id") < id_max,
+        F.col("doc_id") * id_stride + F.col("pos"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"temperature_replicate_indexed: doc_id >= 2^62/"
+                f"{id_stride} overflows the re-keying"
+            )
+        ).cast("long")
+    )
+    return (
+        keyed.select(
+            "*", F.posexplode(F.array_repeat(F.lit(1), checked))
+        )
+        .withColumn("doc_id", new_id)
+        .drop("pos", "col", "__base", "__tfrac")
+    )
+
+
 @builder("temperature_mixture", _TEMP_SQL)
 def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
