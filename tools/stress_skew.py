@@ -357,6 +357,15 @@ def queries():
         # hot text must cost only its share of flagged positions.
         return substring_dup_spans(load_table(spark, sf_dir, "documents"))
 
+    def repetition(spark, sf_dir):
+        # every shuffle key carries doc_id (unit counts, top-k window,
+        # coverage positions), so 30% of docs sharing ONE text creates
+        # identical per-doc multisets, never a hot shuffle key —
+        # expect ~1x.
+        from mrbf_spark.functions.repetition import repetition_signals
+
+        return repetition_signals(load_table(spark, sf_dir, "documents"))
+
     def merge(spark, sf_dir):
         # payload-skew stress (r6, VERDICT r5 #5): the full-outer
         # MERGE join keys on the UNIQUE pk, so key skew is impossible
@@ -463,6 +472,7 @@ def queries():
         "sessionization": (sessionization, "events"),
         "exact_jaccard[max_df=50]": (jaccard_capped, "documents"),
         "substring_dedup_spans": (substr_spans, "documents"),
+        "repetition_signals[hot-text]": (repetition, "documents"),
         "lm_cross_entropy": (lm_entropy, "documents"),
         "perplexity_buckets": (ppl_buckets, "documents"),
         "bm25[hot_term]": (bm25_hot_term, "documents"),
