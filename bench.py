@@ -120,6 +120,8 @@ CONTAINED = {
     "contiguous_sequences": "packing_suite",
     "ann_pq_topk": "ann_approx_topk",
     "temperature_mixture": "sampling_suite",
+    # r7: mining rides the suite (shared near-dup pair scan, part=mining)
+    "contrastive_triplets": "embedding_dedup_suite",
 }
 
 N_ROUNDS = 3  # KEPT interleaved sweeps per query; median reported
