@@ -74,7 +74,11 @@ def main() -> int:
         try:
             with open(out_path) as f:
                 prior = json.load(f)
-            if prior.get("sf_dir") == SF_DIR:
+            # normalize: a prior absolute-path run must merge with a
+            # relative-path re-check of the same directory
+            if os.path.abspath(prior.get("sf_dir", "")) == os.path.abspath(
+                SF_DIR
+            ):
                 merged = {**prior.get("results", {}), **results}
         except Exception:
             pass
