@@ -74,6 +74,7 @@ def contrastive_triplets(
     n_cells: int = MINE_CELLS,
     n_probe: int = MINE_PROBE,
     pairs: DataFrame | None = None,
+    anchor_cap: int | None = None,
 ) -> DataFrame:
     """(anchor_id, positive_id, negative_id, pos_cosine, neg_cosine,
     neg_rank) — one row per hard negative of each directed positive
@@ -82,7 +83,14 @@ def contrastive_triplets(
     `pairs` optionally supplies a pre-computed (vec_a, vec_b, cosine)
     positive-pair frame (already ≥ tau_pos) so a caller that has one —
     the embedding_dedup_suite's 'pair' part — shares the near-dup scan
-    instead of paying it twice."""
+    instead of paying it twice.
+
+    `anchor_cap` (None = unbounded) deterministically restricts mining
+    to the `anchor_cap` SMALLEST anchor ids — the registered suite
+    part's bound: on a near-dup-saturated corpus (anchors ≈ corpus)
+    the exact negative scan is quadratic by design and the right move
+    is dedup-first (module docstring); the cap keeps the VERIFICATION
+    entry's cost bounded without touching the library default."""
     from .similarity import neardup_pairs
 
     if neg_hi is None:
@@ -101,6 +109,14 @@ def contrastive_triplets(
             F.col("cosine").alias("pos_cosine"),
         )
     )
+    if anchor_cap is not None:
+        capped = (
+            directed.select("anchor_id")
+            .distinct()
+            .orderBy("anchor_id")
+            .limit(anchor_cap)
+        )
+        directed = directed.join(capped, "anchor_id", "left_semi")
     anchors = scoped_cache(
         emb.join(
             directed.select(F.col("anchor_id").alias("vec_id")).distinct(),

@@ -785,6 +785,14 @@ NEARDUP_TAU = 0.35
 # module at top level).
 MINE_NEG_LO = 0.15
 MINE_K_NEG = 3
+# The registered suite part's anchor bound (smallest anchor ids,
+# deterministic): covers every driver SF unclipped (28/51 anchors at
+# sf0.001/sf0.01) while keeping the verification entry's cost bounded
+# on near-dup-saturated corpora, where exact mining is quadratic by
+# design and the library op's docstring prescribes dedup-first
+# (measured: a generated sf1 corpus with 19,900/20,000 anchors ran
+# the uncapped exact part for >45 min before being killed).
+MINE_ANCHOR_CAP = 512
 # Label groups up to this many rows pair exactly; larger groups fall
 # back to LSH buckets. The exact path's pair space is salted over a
 # B×B cell grid (below), so even a cap-boundary group's ~5·10⁹ pairs
@@ -1269,9 +1277,11 @@ def _mining_oracle() -> str:
     (within-label, fixed-point cosine ≥ NEARDUP_TAU) emitted
     symmetrically; hard negatives = per-anchor ROW_NUMBER top-MINE_K_NEG
     over the [MINE_NEG_LO, NEARDUP_TAU) cosine band against the whole
-    corpus, ties broken (cosine DESC, vec_id). Same fixed-point
-    trunc-dot as every other embedding oracle, so the doubles are
-    bit-identical across engines."""
+    corpus, ties broken (cosine DESC, vec_id). Anchors are bounded at
+    the MINE_ANCHOR_CAP smallest ids (see that constant's comment —
+    no driver SF is clipped). Same fixed-point trunc-dot as every
+    other embedding oracle, so the doubles are bit-identical across
+    engines."""
     from ..registry import BUILDER_SQL
 
     return f"""
@@ -1293,7 +1303,8 @@ def _mining_oracle() -> str:
             FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                          UNNEST(a.embedding) AS xa, UNNEST(b.embedding) AS xb
                   FROM embeddings a
-                  JOIN (SELECT DISTINCT anchor_id FROM mdirected) m
+                  JOIN (SELECT DISTINCT anchor_id FROM mdirected
+                        ORDER BY anchor_id LIMIT {MINE_ANCHOR_CAP}) m
                     ON m.anchor_id = a.vec_id,
                        embeddings b
                   WHERE b.vec_id <> a.vec_id)
@@ -1422,7 +1433,9 @@ def embedding_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # [MINE_NEG_LO, NEARDUP_TAU) band against the whole corpus.
     from .mining import contrastive_triplets
 
-    mining = contrastive_triplets(emb, pairs=raw_pairs).select(
+    mining = contrastive_triplets(
+        emb, pairs=raw_pairs, anchor_cap=MINE_ANCHOR_CAP
+    ).select(
         F.lit("mining").alias("part"),
         F.col("anchor_id").alias("k1"),
         F.col("positive_id").cast("long").alias("k2"),

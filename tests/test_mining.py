@@ -95,6 +95,27 @@ def test_exact_triplets_match_numpy_replay(spark):
     assert len(got) > 0  # the planted dup structure guarantees work
 
 
+def test_anchor_cap_semantics(spark):
+    from mrbf_spark.functions.mining import contrastive_triplets
+    from mrbf_spark.registry import release_scoped_caches
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    kw = dict(tau_pos=TAU_POS, neg_lo=NEG_LO, neg_hi=NEG_HI, k_neg=K_NEG)
+    full = _collect(contrastive_triplets(emb, **kw))
+    release_scoped_caches()
+    # a cap >= the anchor count is a no-op
+    wide = _collect(contrastive_triplets(emb, anchor_cap=10_000, **kw))
+    release_scoped_caches()
+    assert wide == full
+    # a small cap keeps exactly the smallest anchor ids' triplets
+    anchors = sorted({t[0] for t in full})
+    cap = max(2, len(anchors) // 3)
+    kept = set(anchors[:cap])
+    capped = _collect(contrastive_triplets(emb, anchor_cap=cap, **kw))
+    release_scoped_caches()
+    assert capped == {t for t in full if t[0] in kept}
+
+
 def test_ivf_full_probe_equals_exact(spark):
     from mrbf_spark.functions.mining import contrastive_triplets
     from mrbf_spark.registry import release_scoped_caches
