@@ -87,49 +87,113 @@ def _base(docs: DataFrame) -> DataFrame:
     )
 
 
-def _unit_kind(base: DataFrame, col: str, kind: str) -> DataFrame:
-    return base.select("doc_id", F.posexplode(col)).select(
-        "doc_id",
-        F.lit(kind).alias("kind"),
-        F.lit(1).alias("n"),
-        F.col("pos").cast("long").alias("pos"),
-        F.col("col").alias("key"),
-        F.length("col").cast("long").alias("wlen"),
+def _unit_structs(arr: Column, kind: str, n: int) -> Column:
+    """array<struct<kind,n,pos,key,wlen>> over the unit strings in
+    `arr` (two-arg transform lambda supplies the position)."""
+    return F.transform(
+        arr,
+        lambda x, i: F.struct(
+            F.lit(kind).alias("kind"),
+            F.lit(n).cast("int").alias("n"),
+            i.cast("long").alias("pos"),
+            x.alias("key"),
+            (F.length(x) - (n - 1)).cast("long").alias("wlen"),
+        ),
     )
 
 
-def _unit_ngrams(base: DataFrame, n: int) -> DataFrame:
-    # guard: Spark's sequence(1, 0) DESCENDS, so short docs must take
-    # the empty-array branch explicitly
-    keys = F.expr(
-        f"if(size(w) >= {n},"
-        f" transform(sequence(0, size(w) - {n}),"
-        f"           i -> array_join(slice(w, i + 1, {n}), ' ')),"
-        f" array())"
-    )
-    return base.select("doc_id", F.posexplode(keys)).select(
+def _exploded_units(base: DataFrame) -> DataFrame:
+    """(doc_id, kind, n, pos, key, wlen) for EVERY unit — lines,
+    paragraphs, single tokens (kind='tk', the coverage lookup side),
+    and n-grams for all configured n.
+
+    Construction cost drove this design (measured at sf0.1): building
+    n-gram keys with per-element `slice`+`array_join` lambdas runs
+    INTERPRETED (higher-order functions never enter whole-stage
+    codegen) at ~2 µs/unit — 5 s for 2.5 M units. Instead the tokens
+    are exploded once and every n-gram key is a codegen'd
+    `concat_ws(word, lead(word,1), …)` — all nine n values ride ONE
+    doc-keyed window sort (the `_with_stream_starts` one-sort-many-
+    expressions trick), and the per-row struct array explodes with a
+    null-gate for positions too close to the document end. Lines and
+    paragraphs stay HOF-built (a handful of units per doc — noise).
+    The shuffle introduced by the window is doc-keyed, same bound as
+    every other shuffle in this module."""
+    toks = base.select("doc_id", F.posexplode("w")).select(
         "doc_id",
-        F.lit(f"g{n}").alias("kind"),
-        F.lit(n).alias("n"),
-        F.col("pos").cast("long").alias("pos"),
-        F.col("col").alias("key"),
-        (F.length("col") - (n - 1)).cast("long").alias("wlen"),
+        F.col("pos").cast("long").alias("wp"),
+        F.col("col").alias("word"),
     )
+    all_ns = (*TOP_NS, *DUP_NS)
+    max_n = max(all_ns)
+    wspec = W.partitionBy("doc_id").orderBy("wp")
+    leads = toks.select(
+        "*",
+        *[
+            F.lead("word", j).over(wspec).alias(f"_w{j}")
+            for j in range(1, max_n)
+        ],
+    )
+
+    def g_struct(n: int) -> Column:
+        key = F.concat_ws(
+            " ", F.col("word"), *[F.col(f"_w{j}") for j in range(1, n)]
+        )
+        # valid iff the (n-1)-ahead token exists in the same doc; the
+        # window lead is partition-bounded so this is exactly wp <= W-n
+        return F.when(
+            F.col(f"_w{n - 1}").isNotNull(),
+            F.struct(
+                F.lit(f"g{n}").alias("kind"),
+                F.lit(n).cast("int").alias("n"),
+                F.col("wp").alias("pos"),
+                key.alias("key"),
+                (F.length(key) - (n - 1)).cast("long").alias("wlen"),
+            ),
+        )
+
+    ng = (
+        leads.select(
+            "doc_id",
+            F.explode(F.array(*[g_struct(n) for n in all_ns])).alias("u"),
+        )
+        .filter(F.col("u").isNotNull())
+        .select("doc_id", "u.*")
+    )
+    tk = toks.select(
+        "doc_id",
+        F.lit("tk").alias("kind"),
+        F.lit(1).cast("int").alias("n"),
+        F.col("wp").alias("pos"),
+        F.col("word").alias("key"),
+        F.length("word").cast("long").alias("wlen"),
+    )
+    lnpa = base.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                _unit_structs(F.col("ln"), "ln", 1),
+                _unit_structs(F.col("pa"), "pa", 1),
+            )
+        ).alias("u"),
+    ).select("doc_id", "u.*")
+    return ng.unionByName(tk).unionByName(lnpa)
 
 
 def repetition_signals(docs: DataFrame) -> DataFrame:
     """Per-doc repetition metrics + per-threshold booleans + rep_pass.
     Input needs (doc_id, text); output keyed by doc_id (one row per
     input row, including zero-word docs)."""
+    from ..registry import scoped_cache
     from .quality_rules import FIXED
 
     base = _base(docs)
-    units = _unit_kind(base, "ln", "ln").unionByName(
-        _unit_kind(base, "pa", "pa")
-    )
-    for n in (*TOP_NS, *DUP_NS):
-        units = units.unionByName(_unit_ngrams(base, n))
-
+    # cache the one-scan unit explosion: five consumers (counts, the
+    # coverage occurrence join, the token lookup, and their branches)
+    # would otherwise each re-derive every unit kind. Scoped — the
+    # caller (driver harness / stream step) releases.
+    ex = scoped_cache(_exploded_units(base))
+    units = ex.filter(F.col("kind") != "tk")
     cnts = units.groupBy("doc_id", "kind", "n", "key").agg(
         F.count("*").alias("c"), F.min("wlen").alias("wlen")
     )
@@ -192,10 +256,10 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    toks = base.select("doc_id", F.posexplode("w")).select(
+    toks = ex.filter(F.col("kind") == "tk").select(
         "doc_id",
-        F.col("pos").cast("long").alias("wp"),
-        F.length("col").cast("long").alias("wordlen"),
+        F.col("pos").alias("wp"),
+        F.col("wlen").alias("wordlen"),
     )
     cov = (
         occ.join(toks, ["doc_id", "wp"])

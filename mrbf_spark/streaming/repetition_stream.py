@@ -32,10 +32,15 @@ def process_repetition_batch(
     batch_df: DataFrame, batch_id: int, store_dir: str
 ) -> None:
     """One micro-batch: per-doc signals -> idempotent v=<batch_id> dir."""
+    from ..registry import release_scoped_caches
+
     out = os.path.join(store_dir, f"v={batch_id}")
     repetition_signals(batch_df.select("doc_id", "text")).write.mode(
         "overwrite"
     ).parquet(out)
+    # the operator scope-caches its unit explosion; a long-running
+    # stream must not accumulate one cache per micro-batch
+    release_scoped_caches()
 
 
 def streaming_repetition_signals(
