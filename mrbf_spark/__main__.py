@@ -719,6 +719,25 @@ def cmd_temp_mix(args) -> None:
         print(f"temp-mix: {k}\t{before[k]} -> {after.get(k, 0)}")
 
 
+def cmd_mine_triplets(args) -> None:
+    from .functions.mining import contrastive_triplets
+    from .registry import release_scoped_caches
+
+    spark = _spark(args)
+    emb = spark.read.parquet(args.input)
+    out = contrastive_triplets(
+        emb,
+        method=args.method,
+        k_neg=args.k_neg,
+        anchor_cap=args.anchor_cap,
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    release_scoped_caches()
+    n = spark.read.parquet(args.out).count()
+    a = spark.read.parquet(args.out).select("anchor_id").distinct().count()
+    print(f"mine-triplets[{args.method}]: {n} triplets over {a} anchors -> {args.out}")
+
+
 def cmd_pretrain_build(args) -> None:
     """The end-to-end training-data build, every stage an
     already-tested op with a durable parquet handoff (each stage reads
@@ -1140,6 +1159,22 @@ def main(argv: list[str] | None = None) -> int:
     p_tm.add_argument("--out", required=True)
     p_tm.add_argument("--stratum", default="lang")
 
+    p_mt = sub.add_parser(
+        "mine-triplets",
+        help="contrastive (anchor, positive, hard-negative) training "
+        "triplets over an embedding corpus; method=ivf routes the "
+        "negative search through spherical-kmeans cells",
+    )
+    p_mt.add_argument("--input", required=True, help="parquet with vec_id, embedding, label")
+    p_mt.add_argument("--out", required=True)
+    p_mt.add_argument("--method", choices=("exact", "ivf"), default="exact")
+    p_mt.add_argument("--k-neg", type=int, default=3)
+    p_mt.add_argument(
+        "--anchor-cap", type=int, default=None,
+        help="bound mining to the N smallest anchor ids (use on "
+        "near-dup-saturated corpora; better: dedup first)",
+    )
+
     p_pb = sub.add_parser(
         "pretrain-build",
         help="end-to-end training-data build: curate -> [temperature "
@@ -1196,6 +1231,7 @@ def main(argv: list[str] | None = None) -> int:
         "pack-contig": cmd_pack_contig,
         "temp-mix": cmd_temp_mix,
         "pretrain-build": cmd_pretrain_build,
+        "mine-triplets": cmd_mine_triplets,
     }[args.cmd](args)
     return int(rc or 0)
 

@@ -95,6 +95,30 @@ def test_exact_triplets_match_numpy_replay(spark):
     assert len(got) > 0  # the planted dup structure guarantees work
 
 
+def test_mine_triplets_cli(spark, tmp_path, capsys):
+    from mrbf_spark.__main__ import main
+
+    out = str(tmp_path / "triplets")
+    assert (
+        main(
+            [
+                "mine-triplets",
+                "--input", f"{SF_SMOKE}/embeddings.parquet",
+                "--out", out,
+                "--method", "ivf",
+            ]
+        )
+        == 0
+    )
+    assert "mine-triplets[ivf]:" in capsys.readouterr().out
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    assert set(got.columns) == {
+        "anchor_id", "positive_id", "negative_id",
+        "pos_cosine", "neg_cosine", "neg_rank",
+    }
+
+
 def test_anchor_cap_semantics(spark):
     from mrbf_spark.functions.mining import contrastive_triplets
     from mrbf_spark.registry import release_scoped_caches
