@@ -79,10 +79,16 @@ def _base(docs: DataFrame) -> DataFrame:
         words.alias("w"),
         lines.alias("ln"),
         paras.alias("pa"),
-        F.aggregate(
-            F.transform(words, lambda x: F.length(x).cast("long")),
+        # coalesce mirrors the twin's COALESCE(list_sum(...), 0): a
+        # NULL text must yield swl=0 (vacuous rule passes) on BOTH
+        # engines, not NULL-on-one/0-on-the-other
+        F.coalesce(
+            F.aggregate(
+                F.transform(words, lambda x: F.length(x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ),
             F.lit(0).cast("long"),
-            lambda a, x: a + x,
         ).alias("swl"),
     )
 

@@ -17,6 +17,7 @@ PLANTED = [
     (4, "x y"),  # shorter than every DUP_N
     (5, ""),  # empty doc: all denominators zero
     (6, "one two three four five six seven"),  # no repetition at all
+    (7, None),  # NULL text: must behave exactly like the empty doc
 ]
 
 
@@ -82,6 +83,10 @@ def test_planted_hand_computed(spark):
     assert rows[6]["top2_char_q"] == 259_259  # trunc(7e6/27)
     assert rows[6]["r_top2"] is False
     assert rows[6]["rep_pass"] is False
+
+    # doc 7: NULL text == empty doc (the twin's COALESCE convention)
+    assert rows[7]["dup5_char_q"] == -1
+    assert rows[7]["rep_pass"] is True
 
 
 def test_planted_duckdb_twin_parity(spark):
