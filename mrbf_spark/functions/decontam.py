@@ -138,6 +138,77 @@ def decontaminate_docs(
     )
 
 
+def decontaminate_cut(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    n: int = NGRAM_N,
+    p: float = P,
+) -> DataFrame:
+    """Span-level decontamination — the surgical alternative to
+    dropping whole documents (what production pipelines do when a doc
+    is valuable but contains a verbatim benchmark snippet): every
+    corpus token covered by ANY n-gram that appears verbatim in the
+    eval set is removed, overlapping hits merging by position-set
+    union; the document is rewritten from the surviving tokens.
+
+    Returns one row per corpus document:
+      (doc_id, text [rewritten, '' if fully contaminated],
+       n_tokens [surviving], n_removed).
+
+    Same bloom prune + exact verify as decontaminate_docs — but over
+    POSITIONAL grams (every occurrence, not the per-doc distinct set),
+    since the cut needs locations. 100 TB shape: the corpus is scanned
+    twice (gram probe; token reassembly), shuffles carry
+    (doc_id, position) int pairs for the survivor set and the per-doc
+    reassembly groupBy — the same bounds as substring_dedup's CUT,
+    whose reassembly pattern this reuses."""
+    eval_grams = doc_ngrams(eval_docs, n).select("g").distinct()
+    filters = scoped_cache(
+        build_bloom_filters(
+            eval_grams.withColumn("__g", F.lit("eval")), "__g", "g", p
+        )
+    )
+    toks_arr = F.split(F.col("text"), " ")
+    pos_grams = corpus.select(
+        "doc_id", F.posexplode(ngrams_col(toks_arr, n)).alias("pos", "g")
+    )
+    survivors = probe_bloom_filters(
+        pos_grams.withColumn("__g", F.lit("eval")),
+        "__g",
+        "g",
+        filters,
+        k=num_hashes(p),
+        broadcast=True,
+    ).filter(F.col("bloom_hit") == 1)
+    hits = survivors.join(F.broadcast(eval_grams), "g", "left_semi")
+    cut_pos = hits.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias(
+            "idx"
+        ),
+    ).distinct()
+    toks = corpus.select(
+        "doc_id", F.posexplode(toks_arr).alias("idx", "tok")
+    )
+    kept = toks.join(cut_pos, ["doc_id", "idx"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.struct("idx", "tok"))).tok, " "
+        ).alias("text"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+    )
+    base = corpus.select("doc_id", F.size(toks_arr).cast("long").alias("__orig"))
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+        (F.col("__orig") - F.coalesce(F.col("n_tokens"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )
+
+
 def semantic_decontaminate(
     corpus: DataFrame,
     eval_docs: DataFrame,
@@ -384,6 +455,31 @@ hits AS (
 """.format(n=NGRAM_N, n1=NGRAM_N - 1, mod=EVAL_MOD)
 
 
+_CUT_CTE = """,
+ctoks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents WHERE doc_id % {mod} <> 0),
+cposg AS MATERIALIZED (
+  SELECT doc_id, u.i AS pos, array_to_string(t[u.i + 1 : u.i + {n}], ' ') AS g
+  FROM ctoks, LATERAL UNNEST(range(greatest(len(t) - {n1}, 0))) AS u(i)),
+cutidx AS (SELECT DISTINCT doc_id, idx FROM (
+  SELECT c.doc_id, UNNEST(generate_series(c.pos, c.pos + {n1})) AS idx
+  FROM cposg c WHERE EXISTS (SELECT 1 FROM ev WHERE ev.g = c.g))),
+ctokpos AS MATERIALIZED (
+  SELECT doc_id, u.i AS idx, t[u.i + 1] AS tok
+  FROM ctoks, LATERAL UNNEST(range(len(t))) AS u(i)),
+ckept AS (SELECT k.doc_id, k.idx, k.tok FROM ctokpos k
+          ANTI JOIN cutidx USING (doc_id, idx)),
+crebuilt AS (SELECT doc_id, array_to_string(LIST(tok ORDER BY idx), ' ') AS txt,
+                    CAST(COUNT(*) AS BIGINT) AS n_tokens
+             FROM ckept GROUP BY doc_id),
+cutdocs AS (SELECT b.doc_id, COALESCE(r.txt, '') AS txt,
+                   COALESCE(r.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+                   CAST(len(b.t) AS BIGINT)
+                     - COALESCE(r.n_tokens, CAST(0 AS BIGINT)) AS n_removed
+            FROM ctoks b LEFT JOIN crebuilt r USING (doc_id))
+""".format(n=NGRAM_N, n1=NGRAM_N - 1, mod=EVAL_MOD)
+
+
 def _sem_cte() -> str:
     """CTE block replaying semantic_decontaminate: hashed-bigram
     embeddings of both splits, fixed-point pair cosines, per-doc max,
@@ -436,30 +532,40 @@ semclosest AS (SELECT c.doc_id, m.max_eval_cosine,
     "decontaminate",
     _GRAMS_CTE
     + _sem_cte()
+    + _CUT_CTE
     + f"""
 SELECT 'ngram' AS part, t.doc_id, t.n_grams AS n1,
        COALESCE(h.n_contaminated, CAST(0 AS BIGINT)) AS n2,
        CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE)
          AS x1,
        CAST(CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
-              / CAST(t.n_grams AS DOUBLE) >= {FLAG_THRESHOLD} AS INT) AS flagged
+              / CAST(t.n_grams AS DOUBLE) >= {FLAG_THRESHOLD} AS INT) AS flagged,
+       CAST(NULL AS VARCHAR) AS txt
 FROM tot t LEFT JOIN hits h USING (doc_id)
 UNION ALL
 SELECT 'semantic' AS part, doc_id, closest_eval_id AS n1,
        CAST(NULL AS BIGINT) AS n2, max_eval_cosine AS x1,
-       CAST(max_eval_cosine >= {SEM_TAU} AS INT) AS flagged
+       CAST(max_eval_cosine >= {SEM_TAU} AS INT) AS flagged,
+       CAST(NULL AS VARCHAR) AS txt
 FROM semclosest
+UNION ALL
+SELECT 'cut' AS part, doc_id, n_tokens AS n1, n_removed AS n2,
+       CAST(NULL AS DOUBLE) AS x1, CAST(n_removed > 0 AS INT) AS flagged,
+       txt
+FROM cutdocs
 """,
 )
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog entry: documents with doc_id % EVAL_MOD == 0 play the
-    eval set; the rest are the training corpus. Two-part union —
-    'ngram' (exact 3-gram overlap) + 'semantic' (hashed-embedding
-    nearest-eval cosine)."""
+    eval set; the rest are the training corpus. Three-part union —
+    'ngram' (exact 3-gram overlap report), 'semantic'
+    (hashed-embedding nearest-eval cosine), and 'cut' (r7: the
+    span-level rewrite — surviving text, token counts)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     eval_docs = d.filter(F.col("doc_id") % EVAL_MOD == 0)
     corpus = d.filter(F.col("doc_id") % EVAL_MOD != 0)
     nb = F.lit(None).cast("long")
+    ns = F.lit(None).cast("string")
     ng = decontaminate_docs(corpus, eval_docs).select(
         F.lit("ngram").alias("part"),
         "doc_id",
@@ -467,6 +573,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_contaminated").alias("n2"),
         F.col("contamination_rate").alias("x1"),
         "flagged",
+        ns.alias("txt"),
     )
     sem = semantic_decontaminate(corpus, eval_docs).select(
         F.lit("semantic").alias("part"),
@@ -475,8 +582,18 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb.alias("n2"),
         F.col("max_eval_cosine").alias("x1"),
         "flagged",
+        ns.alias("txt"),
     )
-    return ng.unionByName(sem)
+    cut = decontaminate_cut(corpus, eval_docs).select(
+        F.lit("cut").alias("part"),
+        "doc_id",
+        F.col("n_tokens").alias("n1"),
+        F.col("n_removed").alias("n2"),
+        F.lit(None).cast("double").alias("x1"),
+        (F.col("n_removed") > 0).cast("int").alias("flagged"),
+        F.col("text").alias("txt"),
+    )
+    return ng.unionByName(sem).unionByName(cut)
 
 
 @builder("semantic_decontam", None)  # oracle composed into the entry above

@@ -212,3 +212,48 @@ def test_semantic_pruned_is_one_sided_and_flags_planted(spark):
         assert pruned[100000 + i] == exact[100000 + i]
         assert pruned[100000 + i][2] == 1
         assert pruned[100000 + i][0] == i
+
+
+def test_cut_rewrites_planted_spans(spark):
+    """decontaminate_cut (r7): hand-checked span removal — mid-doc
+    hit, full contamination, clean doc, and a doc too short to gram."""
+    from mrbf_spark.functions.decontam import decontaminate_cut
+    from mrbf_spark.registry import release_scoped_caches
+
+    ev = spark.createDataFrame(
+        [(0, "alpha beta gamma")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "x alpha beta gamma y"),
+            (2, "alpha beta gamma"),
+            (3, "no overlap here at all"),
+            (4, "al be"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
+        for r in decontaminate_cut(corpus, ev).collect()
+    }
+    release_scoped_caches()
+    assert rows[1] == ("x y", 2, 3)  # pos-1 hit cuts tokens 1..3
+    assert rows[2] == ("", 0, 3)  # fully contaminated
+    assert rows[3] == ("no overlap here at all", 5, 0)
+    assert rows[4] == ("al be", 2, 0)  # shorter than n: no grams
+
+
+def test_cut_overlapping_hits_union_not_double_cut(spark):
+    """Two overlapping eval 3-grams cover 4 tokens, not 6."""
+    from mrbf_spark.functions.decontam import decontaminate_cut
+    from mrbf_spark.registry import release_scoped_caches
+
+    ev = spark.createDataFrame(
+        [(0, "a b c"), (1, "b c d")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "z a b c d z")], "doc_id long, text string"
+    )
+    r = decontaminate_cut(corpus, ev).collect()[0]
+    release_scoped_caches()
+    assert (r["text"], r["n_tokens"], r["n_removed"]) == ("z z", 2, 4)
