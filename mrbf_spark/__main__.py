@@ -485,6 +485,7 @@ def cmd_curate(args) -> None:
         neardup_keeper=args.neardup_keeper,
         repetition=args.repetition,
         semantic=not args.no_semantic,
+        decontam_action=args.decontam_action,
     )
     curated.write.mode("overwrite").parquet(args.out)
     if args.shards:
@@ -717,6 +718,31 @@ def cmd_temp_mix(args) -> None:
     }
     for k in sorted(before):
         print(f"temp-mix: {k}\t{before[k]} -> {after.get(k, 0)}")
+
+
+def cmd_decontam(args) -> None:
+    from .functions.decontam import decontaminate_cut, decontaminate_docs
+    from .registry import release_scoped_caches
+
+    spark = _spark(args)
+    corpus = spark.read.parquet(args.input)
+    ev = spark.read.parquet(args.eval)
+    if args.action == "report":
+        out = decontaminate_docs(corpus, ev, threshold=args.threshold)
+        out.write.mode("overwrite").parquet(args.out)
+        flagged = spark.read.parquet(args.out).filter("flagged = 1").count()
+        print(f"decontam report: {flagged} docs flagged -> {args.out}")
+    else:
+        out = decontaminate_cut(corpus, ev)
+        out.write.mode("overwrite").parquet(args.out)
+        res = spark.read.parquet(args.out)
+        cut = res.filter("n_removed > 0").count()
+        removed = res.agg(F.sum("n_removed")).collect()[0][0]
+        print(
+            f"decontam cut: {cut} docs rewritten, {removed} tokens removed"
+            f" -> {args.out}"
+        )
+    release_scoped_caches()
 
 
 def cmd_mine_triplets(args) -> None:
@@ -978,6 +1004,13 @@ def main(argv: list[str] | None = None) -> int:
         "dedup -> decontamination",
     )
     p_cu.add_argument(
+        "--decontam-action",
+        choices=("drop", "cut"),
+        default="drop",
+        help="drop = remove docs over the contamination threshold; "
+        "cut = span-level surgery (rewrite text, keep the doc)",
+    )
+    p_cu.add_argument(
         "--repetition",
         action="store_true",
         help="enable the 13-threshold Gopher repetition gate after the"
@@ -1159,6 +1192,17 @@ def main(argv: list[str] | None = None) -> int:
     p_tm.add_argument("--out", required=True)
     p_tm.add_argument("--stratum", default="lang")
 
+    p_dc = sub.add_parser(
+        "decontam",
+        help="benchmark decontamination: report per-doc eval n-gram "
+        "overlap, or cut the overlapping spans out of the text",
+    )
+    p_dc.add_argument("--input", required=True, help="corpus parquet")
+    p_dc.add_argument("--eval", required=True, help="eval-set parquet")
+    p_dc.add_argument("--out", required=True)
+    p_dc.add_argument("--action", choices=("report", "cut"), default="report")
+    p_dc.add_argument("--threshold", type=float, default=0.05)
+
     p_mt = sub.add_parser(
         "mine-triplets",
         help="contrastive (anchor, positive, hard-negative) training "
@@ -1232,6 +1276,7 @@ def main(argv: list[str] | None = None) -> int:
         "temp-mix": cmd_temp_mix,
         "pretrain-build": cmd_pretrain_build,
         "mine-triplets": cmd_mine_triplets,
+        "decontam": cmd_decontam,
     }[args.cmd](args)
     return int(rc or 0)
 

@@ -57,6 +57,7 @@ def curate_corpus(
     semantic: bool = True,
     sem_tau: float = TEXT_SEM_TAU,
     contam_threshold: float = FLAG_THRESHOLD,
+    decontam_action: str = "drop",
 ) -> tuple[DataFrame, list[tuple[str, int]]]:
     """Run the full curation chain; returns (curated_docs, census)
     where census = [(stage, docs_surviving_after_stage), ...].
@@ -183,19 +184,56 @@ def curate_corpus(
         census.append(("semantic_dedup", cur.count()))
 
     # 5 — decontamination against an eval set (exact overlap; docs too
-    # short to produce an n-gram have no report row = clean)
+    # short to produce an n-gram have no report row = clean).
+    # decontam_action (r7):
+    #   * "drop" (default, the registered entry's oracle): remove any
+    #     doc whose contamination rate crosses the threshold — rows
+    #     are only ever filtered, never rewritten.
+    #   * "cut": SPAN-level surgery (decontaminate_cut) — every doc
+    #     survives, but tokens covered by verbatim eval n-grams are
+    #     removed and `text` is REWRITTEN from the survivors (the one
+    #     stage that may rewrite rows; census counts docs actually
+    #     cut). threshold is not consulted: any verbatim overlap cuts.
     if eval_docs is not None:
-        report = decontaminate_docs(cur, eval_docs, threshold=contam_threshold)
-        # flagged is INT (0/1 — the NULL-portable oracle convention)
-        flagged = report.filter(F.col("flagged") == 1).select("doc_id")
-        # the final checkpoint doubles as the consumer handoff: the
-        # returned plan reads materialized blocks, so downstream
-        # actions (driver compare, writes) cost ~0.1 s instead of
-        # re-running the semdedup/decontamination tail (measured ~17 s
-        # per action when a plain .cache() failed to serve under AQE
-        # plan canonicalization)
-        cur = cur.join(flagged, "doc_id", "left_anti").localCheckpoint()
-        census.append(("decontaminate", cur.count()))
+        if decontam_action == "drop":
+            report = decontaminate_docs(
+                cur, eval_docs, threshold=contam_threshold
+            )
+            # flagged is INT (0/1 — the NULL-portable oracle convention)
+            flagged = report.filter(F.col("flagged") == 1).select("doc_id")
+            # the final checkpoint doubles as the consumer handoff: the
+            # returned plan reads materialized blocks, so downstream
+            # actions (driver compare, writes) cost ~0.1 s instead of
+            # re-running the semdedup/decontamination tail (measured
+            # ~17 s per action when a plain .cache() failed to serve
+            # under AQE plan canonicalization)
+            cur = cur.join(flagged, "doc_id", "left_anti").localCheckpoint()
+            census.append(("decontaminate", cur.count()))
+        elif decontam_action == "cut":
+            from .decontam import decontaminate_cut
+
+            rewritten = decontaminate_cut(cur, eval_docs).select(
+                "doc_id",
+                F.col("text").alias("__new_text"),
+                "n_removed",
+            )
+            cur = (
+                cur.join(rewritten, "doc_id", "left")
+                .withColumn(
+                    "text", F.coalesce(F.col("__new_text"), F.col("text"))
+                )
+                .drop("__new_text")
+                .localCheckpoint()
+            )
+            census.append(
+                ("decontaminate_cut",
+                 cur.filter(F.col("n_removed") > 0).count())
+            )
+            cur = cur.drop("n_removed")
+        else:
+            raise ValueError(
+                f"decontam_action must be drop|cut, got {decontam_action!r}"
+            )
 
     return cur, census
 

@@ -257,3 +257,53 @@ def test_cut_overlapping_hits_union_not_double_cut(spark):
     r = decontaminate_cut(corpus, ev).collect()[0]
     release_scoped_caches()
     assert (r["text"], r["n_tokens"], r["n_removed"]) == ("z z", 2, 4)
+
+
+def test_curate_decontam_cut_mode(spark):
+    """curate_corpus(decontam_action='cut'): the contaminated doc
+    SURVIVES with its span removed; drop mode removes it."""
+    from mrbf_spark.functions.curate import curate_corpus
+    from mrbf_spark.registry import release_scoped_caches
+
+    ev = spark.createDataFrame(
+        [(0, "alpha beta gamma", "en")], "doc_id long, text string, lang string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "keep this alpha beta gamma document here ok", "en"),
+            (2, "totally clean words only nothing shared", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    kw = dict(semantic=False, jaccard_max_df=None, min_tokens=2)
+    cut_docs, census = curate_corpus(
+        corpus, ev, decontam_action="cut", **kw
+    )
+    release_scoped_caches()
+    rows = {r["doc_id"]: r["text"] for r in cut_docs.collect()}
+    assert dict(census)["decontaminate_cut"] == 1
+    assert rows[1] == "keep this document here ok"
+    assert rows[2] == "totally clean words only nothing shared"
+
+    drop_docs, census2 = curate_corpus(
+        corpus, ev, decontam_action="drop", contam_threshold=0.01, **kw
+    )
+    release_scoped_caches()
+    assert [r["doc_id"] for r in drop_docs.collect()] == [2]
+
+
+def test_decontam_cli(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+    from mrbf_spark.__main__ import main
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = str(tmp_path / "corpus"); evp = str(tmp_path / "eval")
+    d.filter(F.col("doc_id") % 97 != 0).write.parquet(corpus)
+    d.filter(F.col("doc_id") % 97 == 0).write.parquet(evp)
+    out = str(tmp_path / "cut")
+    assert main(["decontam", "--input", corpus, "--eval", evp,
+                 "--out", out, "--action", "cut"]) == 0
+    assert "decontam cut:" in capsys.readouterr().out
+    res = spark.read.parquet(out)
+    assert res.count() == spark.read.parquet(corpus).count()
+    assert set(res.columns) == {"doc_id", "text", "n_tokens", "n_removed"}
