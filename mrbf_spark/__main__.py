@@ -737,7 +737,11 @@ def cmd_decontam(args) -> None:
         out.write.mode("overwrite").parquet(args.out)
         res = spark.read.parquet(args.out)
         cut = res.filter("n_removed > 0").count()
-        removed = res.agg(F.sum("n_removed")).collect()[0][0]
+        removed = (
+            res.agg(
+                F.coalesce(F.sum("n_removed"), F.lit(0)).alias("n")
+            ).collect()[0][0]
+        )
         print(
             f"decontam cut: {cut} docs rewritten, {removed} tokens removed"
             f" -> {args.out}"
@@ -766,13 +770,16 @@ def cmd_mine_triplets(args) -> None:
 
 def cmd_pretrain_build(args) -> None:
     """The end-to-end training-data build, every stage an
-    already-tested op with a durable parquet handoff (each stage reads
-    the previous stage's files, so a failed build resumes by re-running
-    from the last written artifact):
+    already-tested op with a durable parquet handoff:
 
         curate → [temperature mixture] → BPE train+encode
                → contiguous pack → shuffled shards
-    """
+
+    A failed build resumes with `--from-stage {mix,bpe,pack,shards}`:
+    the stages before it are NOT recomputed — their durable parquet
+    artifacts under `--out` are read back instead (which is why every
+    handoff is written before the next stage starts). Without
+    `--from-stage` the whole chain re-runs and overwrites."""
     from .functions.bpe import bpe_encode, bpe_train
     from .functions.curate import curate_corpus
     from .functions.packing import contiguous_sequences_tokens
@@ -783,46 +790,69 @@ def cmd_pretrain_build(args) -> None:
     from .registry import release_scoped_caches
 
     spark = _spark(args)
-    docs = spark.read.parquet(args.input)
-    eval_docs = spark.read.parquet(args.eval) if args.eval else None
     out = args.out.rstrip("/")
+    order = ["curate", "mix", "bpe", "pack", "shards"]
+    start = order.index(args.from_stage) if args.from_stage else 0
 
-    curated, census = curate_corpus(
-        docs,
-        eval_docs,
-        lang=args.lang or None,
-        repetition=args.repetition,
-        neardup_keeper=args.neardup_keeper,
-    )
-    curated.write.mode("overwrite").parquet(f"{out}/curated")
-    release_scoped_caches()
-    for stage, n in census:
-        print(f"pretrain-build: curate/{stage}\t{n}")
+    def runs(stage: str) -> bool:
+        return order.index(stage) >= start
+
+    if runs("curate"):
+        docs = spark.read.parquet(args.input)
+        eval_docs = spark.read.parquet(args.eval) if args.eval else None
+        curated, census = curate_corpus(
+            docs,
+            eval_docs,
+            lang=args.lang or None,
+            repetition=args.repetition,
+            neardup_keeper=args.neardup_keeper,
+        )
+        curated.write.mode("overwrite").parquet(f"{out}/curated")
+        release_scoped_caches()
+        for stage, n in census:
+            print(f"pretrain-build: curate/{stage}\t{n}")
+    else:
+        print("pretrain-build: curate\tskipped (resume)")
     cur = spark.read.parquet(f"{out}/curated")
 
     if args.temperature_stratum:
-        temperature_replicate_indexed(
-            cur, args.temperature_stratum
-        ).write.mode("overwrite").parquet(f"{out}/mixed")
+        if runs("mix"):
+            temperature_replicate_indexed(
+                cur, args.temperature_stratum
+            ).write.mode("overwrite").parquet(f"{out}/mixed")
+        else:
+            print("pretrain-build: mixed\tskipped (resume)")
         cur = spark.read.parquet(f"{out}/mixed")
-        print(f"pretrain-build: mixed\t{cur.count()}")
+        if runs("mix"):
+            print(f"pretrain-build: mixed\t{cur.count()}")
 
-    merges = bpe_train(cur, num_merges=args.bpe_merges)
-    spark.createDataFrame(
-        merges, "rank int, a string, b string, pair_count long"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/bpe_merges")
-    bpe_encode(cur, merges).write.mode("overwrite").parquet(f"{out}/encoded")
-    release_scoped_caches()
-    enc = spark.read.parquet(f"{out}/encoded")
-    n_tok = enc.agg(F.sum("n_tokens")).collect()[0][0]
-    print(f"pretrain-build: encoded\t{enc.count()} docs, {n_tok} tokens")
+    if runs("bpe"):
+        merges = bpe_train(cur, num_merges=args.bpe_merges)
+        spark.createDataFrame(
+            merges, "rank int, a string, b string, pair_count long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{out}/bpe_merges")
+        bpe_encode(cur, merges).write.mode("overwrite").parquet(
+            f"{out}/encoded"
+        )
+        release_scoped_caches()
+        enc = spark.read.parquet(f"{out}/encoded")
+        n_tok = enc.agg(
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n")
+        ).collect()[0][0]
+        print(f"pretrain-build: encoded\t{enc.count()} docs, {n_tok} tokens")
+    else:
+        print("pretrain-build: encoded\tskipped (resume)")
+        enc = spark.read.parquet(f"{out}/encoded")
 
-    contiguous_sequences_tokens(enc, seq_len=args.seq_len).write.mode(
-        "overwrite"
-    ).parquet(f"{out}/sequences")
-    seqs = spark.read.parquet(f"{out}/sequences")
-    n_seq = seqs.count()
-    print(f"pretrain-build: sequences\t{n_seq} x {args.seq_len}")
+    if runs("pack"):
+        contiguous_sequences_tokens(enc, seq_len=args.seq_len).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/sequences")
+        seqs = spark.read.parquet(f"{out}/sequences")
+        print(f"pretrain-build: sequences\t{seqs.count()} x {args.seq_len}")
+    else:
+        print("pretrain-build: sequences\tskipped (resume)")
+        seqs = spark.read.parquet(f"{out}/sequences")
 
     write_shuffled_shards(seqs, "seq_id", f"{out}/shards", n_shards=args.shards)
     print(
@@ -1239,6 +1269,13 @@ def main(argv: list[str] | None = None) -> int:
     p_pb.add_argument("--bpe-merges", type=int, default=50)
     p_pb.add_argument("--seq-len", type=int, default=128)
     p_pb.add_argument("--shards", type=int, default=8)
+    p_pb.add_argument(
+        "--from-stage",
+        choices=["mix", "bpe", "pack", "shards"],
+        default=None,
+        help="resume: skip earlier stages, reading their durable "
+        "parquet artifacts under --out instead of recomputing",
+    )
 
     args = ap.parse_args(argv)
     if args.cmd == "dedup-inc" and not (args.index or args.history):

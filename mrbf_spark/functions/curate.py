@@ -62,9 +62,14 @@ def curate_corpus(
     """Run the full curation chain; returns (curated_docs, census)
     where census = [(stage, docs_surviving_after_stage), ...].
 
-    The returned DataFrame carries the input's full schema (rows are
-    only ever filtered, never rewritten) and reads its own
-    materialized checkpoint blocks — cheap to consume repeatedly.
+    The returned DataFrame carries the input's full schema. Rows are
+    only ever filtered, never rewritten — EXCEPT under
+    `decontam_action="cut"`, which rewrites `text` in place (the
+    eval-overlap spans are excised, every other column is untouched)
+    and whose census entry counts docs-actually-cut rather than
+    docs-surviving (no docs are dropped by a cut stage). The frame
+    reads its own materialized checkpoint blocks — cheap to consume
+    repeatedly.
     Caller owns releasing the scoped caches the in-stage machinery
     leaves (`registry.release_scoped_caches()`); checkpoint blocks
     free when the returned DataFrame is garbage-collected.

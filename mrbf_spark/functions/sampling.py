@@ -274,7 +274,7 @@ def temperature_replicate_indexed(
     id_max = (2**62) // id_stride
     new_id = F.when(
         F.col("doc_id") < id_max,
-        F.col("doc_id") * id_stride + F.col("pos"),
+        F.col("doc_id") * id_stride + F.col("__copy_pos"),
     ).otherwise(
         F.raise_error(
             F.lit(
@@ -283,12 +283,18 @@ def temperature_replicate_indexed(
             )
         ).cast("long")
     )
+    # Collision-proof posexplode output names: an input frame that
+    # already carries a `pos`/`col` column must survive unchanged
+    # (matches replicate_by_weight's __rep sentinel convention).
     return (
         keyed.select(
-            "*", F.posexplode(F.array_repeat(F.lit(1), checked))
+            "*",
+            F.posexplode(F.array_repeat(F.lit(1), checked)).alias(
+                "__copy_pos", "__copy_one"
+            ),
         )
         .withColumn("doc_id", new_id)
-        .drop("pos", "col", "__base", "__tfrac")
+        .drop("__copy_pos", "__copy_one", "__base", "__tfrac")
     )
 
 

@@ -65,6 +65,31 @@ def test_pretrain_build_end_to_end(spark, tmp_path, capsys):
     assert sh.count() == n_seq
     assert sh.select("shard").distinct().count() <= 4
 
+    # resume (--from-stage pack): curate/bpe are NOT recomputed — the
+    # command reads their durable artifacts and re-runs pack onward,
+    # producing the identical sequence set
+    assert (
+        main(
+            [
+                "pretrain-build",
+                "--input", docs,
+                "--out", out,
+                "--seq-len", "64",
+                "--shards", "4",
+                "--from-stage", "pack",
+            ]
+        )
+        == 0
+    )
+    text2 = capsys.readouterr().out
+    assert "pretrain-build: curate\tskipped (resume)" in text2
+    assert "pretrain-build: encoded\tskipped (resume)" in text2
+    seqs2 = spark.read.parquet(f"{out}/sequences")
+    assert seqs2.count() == n_seq
+    assert (
+        spark.read.parquet(f"{out}/shards").count() == n_seq
+    )
+
 
 def test_temperature_replicate_indexed_unique_ids(spark):
     from mrbf_spark.functions.sampling import (
@@ -85,3 +110,22 @@ def test_temperature_replicate_indexed_unique_ids(spark):
     }
     for r in back.select("orig", "text").limit(50).collect():
         assert orig_texts[r["orig"]] == r["text"]
+
+
+def test_temperature_replicate_indexed_pos_col_collision(spark):
+    """An input frame that already carries `pos`/`col` columns must
+    survive the indexed replication unchanged (the posexplode outputs
+    use __-sentinel names, not the defaults — ADVICE r7)."""
+    from mrbf_spark.functions.sampling import temperature_replicate_indexed
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .withColumn("pos", F.col("doc_id") * 7)
+        .withColumn("col", F.lit("user-data"))
+    )
+    mixed = temperature_replicate_indexed(docs, "source")
+    assert "pos" in mixed.columns and "col" in mixed.columns
+    row = mixed.orderBy("doc_id").select("doc_id", "pos", "col").first()
+    # the user's pos column still decodes as orig_doc_id * 7
+    assert row["pos"] == (row["doc_id"] // 64) * 7
+    assert row["col"] == "user-data"
