@@ -1241,7 +1241,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_mt.add_argument("--input", required=True, help="parquet with vec_id, embedding, label")
     p_mt.add_argument("--out", required=True)
-    p_mt.add_argument("--method", choices=("exact", "ivf"), default="exact")
+    p_mt.add_argument(
+        "--method", choices=("auto", "exact", "ivf"), default="auto",
+        help="auto (default) counts anchors x corpus and routes to "
+        "ivf above the dot budget; exact/ivf force a path",
+    )
     p_mt.add_argument("--k-neg", type=int, default=3)
     p_mt.add_argument(
         "--anchor-cap", type=int, default=None,

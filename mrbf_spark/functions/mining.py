@@ -41,6 +41,8 @@ table, replayable in SQL.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from ..registry import scoped_cache
@@ -61,6 +63,15 @@ NEG_LO = MINE_NEG_LO  # default hard-negative band floor
 K_NEG = MINE_K_NEG  # hard negatives per (anchor, positive)
 MINE_CELLS = 16
 MINE_PROBE = 4
+# method="auto" routes exact→ivf when the exact negative scan would
+# exceed this many anchor×corpus dot products. 5e7 keeps every
+# catalog/bench regime on the exact path (sf0.1 suite: 512 anchors ×
+# ~20k vectors = 1e7) while a near-dup-saturated sf1 corpus (the
+# measured >45-min pathology, SCALING.md r7) routes to the
+# cell-bounded scan.
+MINE_AUTO_DOTS = 50_000_000
+
+_LOG = logging.getLogger(__name__)
 
 
 def contrastive_triplets(
@@ -70,11 +81,12 @@ def contrastive_triplets(
     neg_lo: float = NEG_LO,
     neg_hi: float | None = None,
     k_neg: int = K_NEG,
-    method: str = "exact",
+    method: str = "auto",
     n_cells: int = MINE_CELLS,
     n_probe: int = MINE_PROBE,
     pairs: DataFrame | None = None,
     anchor_cap: int | None = None,
+    auto_dots: int = MINE_AUTO_DOTS,
 ) -> DataFrame:
     """(anchor_id, positive_id, negative_id, pos_cosine, neg_cosine,
     neg_rank) — one row per hard negative of each directed positive
@@ -90,7 +102,14 @@ def contrastive_triplets(
     part's bound: on a near-dup-saturated corpus (anchors ≈ corpus)
     the exact negative scan is quadratic by design and the right move
     is dedup-first (module docstring); the cap keeps the VERIFICATION
-    entry's cost bounded without touching the library default."""
+    entry's cost bounded without touching the library default.
+
+    `method="auto"` (the default, r8 — mirrors
+    probe_bloom_filters(broadcast="auto")): count the anchor set and
+    corpus once, run "exact" while |anchors|×|corpus| ≤ `auto_dots`,
+    else route to "ivf" (one-sided cell-bounded scan), logging the
+    decision. The registered suite entry pins method="exact" because
+    its DuckDB oracle replays the exact scan."""
     from .similarity import neardup_pairs
 
     if neg_hi is None:
@@ -124,7 +143,17 @@ def contrastive_triplets(
             "left_semi",
         )
     )
-    anchors.count()
+    n_anchors = anchors.count()
+
+    if method == "auto":
+        n_corpus = emb.count()
+        dots = n_anchors * n_corpus
+        method = "exact" if dots <= auto_dots else "ivf"
+        _LOG.info(
+            "contrastive_triplets auto: %d anchors x %d corpus = %d "
+            "dots (budget %d) -> %s",
+            n_anchors, n_corpus, dots, auto_dots, method,
+        )
 
     if method == "exact":
         from .similarity import cosine_pairs
@@ -133,7 +162,7 @@ def contrastive_triplets(
     elif method == "ivf":
         scored = _ivf_scored(anchors, emb, n_cells, n_probe)
     else:
-        raise ValueError(f"method must be exact|ivf, got {method!r}")
+        raise ValueError(f"method must be auto|exact|ivf, got {method!r}")
 
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
     negs = (

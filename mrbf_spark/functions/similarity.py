@@ -1433,8 +1433,11 @@ def embedding_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # [MINE_NEG_LO, NEARDUP_TAU) band against the whole corpus.
     from .mining import contrastive_triplets
 
+    # method pinned to "exact": the DuckDB twin replays the exact
+    # scan, so the library's auto-routing (r8) must not flip this
+    # entry to the one-sided ivf path at gate scales.
     mining = contrastive_triplets(
-        emb, pairs=raw_pairs, anchor_cap=MINE_ANCHOR_CAP
+        emb, pairs=raw_pairs, anchor_cap=MINE_ANCHOR_CAP, method="exact"
     ).select(
         F.lit("mining").alias("part"),
         F.col("anchor_id").alias("k1"),

@@ -181,6 +181,43 @@ def test_ivf_narrow_probe_is_one_sided(spark):
             assert nc == exact_by_pair[(a, v)]
 
 
+def test_auto_routing_both_regimes(spark, caplog):
+    """method="auto" (the r8 default) routes on |anchors|x|corpus|:
+    under the dot budget it IS the exact path (identical triplets),
+    over it it IS the ivf path — both decisions logged."""
+    import logging
+
+    from mrbf_spark.functions.mining import contrastive_triplets
+    from mrbf_spark.registry import release_scoped_caches
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    kw = dict(tau_pos=TAU_POS, neg_lo=NEG_LO, neg_hi=NEG_HI, k_neg=K_NEG)
+    exact = _collect(contrastive_triplets(emb, method="exact", **kw))
+    release_scoped_caches()
+
+    with caplog.at_level(logging.INFO, logger="mrbf_spark.functions.mining"):
+        small = _collect(contrastive_triplets(emb, method="auto", **kw))
+        release_scoped_caches()
+    assert small == exact
+    assert any("-> exact" in r.message for r in caplog.records)
+
+    caplog.clear()
+    # a 1-dot budget forces the scale regime on the same data: auto
+    # must route to ivf (the one-sided candidate set — subset pairs,
+    # exact scores; the full one-sidedness contract is pinned by
+    # test_ivf_narrow_probe_is_one_sided)
+    with caplog.at_level(logging.INFO, logger="mrbf_spark.functions.mining"):
+        routed = _collect(
+            contrastive_triplets(
+                emb, method="auto", auto_dots=1,
+                n_cells=8, n_probe=8, **kw,
+            )
+        )
+        release_scoped_caches()
+    assert any("-> ivf" in r.message for r in caplog.records)
+    assert routed == exact  # full probe: cells partition the corpus
+
+
 def test_planted_triplets_hand_checked(spark):
     from mrbf_spark.functions.mining import contrastive_triplets
     from mrbf_spark.registry import release_scoped_caches
