@@ -36,3 +36,65 @@ def queries():
 
 def oracle_sql():
     return dict(ORACLES)
+
+
+# Per-entry part map (r8, VERDICT r7 next-round #8): the 50 catalog
+# entries hide ~120 part-tagged ops; this map makes the containment
+# machine-readable (it rides in bench_full.json so per-part scope
+# growth is attributable round over round). Entries absent here emit
+# no part/q tag column — they are single-op entries. The map is
+# DECLARED (zero runtime cost for consumers) and VERIFIED: a test
+# regenerates it from the live frames at smoke scale and asserts
+# equality (tests/test_catalog_parts.py).
+PARTS: dict[str, list[str]] = {
+    "agg_join_filters": ["having", "outer_urgent"],
+    "bloom_split_fp_report": ["fp_report", "split"],
+    "bm25_topk": ["bm25", "dense", "rrf"],
+    "bpe_suite": ["encode", "merge", "vocab"],
+    "curate_corpus": ["census", "doc"],
+    "data_ops_suite": [
+        "diff_detail", "diff_summary", "merge", "profile", "validate",
+    ],
+    "decontaminate": ["cut", "ngram", "semantic"],
+    "distinct_aggs": ["events", "lineitem"],
+    "embedding_dedup_suite": [
+        "kmeans", "mining", "pair", "semdedup", "textdedup",
+    ],
+    "grouped_ratio_metrics": ["halfup", "ratio"],
+    "grouping_family": ["cube", "gsets", "pivot", "rollup"],
+    "json_null_ops": ["json_agg", "null_sem"],
+    "lm_suite": ["bucket", "dsir", "frozen", "score"],
+    "multimodal_decode": ["audio", "features", "frames"],
+    "multimodal_meta_stats": ["meta", "stats"],
+    "packing_suite": ["chunk", "contig", "layout"],
+    "projection_union_scan": ["proj", "union"],
+    "sampling_suite": [
+        "consistent_k", "mixture", "shard", "stratified", "temp",
+    ],
+    "scalar_string_funcs": ["math", "string"],
+    "semi_anti_join": ["anti", "semi"],
+    "set_ops": ["bag", "except", "intersect"],
+    "skew_ops": ["salted_agg", "salted_join"],
+    "stats_aggregates": ["approx", "cms", "hh", "kmv", "median", "qtl"],
+    "stream_windows": ["session", "sliding", "tumbling"],
+    "subquery_family": ["correlated", "scalar"],
+    "substring_dedup_spans": ["cut", "spans"],
+    "temporal_joins": ["asof", "interval", "range", "trunc"],
+    "topk_order_limit": ["order_limit", "topk"],
+    "window_funcs": ["moving", "rank"],
+    # tpch_suite tags its shapes in a `q` column, not `part`
+    "tpch_suite": [
+        "q3", "q4", "q5", "q6", "q9", "q10", "q12", "q13", "q14",
+        "q15", "q16", "q17", "q18", "q19", "q20", "q22",
+    ],
+}
+
+
+def parts() -> dict[str, list[str]]:
+    """{entry: [part, ...]} for every part-tagged catalog entry;
+    single-op entries are reported with their own name as the sole
+    part so the map covers the whole catalog."""
+    out = {}
+    for name in QUERIES:
+        out[name] = list(PARTS.get(name, [name]))
+    return out
