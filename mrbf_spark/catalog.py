@@ -3,7 +3,7 @@ operator query; `queries()`/`oracle_sql()` feed __spark_entry__.py."""
 
 from __future__ import annotations
 
-from .registry import ORACLES, QUERIES
+from .registry import ORACLES, QUERIES, SCALE_ORACLES
 
 # Import for registration side effects. ORDER MATTERS: the driver's
 # CORRECTNESS run walks registration order (and covered only the first
@@ -36,6 +36,13 @@ def queries():
 
 def oracle_sql():
     return dict(ORACLES)
+
+
+def scale_oracle_sql():
+    """Cost-aware second oracle formulations for the sf≥1 gate (see
+    registry.SCALE_ORACLES); semantics-equal to oracle_sql() entries
+    (test-pinned), never shipped to the driver's t2 gate."""
+    return dict(SCALE_ORACLES)
 
 
 # Per-entry part map (r8, VERDICT r7 next-round #8): the 50 catalog

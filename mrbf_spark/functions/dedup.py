@@ -707,7 +707,49 @@ _MINHASH_ORACLE = f"""
     """
 
 
-@register("dedup_minhash_lsh", _MINHASH_ORACLE)
+def _cocount_pairs_sql(tau: float, src: str = "documents", pfx: str = "cc") -> str:
+    """SCALE-oracle formulation of the exact Jaccard-≥τ pair set (r8,
+    VERDICT r7 next-round #1): the inverted-index CO-COUNT join — one
+    shingle explode, an equi-join on the shingle with the integer
+    length filter, jaccard = c/(na+nb−c) — mirroring
+    exact_jaccard_pairs' blocking so the DuckDB side scales like the
+    engine (Σ df² instead of |docs|² list_intersect). Semantics equal
+    the all-pairs _MINHASH_ORACLE form: any J>0 pair shares a shingle
+    (complete) and the co-count IS the exact intersection (the same
+    argument the engine's docstring carries); equality is test-pinned
+    at sf0.01 (tests/test_scale_oracles.py). `pfx` namespaces the CTEs
+    so the block composes into larger WITH chains."""
+    frac = Fraction(tau).limit_denominator(10**6)
+    p, q = frac.numerator, frac.denominator
+    return f"""
+    WITH {pfx}_toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                        FROM {src}),
+    {pfx}_sh AS (SELECT doc_id,
+                        list_distinct([array_to_string(t[i:i+2], ' ')
+                                       for i in generate_series(1, greatest(len(t)-2, 1))])
+                          AS shingles
+                 FROM {pfx}_toks),
+    {pfx}_inv AS MATERIALIZED (
+        SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s
+        FROM {pfx}_sh),
+    {pfx}_co AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+               COUNT(*) AS c
+        FROM {pfx}_inv a JOIN {pfx}_inv b
+          ON a.s = b.s AND a.doc_id < b.doc_id
+         AND {q} * least(a.n, b.n) >= {p} * greatest(a.n, b.n)
+        GROUP BY 1, 2, 3, 4)
+    SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (na + nb - c) AS jaccard
+    FROM {pfx}_co
+    WHERE CAST(c AS DOUBLE) / (na + nb - c) >= {tau}
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    _MINHASH_ORACLE,
+    scale_oracle=_cocount_pairs_sql(_MINHASH_TAU),
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with EXACT word-3-gram Jaccard at the LOWER 0.2
     threshold: the output carries the exact jaccard per pair, so it
@@ -1017,14 +1059,7 @@ _CLUSTERS_SQL = f"""
     """
 
 
-def _clusters_split_oracle() -> str:
-    """dedup_clusters oracle + the leakage-safe split layer (r6: the
-    registered entry carries all three columns, so leakage_safe_split
-    is driver hash-checked without a new slot)."""
-    return f"""
-    WITH clusters AS ({_CLUSTERS_SQL})
-    SELECT doc_id, cluster_id,
-           CASE
+_SPLIT_CASE_SQL = f"""CASE
              WHEN ('0x' || substr(md5('split{SPLIT_SEED}' || ':' ||
                     CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 100
                   < {SPLIT_BOUNDS[0]} THEN 'train'
@@ -1032,12 +1067,60 @@ def _clusters_split_oracle() -> str:
                     CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 100
                   < {SPLIT_BOUNDS[1]} THEN 'val'
              ELSE 'test'
-           END AS split
+           END"""
+
+
+def _clusters_split_oracle() -> str:
+    """dedup_clusters oracle + the leakage-safe split layer (r6: the
+    registered entry carries all three columns, so leakage_safe_split
+    is driver hash-checked without a new slot)."""
+    return f"""
+    WITH clusters AS ({_CLUSTERS_SQL})
+    SELECT doc_id, cluster_id, {_SPLIT_CASE_SQL} AS split
     FROM clusters
     """
 
 
-@register("dedup_clusters", _clusters_split_oracle())
+def _clusters_split_scale_oracle() -> str:
+    """SCALE twin of _clusters_split_oracle (r8): edge discovery
+    mirrors the engine's _cluster_edges sparsification — STAR edges
+    per verbatim-fingerprint group plus co-count Jaccard edges over
+    exact-dedup SURVIVORS only — so the DuckDB side never pays the
+    all-pairs list_intersect join that times out at sf1. Components
+    (and therefore cluster ids and the split) are identical to the
+    naive formulation by the engine's connectivity argument
+    (_cluster_edges docstring); equality is test-pinned at sf0.01."""
+    near = _cocount_pairs_sql(CLUSTER_TAU, src="surv", pfx="nn")
+    return f"""
+    WITH RECURSIVE
+    fp AS MATERIALIZED (
+        SELECT doc_id, {FINGERPRINT_SQL.format(e='text')} AS f FROM documents),
+    mins AS MATERIALIZED (SELECT f, MIN(doc_id) AS m FROM fp GROUP BY f),
+    star AS (SELECT mins.m AS doc_a, fp.doc_id AS doc_b
+             FROM fp JOIN mins USING (f) WHERE fp.doc_id <> mins.m),
+    surv AS (SELECT d.doc_id, d.text FROM documents d
+             JOIN mins ON mins.m = d.doc_id),
+    near AS MATERIALIZED (SELECT doc_a, doc_b FROM ({near})),
+    edges AS (SELECT doc_a, doc_b FROM near
+              UNION SELECT doc_a, doc_b FROM star),
+    esym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+             UNION ALL SELECT doc_b, doc_a FROM edges),
+    reach(dst, lbl) AS (SELECT doc_id, doc_id FROM documents
+                        UNION
+                        SELECT e.dst, reach.lbl
+                        FROM reach JOIN esym e ON e.src = reach.dst),
+    clusters AS (SELECT dst AS doc_id, MIN(lbl) AS cluster_id
+                 FROM reach GROUP BY dst)
+    SELECT doc_id, cluster_id, {_SPLIT_CASE_SQL} AS split
+    FROM clusters
+    """
+
+
+@register(
+    "dedup_clusters",
+    _clusters_split_oracle(),
+    scale_oracle=_clusters_split_scale_oracle(),
+)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc duplicate-cluster id (= min doc_id of the connected
     component) over exact-fingerprint + complete Jaccard-≥τ edges,

@@ -65,6 +65,26 @@ dots AS (
 """
 
 
+def _ldot_int_sql(a: str, b: str) -> str:
+    """Fixed-point trunc-dot Σ trunc(a·b·1e9) as a PER-ROW list
+    comprehension — the scale-oracle formulation (r8): no UNNEST row
+    blow-up through joins and hash aggregates (the naive form's sf1
+    timeout: within-group pairs × dim rows). Bit-identical to the
+    UNNEST+SUM form: same per-element trunc, same exact integer sum
+    (list_sum widens to HUGEINT exactly like SUM; the BIGINT cast
+    matches the naive oracle's)."""
+    return (
+        f"CAST(list_sum([CAST(TRUNC(CAST({a}[i] AS DOUBLE) * "
+        f"CAST({b}[i] AS DOUBLE) * 1000000000.0) AS BIGINT) "
+        f"for i in generate_series(1, len({a}))]) AS BIGINT)"
+    )
+
+
+def _ldot_sql(a: str, b: str) -> str:
+    """_ldot_int_sql scaled back to the engine's double (÷ 1e9)."""
+    return f"(CAST({_ldot_int_sql(a, b)} AS DOUBLE) / 1000000000.0)"
+
+
 def norms_df(emb: DataFrame) -> DataFrame:
     return emb.select(
         "vec_id", _decimal_dot(F.col("embedding"), F.col("embedding")).alias("nrm")
@@ -1324,6 +1344,170 @@ def _mining_oracle() -> str:
     """
 
 
+def _neardup_scale_sql(src: str = "embeddings", pfx: str = "np") -> str:
+    """SCALE twin of the embedding_neardup builder SQL (r8): the
+    within-label pair cosines via per-row list-comprehension dots
+    (_ldot_sql) instead of the UNNEST+GROUP BY form whose intermediate
+    is pairs × dim rows (the sf1 timeout). Same fixed-point ints, same
+    IEEE division — equality test-pinned at sf0.01."""
+    dot = _ldot_sql("a.embedding", "b.embedding")
+    return f"""
+    WITH {pfx}_norms AS MATERIALIZED (
+        SELECT vec_id, {_ldot_sql('embedding', 'embedding')} AS nrm
+        FROM {src}),
+    {pfx}_p AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {dot} / (SQRT(na.nrm) * SQRT(nb.nrm)) AS cosine
+        FROM {src} a
+        JOIN {src} b ON a.label = b.label AND a.vec_id < b.vec_id
+        JOIN {pfx}_norms na ON na.vec_id = a.vec_id
+        JOIN {pfx}_norms nb ON nb.vec_id = b.vec_id)
+    SELECT vec_a, vec_b, cosine FROM {pfx}_p WHERE cosine >= {NEARDUP_TAU}
+    """
+
+
+def _semdedup_scale_oracle(
+    tau: float = SEMDEDUP_TAU, src: str = "embeddings", pre_cte: str = ""
+) -> str:
+    """SCALE twin of _semdedup_oracle (r8): same replay — cell
+    assignment by fixed-point dot argmax, centroid cosines, within-
+    cell pair cosines, keeper rule — with every dot a per-row list
+    comprehension, so the within-cell pair stage stays pairs-many rows
+    instead of pairs × dim."""
+    import re
+
+    sql = f"""
+    WITH {{PRE}}norms AS MATERIALIZED (
+        SELECT vec_id, {_ldot_sql('embedding', 'embedding')} AS nrm
+        FROM embeddings),
+    cent AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cemb
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
+              LIMIT {N_CENTROIDS})),
+    cdots AS (SELECT e.vec_id, c.cid,
+                     {_ldot_int_sql('e.embedding', 'c.cemb')} AS s
+              FROM embeddings e CROSS JOIN cent c),
+    cr AS (SELECT vec_id, cid, s,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS r
+           FROM cdots),
+    cells AS MATERIALIZED (
+        SELECT vec_id, CAST(cid AS INT) AS cell, s FROM cr WHERE r = 1),
+    cnorm AS (SELECT cid, {_ldot_sql('cemb', 'cemb')} AS cnrm FROM cent),
+    ccos AS MATERIALIZED (
+        SELECT cl.vec_id, cl.cell,
+               (CAST(cl.s AS DOUBLE) / 1000000000.0)
+                 / (SQRT(n.nrm) * SQRT(cn.cnrm)) AS cent_cosine
+        FROM cells cl
+        JOIN norms n ON n.vec_id = cl.vec_id
+        JOIN cnorm cn ON cn.cid = cl.cell),
+    joined AS MATERIALIZED (
+        SELECT e.vec_id, e.embedding, cl.cell, n.nrm
+        FROM embeddings e
+        JOIN cells cl ON cl.vec_id = e.vec_id
+        JOIN norms n ON n.vec_id = e.vec_id),
+    dup_pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM joined a JOIN joined b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {_ldot_sql('a.embedding', 'b.embedding')}
+                / (SQRT(a.nrm) * SQRT(b.nrm)) >= {tau}),
+    sym AS (SELECT vec_a AS vec_id, vec_b AS other FROM dup_pairs
+            UNION ALL
+            SELECT vec_b AS vec_id, vec_a AS other FROM dup_pairs),
+    losers AS (SELECT DISTINCT s.vec_id
+               FROM sym s
+               JOIN ccos cx ON cx.vec_id = s.vec_id
+               JOIN ccos co ON co.vec_id = s.other
+               WHERE co.cent_cosine < cx.cent_cosine
+                  OR (co.cent_cosine = cx.cent_cosine AND s.other < s.vec_id))
+    SELECT c.vec_id, c.cell, c.cent_cosine, l.vec_id IS NULL AS keep
+    FROM ccos c LEFT JOIN losers l ON l.vec_id = c.vec_id
+    """
+    sql = re.sub(r"\bembeddings\b", src, sql)
+    return sql.replace("{PRE}", pre_cte)
+
+
+def _mining_scale_oracle() -> str:
+    """SCALE twin of _mining_oracle (r8): positives from the co-scaled
+    pair SQL, hard-negative scan via list-comprehension dots — the
+    anchors × corpus stage stays one row per (anchor, candidate)."""
+    dot = _ldot_sql("a.embedding", "b.embedding")
+    return f"""
+    WITH mpairs AS MATERIALIZED (SELECT * FROM ({_neardup_scale_sql(pfx='mp')})),
+    mdirected AS (
+      SELECT vec_a AS anchor_id, vec_b AS positive_id, cosine AS pos_cosine FROM mpairs
+      UNION ALL
+      SELECT vec_b, vec_a, cosine FROM mpairs),
+    mnorms AS MATERIALIZED (
+      SELECT vec_id, {_ldot_sql('embedding', 'embedding')} AS nrm
+      FROM embeddings),
+    manchors AS (SELECT DISTINCT anchor_id FROM mdirected
+                 ORDER BY anchor_id LIMIT {MINE_ANCHOR_CAP}),
+    mscored AS (
+      SELECT a.vec_id AS anchor_id, b.vec_id AS vec_id,
+             {dot} / (SQRT(na.nrm) * SQRT(nb.nrm)) AS cosine
+      FROM embeddings a
+      JOIN manchors m ON m.anchor_id = a.vec_id
+      JOIN mnorms na ON na.vec_id = a.vec_id,
+           embeddings b
+      JOIN mnorms nb ON nb.vec_id = b.vec_id
+      WHERE b.vec_id <> a.vec_id),
+    mnegs AS (
+      SELECT anchor_id, vec_id AS negative_id, cosine AS neg_cosine,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY cosine DESC, vec_id) AS rk
+      FROM mscored
+      WHERE cosine >= {MINE_NEG_LO} AND cosine < {NEARDUP_TAU})
+    SELECT d.anchor_id, d.positive_id, n.negative_id,
+           d.pos_cosine, n.neg_cosine, n.rk
+    FROM mdirected d JOIN mnegs n USING (anchor_id)
+    WHERE n.rk <= {MINE_K_NEG}
+    """
+
+
+def _embedding_dedup_suite_scale_sql() -> str:
+    """SCALE twin of _embedding_dedup_suite_sql (r8): every part's
+    all-pairs UNNEST dot replaced by the list-comprehension form; the
+    kmeans part reuses _kmeans_oracle unchanged (its struct-based
+    MATERIALIZED chain already scales — the sf1 timeout was the pair
+    dots). Used only by tools/gate_at_scale.py; equality with the
+    registered oracle is test-pinned at sf0.01."""
+    from .text_embedding import TEXT_SEM_TAU, text_embeddings_sql
+
+    text_part = _semdedup_scale_oracle(
+        tau=TEXT_SEM_TAU,
+        src="tvecs",
+        pre_cte=f"tvecs AS MATERIALIZED ({text_embeddings_sql()}),",
+    )
+    return f"""
+    SELECT 'pair' AS part, vec_a AS k1, CAST(vec_b AS BIGINT) AS k2,
+           cosine, CAST(NULL AS BIGINT) AS keep,
+           CAST(NULL AS DOUBLE) AS cos2, CAST(NULL AS BIGINT) AS rk
+    FROM ({_neardup_scale_sql()})
+    UNION ALL
+    SELECT 'semdedup' AS part, vec_id AS k1, CAST(cell AS BIGINT) AS k2,
+           cent_cosine AS cosine, CAST(keep AS BIGINT) AS keep,
+           CAST(NULL AS DOUBLE) AS cos2, CAST(NULL AS BIGINT) AS rk
+    FROM ({_semdedup_scale_oracle()})
+    UNION ALL
+    SELECT 'textdedup' AS part, vec_id AS k1, CAST(cell AS BIGINT) AS k2,
+           cent_cosine AS cosine, CAST(keep AS BIGINT) AS keep,
+           CAST(NULL AS DOUBLE) AS cos2, CAST(NULL AS BIGINT) AS rk
+    FROM ({text_part})
+    UNION ALL
+    SELECT 'kmeans' AS part, CAST(cid AS BIGINT) AS k1,
+           CAST(pos AS BIGINT) AS k2, val AS cosine,
+           CAST(NULL AS BIGINT) AS keep,
+           CAST(NULL AS DOUBLE) AS cos2, CAST(NULL AS BIGINT) AS rk
+    FROM ({_kmeans_oracle()})
+    UNION ALL
+    SELECT 'mining' AS part, anchor_id AS k1, CAST(positive_id AS BIGINT) AS k2,
+           pos_cosine AS cosine, CAST(negative_id AS BIGINT) AS keep,
+           neg_cosine AS cos2, CAST(rk AS BIGINT) AS rk
+    FROM ({_mining_scale_oracle()})
+    """
+
+
 def _embedding_dedup_suite_sql() -> str:
     from ..registry import BUILDER_SQL
     from .text_embedding import TEXT_SEM_TAU, text_embeddings_sql
@@ -1371,7 +1555,11 @@ def _null_tail() -> list:
     ]
 
 
-@register("embedding_dedup_suite", _embedding_dedup_suite_sql())
+@register(
+    "embedding_dedup_suite",
+    _embedding_dedup_suite_sql(),
+    scale_oracle=_embedding_dedup_suite_scale_sql(),
+)
 def embedding_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # ONE near-dup pair scan shared by the 'pair' part and the 'mining'

@@ -16,6 +16,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+# Cost-aware second oracle formulations (r8, VERDICT r7 next-round
+# #1), used ONLY by the sf≥1 scale gate: same semantics as ORACLES
+# (equality at sf0.01 is test-pinned, tests/test_scale_oracles.py),
+# but formulated to mirror the engine's blocking (inverted-index
+# co-count, star sparsification, list-comprehension dots) so the
+# DuckDB side can follow the engine to 100× scale. The naive ORACLES
+# stay the registered formulation-INDEPENDENT checks.
+SCALE_ORACLES: dict[str, str] = {}
 
 # Caches created by catalog queries, released lazily: a registered
 # query's caches must outlive the function call (the driver
@@ -71,9 +79,13 @@ def builder(name: str, oracle: str | None = None):
     return deco
 
 
-def register(name: str, oracle: str | None = None):
+def register(
+    name: str, oracle: str | None = None, scale_oracle: str | None = None
+):
     """Decorator: add a query (and optional DuckDB oracle) to the
-    catalog. oracle=None ⇒ rows-only check (non-SQL-expressible)."""
+    catalog. oracle=None ⇒ rows-only check (non-SQL-expressible).
+    scale_oracle supplies a cost-aware second formulation for the
+    sf≥1 gate (see SCALE_ORACLES)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
@@ -88,6 +100,8 @@ def register(name: str, oracle: str | None = None):
         QUERIES[name] = run
         if oracle is not None:
             ORACLES[name] = oracle
+        if scale_oracle is not None:
+            SCALE_ORACLES[name] = scale_oracle
         return fn
 
     return deco

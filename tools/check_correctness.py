@@ -21,12 +21,20 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-_args = [a for a in sys.argv[1:] if a != "--vanilla"]
+_args = [
+    a for a in sys.argv[1:] if a not in ("--vanilla", "--scale-oracles")
+]
 # --vanilla: run on a plain SparkSession.builder session (no tuned
 # confs) — exactly the session the driver gives our queries; catches
 # any dependency on mrbf_spark.session's settings (TZ, AQE, shuffle
 # partitions). The tuned session stays the default for fast local loops.
 VANILLA = "--vanilla" in sys.argv[1:]
+# --scale-oracles (r8): overlay the cost-aware second formulations
+# (catalog.scale_oracle_sql) on the naive oracles — the sf≥1 gate's
+# mode, where the naive all-pairs twins time out. Semantics equality
+# between the two formulations is pinned at sf0.01 by
+# tests/test_scale_oracles.py; this flag never ships to the driver.
+SCALE_ORACLES = "--scale-oracles" in sys.argv[1:]
 SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
 ONLY = set(_args[1:])
 
@@ -94,6 +102,8 @@ def main() -> int:
         spark = get_spark("check-correctness")
     con = duck_con(SF_DIR)
     qs, oracles = catalog.queries(), catalog.oracle_sql()
+    if SCALE_ORACLES:
+        oracles.update(catalog.scale_oracle_sql())
     n_fail = 0
     for name, fn in qs.items():
         if ONLY and name not in ONLY:

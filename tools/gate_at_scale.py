@@ -44,6 +44,10 @@ def main() -> int:
                     os.path.join(REPO, "tools", "check_correctness.py"),
                     SF_DIR,
                     name,
+                    # r8: the gate runs the cost-aware oracle overlay
+                    # (sf0.01-equality-pinned) so the DuckDB side can
+                    # follow the engine to 100x scale
+                    "--scale-oracles",
                 ],
                 capture_output=True,
                 text=True,

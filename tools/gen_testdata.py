@@ -11,9 +11,19 @@ tables (types incl. timestamp[us] no-tz, FK ranges like events.user_id
 label-clustered unit embeddings) at any sf, deterministically
 (seed 42).
 
-Usage: python tools/gen_testdata.py [sf] [out_dir]
+Usage: python tools/gen_testdata.py [sf] [out_dir] [--vocab-size N]
 Default sf=1, out_dir=<repo>/.testdata/sf{sf}. Never writes outside
 the repo.
+
+Vocab (r8, VERDICT r7 next-round #4): documents draw from a
+Zipfian-weighted vocabulary of `--vocab-size` words (default 10,000;
+the observed 31 driver-vocab words form the Zipf head, the rest are
+deterministic syllable words). The r7 generator reused only the
+31-word vocab, which at sf1 made every doc share n-grams with any
+eval slice — curate's decontam stage degenerated to an empty
+survivor set (SCALING.md r7), so the 100× gate exercised the
+degenerate path. Pass --vocab-size 31 to reproduce the old shape.
+Duplication planting and length distribution are unchanged.
 """
 
 from __future__ import annotations
@@ -49,6 +59,38 @@ VOCAB = (
 
 DAY_US = 86_400_000_000
 
+VOCAB_SIZE = 10_000  # default rich vocab (--vocab-size overrides)
+ZIPF_S = 1.1  # Zipf exponent for word frequencies
+
+
+def _make_vocab(size: int) -> list[str]:
+    """Deterministic vocabulary: the observed 31 words first (the
+    Zipf head — keeps the driver-data token shapes present), then
+    2-/3-syllable consonant-vowel words in construction order."""
+    words = list(dict.fromkeys(VOCAB))[:size]
+    syl = [c + v for c in "bcdfghjklmnpqrstvwz" for v in "aeiou"]
+    seen = set(words)
+    for a in syl:
+        for b in syl:
+            if len(words) >= size:
+                return words
+            w = a + b
+            if w not in seen:
+                seen.add(w)
+                words.append(w)
+    for a in syl:
+        for b in syl:
+            for c in syl:
+                if len(words) >= size:
+                    return words
+                w = a + b + c
+                if w not in seen:
+                    seen.add(w)
+                    words.append(w)
+    if len(words) < size:
+        raise ValueError(f"vocab_size {size} exceeds the generator space")
+    return words
+
 
 def _ts_array(us: np.ndarray) -> pa.Array:
     return pa.array(us.astype("int64"), type=pa.timestamp("us"))
@@ -60,7 +102,7 @@ def _write(out_dir: str, name: str, table: pa.Table) -> None:
     print(f"wrote {path} ({table.num_rows} rows)")
 
 
-def generate(sf: float, out_dir: str) -> None:
+def generate(sf: float, out_dir: str, vocab_size: int = VOCAB_SIZE) -> None:
     rng = np.random.RandomState(SEED)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -224,15 +266,21 @@ def generate(sf: float, out_dir: str) -> None:
         ),
     )
 
-    # documents: word-salad over the observed 31-word vocab, 10-100
-    # tokens, ~1.5‰ planted verbatim duplicates + ~1‰ near-duplicates
-    # (one token appended) so every dedup family has real work
+    # documents: Zipfian word-salad over a `vocab_size` vocabulary
+    # (31 observed words at the head + syllable words), 10-100 tokens,
+    # ~1.5‰ planted verbatim duplicates + ~1‰ near-duplicates (one
+    # token appended) so every dedup family has real work
     lang_idx = rng.choice(len(LANGS), n_docs, p=LANG_W)
     lens = rng.randint(10, 101, n_docs)
+    vocab = _make_vocab(vocab_size)
+    zipf_p = 1.0 / np.arange(1, len(vocab) + 1, dtype="float64") ** ZIPF_S
+    zipf_p /= zipf_p.sum()
+    draws = rng.choice(len(vocab), int(lens.sum()), p=zipf_p)
     texts: list[str] = []
+    off = 0
     for i in range(n_docs):
-        toks = [VOCAB[j] for j in rng.randint(0, len(VOCAB), lens[i])]
-        texts.append(" ".join(toks))
+        texts.append(" ".join(vocab[j] for j in draws[off : off + lens[i]]))
+        off += int(lens[i])
     n_dup = max(4, n_docs // 650)
     for j in range(n_dup):
         src = int(rng.randint(0, n_docs // 2))
@@ -288,11 +336,17 @@ def generate(sf: float, out_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    args = list(sys.argv[1:])
+    vocab_size = VOCAB_SIZE
+    if "--vocab-size" in args:
+        i = args.index("--vocab-size")
+        vocab_size = int(args[i + 1])
+        del args[i : i + 2]
+    sf = float(args[0]) if len(args) > 0 else 1.0
     sf_name = f"{sf:g}"
     out = (
-        sys.argv[2]
-        if len(sys.argv) > 2
+        args[1]
+        if len(args) > 1
         else os.path.join(REPO, ".testdata", f"sf{sf_name}")
     )
-    generate(sf, out)
+    generate(sf, out, vocab_size=vocab_size)
