@@ -285,6 +285,14 @@ def legacy_builders() -> dict:
         # embedding (compare: the contained `bm25_topk` dense branch
         # embeds the corpus per call).
         "dense_topk_indexed": _dense_indexed_builder(),
+        # r8 (VERDICT r7 next-round #5): incremental index append —
+        # the timed plan is the increment's encode against the FROZEN
+        # centroids of a once-built base index (built on the warm-up
+        # pass, like dense_topk_indexed), i.e. the work
+        # ann_index_append does per append; cost ∝ |increment| (a
+        # fixed 10% tail slice here), never the corpus. The parquet
+        # write is the same noop-replaced sink every bench row skips.
+        "ann_index_append": _ann_append_builder(),
         # r7: contrastive (anchor, positive, hard-negative) mining —
         # the IVF-routed scale path over the embeddings table
         "contrastive_triplets": lambda spark, sf_dir: __import__(
@@ -330,6 +338,44 @@ def _dense_indexed_builder():
             )
             cache[sf_dir] = path
         return _r.dense_topk_indexed(spark, path, "table scan fast")
+
+    return q
+
+
+def _ann_append_builder():
+    """Closure giving ann_index_append a build-once base index (first
+    90% of vec_ids) under .tmp/; the timed plan encodes the remaining
+    10% against the frozen centroids — the append-path work."""
+    cache: dict[str, tuple[str, int]] = {}
+
+    def q(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from mrbf_spark import tables as _t
+        from mrbf_spark.functions import ann_index as _ai
+        from mrbf_spark.functions.similarity import _decimal_dot, kmeans_assign
+
+        emb = _t.load_table(spark, sf_dir, "embeddings")
+        got = cache.get(sf_dir)
+        if got is None:
+            base = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), ".tmp"
+            )
+            os.makedirs(base, exist_ok=True)
+            path = os.path.join(
+                base, "ivf_idx_" + sf_dir.strip("/").replace("/", "_")
+            )
+            n = emb.count()
+            cut = int(n * 0.9)
+            _ai.write_ann_index(emb.filter(F.col("vec_id") < cut), path)
+            cache[sf_dir] = (path, cut)
+            got = (path, cut)
+        path, cut = got
+        cent = _ai.read_ann_centroids(spark, path)
+        inc = emb.filter(F.col("vec_id") >= cut)
+        return kmeans_assign(inc.select("vec_id", "embedding"), cent).withColumn(
+            "nrm", _decimal_dot(F.col("embedding"), F.col("embedding"))
+        )
 
     return q
 

@@ -84,12 +84,184 @@ def write_ann_index(
         "cid int, centroid array<double>",
     )
     cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    # generation-0 quality baseline for the append-time drift report
+    q0, n0 = _ivf_quality(
+        spark.read.parquet(f"{path}/corpus").select("vec_id", "embedding", "cell"),
+        spark,
+        cent,
+    )
+    spark.createDataFrame(
+        [(0, n0, q0)], "generation int, n long, mean_q double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
     return cent
 
 
 def read_ann_centroids(spark: SparkSession, path: str) -> np.ndarray:
     rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
     return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+
+# ---------------------------------------------- incremental append (r8)
+#
+# Production corpora grow; a full re-encode per append defeats the
+# build-once shape (VERDICT r7 next-round #5). `ann_index_append` /
+# `pq_index_append` encode ONLY the increment against the FROZEN
+# centroids/codebooks — the standard IVF/PQ production shape — and
+# append the new rows to the same partitioned layout, so append cost
+# is ∝ |increment| and probes see old + new rows through the identical
+# scan. The quantizer is NOT refit: result quality depends on the
+# increment resembling the build distribution, so each append returns
+# a DRIFT report — the mean assignment quality of the appended rows
+# (IVF: cosine to the assigned centroid; PQ: cosine to the code
+# reconstruction) vs the build-time baseline persisted in
+# `path/stats`. A mean-quality DROP beyond REBUILD_DRIFT_DROP says
+# the frozen quantizer no longer fits the data — rebuild. The
+# criterion is an ABSOLUTE drop on the bounded cosine scale, not a
+# ratio: with a weak quantizer the baseline mean sits near 0, where a
+# ratio amplifies sampling noise (and flips sign below 0).
+#
+# Caller contract: vec_ids in the increment must be new (appending an
+# existing id creates a duplicate row, as in any append-only store).
+
+REBUILD_DRIFT_DROP = 0.15
+
+
+def _ivf_quality(assigned: DataFrame, spark: SparkSession, cent: np.ndarray):
+    """(mean cosine-to-assigned-centroid, n) over an assigned frame."""
+    wm = with_matrix(assigned, spark, cent)
+    cvec = F.element_at(F.col("mat"), F.col("cell") + 1)
+    q = _decimal_dot(F.col("embedding"), cvec) / (
+        F.sqrt(_decimal_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_decimal_dot(cvec, cvec))
+    )
+    row = wm.agg(F.avg(q).alias("q"), F.count(F.lit(1)).alias("n")).collect()[0]
+    return float(row["q"]), int(row["n"])
+
+
+def _pq_quality(coded: DataFrame, spark: SparkSession, cb: np.ndarray):
+    """(mean cosine-to-code-reconstruction, n) over (embedding, codes)
+    rows. recon·v = Σ_s dot(v_s, codeword_s) and |recon|² =
+    Σ_s |codeword_s|² — both from machinery the encode already has, so
+    the metric costs one pass over the increment."""
+    sub_dim = cb.shape[1] // M_SUB
+    cn = _pq_cnorm_fixed(cb, sub_dim)
+    cnorm = F.array(*[F.array(*[F.lit(v).cast("long") for v in row]) for row in cn])
+    wm = with_matrix(coded, spark, cb)
+
+    def code_at(s):
+        return (F.element_at(F.col("codes"), (s + 1).cast("int")) + 1).cast("int")
+
+    rdot = F.aggregate(
+        F.sequence(F.lit(0), F.lit(M_SUB - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + _fixed_dot_long(
+            _sub_slice(F.col("embedding"), s, sub_dim),
+            _sub_slice(F.element_at(F.col("mat"), code_at(s)), s, sub_dim),
+        ),
+    ).cast("double") / F.lit(1e9)
+    # cnorm layout is [code j][subspace s] (_pq_cnorm_fixed)
+    rnrm = F.aggregate(
+        F.sequence(F.lit(0), F.lit(M_SUB - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.element_at(F.element_at(cnorm, code_at(s)), (s + 1).cast("int")),
+    ).cast("double") / F.lit(1e9)
+    q = rdot / (
+        F.sqrt(_decimal_dot(F.col("embedding"), F.col("embedding"))) * F.sqrt(rnrm)
+    )
+    row = wm.agg(F.avg(q).alias("q"), F.count(F.lit(1)).alias("n")).collect()[0]
+    return float(row["q"]), int(row["n"])
+
+
+def _write_stats(spark: SparkSession, path: str, gen: int, n: int, q: float):
+    spark.createDataFrame(
+        [(gen, n, q)], "generation int, n long, mean_q double"
+    ).coalesce(1).write.mode("append").parquet(f"{path}/stats")
+
+
+def _build_baseline(spark: SparkSession, path: str) -> tuple[int, float]:
+    """(n, mean_q) of generation 0 (the build). Indexes written before
+    r8 lack `stats`; raise with the one-line fix instead of guessing."""
+    try:
+        row = (
+            spark.read.parquet(f"{path}/stats")
+            .filter(F.col("generation") == 0)
+            .collect()[0]
+        )
+    except Exception as e:
+        raise ValueError(
+            f"{path}/stats missing or unreadable — the index predates "
+            "incremental append; rebuild it with write_ann_index/"
+            "write_pq_index to record the build baseline"
+        ) from e
+    return int(row["n"]), float(row["mean_q"])
+
+
+def _next_generation(spark: SparkSession, path: str) -> int:
+    return (
+        int(
+            spark.read.parquet(f"{path}/stats")
+            .agg(F.max("generation").alias("g"))
+            .collect()[0]["g"]
+        )
+        + 1
+    )
+
+
+def _drift_report(kind, path, spark, n_new, q_new) -> dict:
+    n0, q0 = _build_baseline(spark, path)
+    drop = q0 - q_new
+    rep = {
+        "index": kind,
+        "n_appended": n_new,
+        "n_build": n0,
+        "mean_q_build": q0,
+        "mean_q_appended": q_new,
+        "mean_q_drop": drop,
+        "rebuild_recommended": bool(drop > REBUILD_DRIFT_DROP),
+    }
+    _write_stats(spark, path, _next_generation(spark, path), n_new, q_new)
+    return rep
+
+
+def ann_index_append(spark: SparkSession, path: str, new_emb: DataFrame) -> dict:
+    """Append `new_emb` (vec_id, embedding) to a persisted IVF index:
+    one assignment pass against the FROZEN centroids, rows appended to
+    the same cell-partitioned layout. Returns the drift report (module
+    comment). With the flat quantizer, append+probe is bit-identical
+    to rebuild+probe as long as the build saw the k lowest vec_ids
+    (the centroids are a pure function of those rows) — test-pinned."""
+    cent = read_ann_centroids(spark, path)
+    assigned = kmeans_assign(new_emb.select("vec_id", "embedding"), cent).withColumn(
+        "nrm", _decimal_dot(F.col("embedding"), F.col("embedding"))
+    )
+    q_new, n_new = _ivf_quality(assigned, spark, cent)
+    assigned.write.partitionBy("cell").mode("append").parquet(f"{path}/corpus")
+    return _drift_report("ivf", path, spark, n_new, q_new)
+
+
+def pq_index_append(spark: SparkSession, path: str, new_emb: DataFrame) -> dict:
+    """Append `new_emb` to a persisted PQ index: encode the increment
+    against the FROZEN codebooks, append codes + vectors. Returns the
+    drift report (reconstruction-cosine quality)."""
+    cb = read_pq_codebook(spark, path)
+    sub_dim = cb.shape[1] // M_SUB
+    cn = _pq_cnorm_fixed(cb, sub_dim)
+    cnorm = F.array(*[F.array(*[F.lit(v).cast("long") for v in row]) for row in cn])
+    coded = with_matrix(new_emb, spark, cb).select(
+        "vec_id",
+        "embedding",
+        pq_codes_col(F.col("embedding"), F.col("mat"), cnorm, sub_dim).alias("codes"),
+    )
+    q_new, n_new = _pq_quality(coded, spark, cb)
+    coded.select("vec_id", "codes").write.mode("append").parquet(f"{path}/codes")
+    new_emb.select(
+        "vec_id",
+        "embedding",
+        _decimal_dot(F.col("embedding"), F.col("embedding")).alias("nrm"),
+    ).write.mode("append").parquet(f"{path}/vectors")
+    return _drift_report("pq", path, spark, n_new, q_new)
 
 
 def ann_index_probe(
@@ -194,6 +366,14 @@ def write_pq_index(
         [(int(j), [float(x) for x in row]) for j, row in enumerate(cb)],
         "j int, c array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+    # generation-0 quality baseline for the append-time drift report
+    coded = spark.read.parquet(f"{path}/codes").join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    q0, n0 = _pq_quality(coded, spark, cb)
+    spark.createDataFrame(
+        [(0, n0, q0)], "generation int, n long, mean_q double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
     return cb
 
 
