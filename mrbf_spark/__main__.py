@@ -474,6 +474,8 @@ def cmd_curate(args) -> None:
     from .registry import release_scoped_caches
 
     spark = _spark(args)
+    if args.checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
     docs = spark.read.parquet(args.input)
     eval_docs = spark.read.parquet(args.eval) if args.eval else None
     curated, census = curate_corpus(
@@ -486,6 +488,7 @@ def cmd_curate(args) -> None:
         repetition=args.repetition,
         semantic=not args.no_semantic,
         decontam_action=args.decontam_action,
+        checkpoint=args.checkpoint,
     )
     curated.write.mode("overwrite").parquet(args.out)
     if args.shards:
@@ -790,6 +793,8 @@ def cmd_pretrain_build(args) -> None:
     from .registry import release_scoped_caches
 
     spark = _spark(args)
+    if args.checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
     out = args.out.rstrip("/")
     order = ["curate", "mix", "bpe", "pack", "shards"]
     start = order.index(args.from_stage) if args.from_stage else 0
@@ -806,6 +811,7 @@ def cmd_pretrain_build(args) -> None:
             lang=args.lang or None,
             repetition=args.repetition,
             neardup_keeper=args.neardup_keeper,
+            checkpoint=args.checkpoint,
         )
         curated.write.mode("overwrite").parquet(f"{out}/curated")
         release_scoped_caches()
@@ -845,9 +851,9 @@ def cmd_pretrain_build(args) -> None:
         enc = spark.read.parquet(f"{out}/encoded")
 
     if runs("pack"):
-        contiguous_sequences_tokens(enc, seq_len=args.seq_len).write.mode(
-            "overwrite"
-        ).parquet(f"{out}/sequences")
+        contiguous_sequences_tokens(
+            enc, seq_len=args.seq_len, checkpoint=args.checkpoint
+        ).write.mode("overwrite").parquet(f"{out}/sequences")
         seqs = spark.read.parquet(f"{out}/sequences")
         print(f"pretrain-build: sequences\t{seqs.count()} x {args.seq_len}")
     else:
@@ -1062,6 +1068,20 @@ def main(argv: list[str] | None = None) -> int:
         "doc keeps a surviving near-dup partner)",
     )
     p_cu.add_argument("--no-semantic", action="store_true")
+    p_cu.add_argument(
+        "--checkpoint",
+        choices=("local", "reliable"),
+        default="local",
+        help="stage-handoff materialization: local = executor-local "
+        "blocks (fast; right on local[*]); reliable = lineage-safe "
+        ".checkpoint() blocks (needs --checkpoint-dir)",
+    )
+    p_cu.add_argument(
+        "--checkpoint-dir",
+        default=None,
+        help="sets spark.sparkContext.setCheckpointDir for "
+        "--checkpoint reliable (a shared path on a cluster)",
+    )
     p_cu.add_argument("--shards", type=int, default=0)
 
     p_ai = sub.add_parser(
@@ -1273,6 +1293,20 @@ def main(argv: list[str] | None = None) -> int:
     p_pb.add_argument("--bpe-merges", type=int, default=50)
     p_pb.add_argument("--seq-len", type=int, default=128)
     p_pb.add_argument("--shards", type=int, default=8)
+    p_pb.add_argument(
+        "--checkpoint",
+        choices=("local", "reliable"),
+        default="local",
+        help="stage-handoff materialization: local = executor-local "
+        "blocks (fast; right on local[*]); reliable = lineage-safe "
+        ".checkpoint() blocks (needs --checkpoint-dir)",
+    )
+    p_pb.add_argument(
+        "--checkpoint-dir",
+        default=None,
+        help="sets spark.sparkContext.setCheckpointDir for "
+        "--checkpoint reliable (a shared path on a cluster)",
+    )
     p_pb.add_argument(
         "--from-stage",
         choices=["mix", "bpe", "pack", "shards"],

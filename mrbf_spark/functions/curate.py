@@ -34,7 +34,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..registry import register, release_scoped_caches, scoped_cache
+from ..registry import (
+    checkpointed,
+    register,
+    release_scoped_caches,
+    scoped_cache,
+)
 from ..tables import load_table
 from .decontam import EVAL_MOD, FLAG_THRESHOLD, NGRAM_N, decontaminate_docs
 from .dedup import assign_clusters, exact_jaccard_pairs, lex_min_independent_set
@@ -58,6 +63,7 @@ def curate_corpus(
     sem_tau: float = TEXT_SEM_TAU,
     contam_threshold: float = FLAG_THRESHOLD,
     decontam_action: str = "drop",
+    checkpoint: str = "local",
 ) -> tuple[DataFrame, list[tuple[str, int]]]:
     """Run the full curation chain; returns (curated_docs, census)
     where census = [(stage, docs_surviving_after_stage), ...].
@@ -104,7 +110,14 @@ def curate_corpus(
     # stage, so eager checkpointing adds no extra pass and stores the
     # same rows the old cache stored.
     census: list[tuple[str, int]] = []
-    cur = docs.localCheckpoint()
+
+    def _ck(df):
+        # stage handoff materialization; checkpoint="reliable" swaps
+        # executor-local blocks for lineage-safe ones (registry.
+        # checkpointed — r8, the knob for long cluster pipelines)
+        return checkpointed(df, checkpoint)
+
+    cur = _ck(docs)
     census.append(("input", cur.count()))
     t = F.col("text")
 
@@ -114,7 +127,7 @@ def curate_corpus(
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    cur = cur.join(survivors, "doc_id", "left_semi").localCheckpoint()
+    cur = _ck(cur.join(survivors, "doc_id", "left_semi"))
     census.append(("exact_dedup", cur.count()))
 
     # 2 — quality / language gate: map-only predicates
@@ -125,7 +138,7 @@ def curate_corpus(
     )
     if lang is not None:
         gate = (F.col("lang") == lang) & gate
-    cur = cur.filter(gate).localCheckpoint()
+    cur = _ck(cur.filter(gate))
     census.append(("quality_gate", cur.count()))
 
     # 2b — optional Gopher repetition gate (r7): drop docs failing any
@@ -141,7 +154,7 @@ def curate_corpus(
             .filter(F.col("rep_pass"))
             .select("doc_id")
         )
-        cur = cur.join(rep_keep, "doc_id", "left_semi").localCheckpoint()
+        cur = _ck(cur.join(rep_keep, "doc_id", "left_semi"))
         census.append(("repetition_gate", cur.count()))
 
     # 3 — near-dup removal: complete Jaccard-≥τ pairs (bounded by the
@@ -173,7 +186,7 @@ def curate_corpus(
             f"neardup_keeper must be pairwise|cluster|greedy, got"
             f" {neardup_keeper!r}"
         )
-    cur = cur.join(losers, "doc_id", "left_anti").localCheckpoint()
+    cur = _ck(cur.join(losers, "doc_id", "left_anti"))
     census.append(("neardup_jaccard", cur.count()))
 
     # 4 — semantic dedup over hashed-bigram embeddings
@@ -185,7 +198,7 @@ def curate_corpus(
             .filter(F.col("keep"))
             .select(F.col("vec_id").alias("doc_id"))
         )
-        cur = cur.join(keep, "doc_id", "left_semi").localCheckpoint()
+        cur = _ck(cur.join(keep, "doc_id", "left_semi"))
         census.append(("semantic_dedup", cur.count()))
 
     # 5 — decontamination against an eval set (exact overlap; docs too
@@ -212,7 +225,7 @@ def curate_corpus(
             # re-running the semdedup/decontamination tail (measured
             # ~17 s per action when a plain .cache() failed to serve
             # under AQE plan canonicalization)
-            cur = cur.join(flagged, "doc_id", "left_anti").localCheckpoint()
+            cur = _ck(cur.join(flagged, "doc_id", "left_anti"))
             census.append(("decontaminate", cur.count()))
         elif decontam_action == "cut":
             from .decontam import decontaminate_cut
@@ -222,13 +235,12 @@ def curate_corpus(
                 F.col("text").alias("__new_text"),
                 "n_removed",
             )
-            cur = (
+            cur = _ck(
                 cur.join(rewritten, "doc_id", "left")
                 .withColumn(
                     "text", F.coalesce(F.col("__new_text"), F.col("text"))
                 )
                 .drop("__new_text")
-                .localCheckpoint()
             )
             census.append(
                 ("decontaminate_cut",

@@ -34,14 +34,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..registry import builder, register
+from ..registry import builder, checkpointed, register
 from ..tables import load_table
 from .text import TOKEN_COUNT_SQL, token_count_col
 
 PACK_BUDGET = 1024  # tokens per training row
 
 
-def _with_stream_starts(toks: DataFrame, starts: dict[str, str]) -> DataFrame:
+def _with_stream_starts(
+    toks: DataFrame, starts: dict[str, str], checkpoint: str = "local"
+) -> DataFrame:
     """Add, for each (out_col -> val_col) in `starts`, the column
     `out_col` = exclusive prefix sum of `val_col` in doc_id order —
     the distributed 3-phase prefix sum shared by the packing layout
@@ -73,12 +75,14 @@ def _with_stream_starts(toks: DataFrame, starts: dict[str, str]) -> DataFrame:
     # an executor loss between the checkpoint and the final action
     # fails the job with no recompute path. On local[*] (this harness)
     # executor==driver and the distinction is moot; a long multi-hour
-    # cluster pipeline should set a checkpoint dir and prefer reliable
-    # `.checkpoint()` here — same semantics, HDFS-backed blocks.
-    parts = (
-        toks.repartitionByRange("doc_id")
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+    # cluster pipeline should set a checkpoint dir and pass
+    # checkpoint="reliable" — same semantics, lineage-safe blocks
+    # (registry.checkpointed; r8, the r7 trade-off note made a knob).
+    parts = checkpointed(
+        toks.repartitionByRange("doc_id").withColumn(
+            "__pid", F.spark_partition_id()
+        ),
+        checkpoint,
     )
     # Phase 2: parallel per-partition cumsum (exclusive). All prefix
     # sums ride ONE window spec — one sort, N sum expressions.
@@ -115,9 +119,11 @@ def _with_stream_starts(toks: DataFrame, starts: dict[str, str]) -> DataFrame:
     )
 
 
-def _with_stream_start(toks: DataFrame, val_col: str) -> DataFrame:
+def _with_stream_start(
+    toks: DataFrame, val_col: str, checkpoint: str = "local"
+) -> DataFrame:
     """Single-column form of `_with_stream_starts` (adds `start_tok`)."""
-    return _with_stream_starts(toks, {"start_tok": val_col})
+    return _with_stream_starts(toks, {"start_tok": val_col}, checkpoint)
 
 
 def _layout_from_laid(laid: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
@@ -135,12 +141,16 @@ def _layout_from_laid(laid: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     )
 
 
-def packed_layout(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+def packed_layout(
+    docs: DataFrame, budget: int = PACK_BUDGET, checkpoint: str = "local"
+) -> DataFrame:
     """(doc_id, n_tokens, start_tok, bin_id, bin_offset, straddles)
     for every doc, in doc_id order semantics (order-insensitive rows).
     """
     toks = docs.select("doc_id", token_count_col(F.col("text")).alias("n_tokens"))
-    return _layout_from_laid(_with_stream_start(toks, "n_tokens"), budget)
+    return _layout_from_laid(
+        _with_stream_start(toks, "n_tokens", checkpoint), budget
+    )
 
 
 _PACKING_ORACLE = f"""
@@ -264,7 +274,10 @@ EOS_TOKEN = "<eos>"
 
 
 def contiguous_sequences(
-    docs: DataFrame, seq_len: int = SEQ_LEN, eos: str = EOS_TOKEN
+    docs: DataFrame,
+    seq_len: int = SEQ_LEN,
+    eos: str = EOS_TOKEN,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """(seq_id, seq_tokens, seq_text, doc_starts): the fixed-length
     training rows of the EOS-joined doc_id-ordered token stream. Every
@@ -279,7 +292,9 @@ def contiguous_sequences(
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t")).select(
         "doc_id", "t", (F.size("t") + F.lit(1)).cast("bigint").alias("n_units")
     )
-    return _contig_from_laid(_with_stream_start(toks, "n_units"), seq_len, eos)
+    return _contig_from_laid(
+        _with_stream_start(toks, "n_units", checkpoint), seq_len, eos
+    )
 
 
 def contiguous_sequences_tokens(
@@ -287,6 +302,7 @@ def contiguous_sequences_tokens(
     tokens_col: str = "tokens",
     seq_len: int = SEQ_LEN,
     eos: str = EOS_TOKEN,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """contiguous_sequences over a PRE-TOKENIZED corpus — `tokens_col`
     is an array<string> column (e.g. bpe_encode's `tokens`), so the
@@ -298,7 +314,9 @@ def contiguous_sequences_tokens(
     toks = docs.select("doc_id", F.col(tokens_col).alias("t")).select(
         "doc_id", "t", (F.size("t") + F.lit(1)).cast("bigint").alias("n_units")
     )
-    return _contig_from_laid(_with_stream_start(toks, "n_units"), seq_len, eos)
+    return _contig_from_laid(
+        _with_stream_start(toks, "n_units", checkpoint), seq_len, eos
+    )
 
 
 def _contig_from_laid(
