@@ -637,6 +637,26 @@ def cmd_ann_index(args) -> None:
     )
 
 
+def cmd_ann_append(args) -> None:
+    from .functions.ann_index import ann_index_append, pq_index_append
+
+    spark = _spark(args)
+    inc = spark.read.parquet(args.input)
+    fn = pq_index_append if args.kind == "pq" else ann_index_append
+    rep = fn(spark, args.index, inc)
+    print(
+        f"ann-append[{rep['index']}]: +{rep['n_appended']} vectors "
+        f"(build {rep['n_build']}); quality {rep['mean_q_appended']:.4f} "
+        f"vs build {rep['mean_q_build']:.4f} (drop {rep['mean_q_drop']:+.4f})"
+    )
+    if rep["rebuild_recommended"]:
+        print(
+            "ann-append: WARNING — quality drop exceeds the rebuild "
+            "threshold; the frozen quantizer no longer fits this data. "
+            "Rebuild with ann-index."
+        )
+
+
 def cmd_ann_query(args) -> None:
     from .functions.ann_index import ann_index_probe
 
@@ -1095,6 +1115,16 @@ def main(argv: list[str] | None = None) -> int:
     p_ai.add_argument("--centroids", choices=("flat", "kmeans"), default="flat")
     p_ai.add_argument("--iters", type=int, default=5)
 
+    p_aa = sub.add_parser(
+        "ann-append",
+        help="append new vectors to a persisted IVF/PQ index: encode "
+        "only the increment against the frozen quantizer; prints the "
+        "drift report",
+    )
+    p_aa.add_argument("--index", required=True, help="index directory")
+    p_aa.add_argument("--input", required=True, help="parquet with vec_id, embedding")
+    p_aa.add_argument("--kind", choices=("ivf", "pq"), default="ivf")
+
     p_aq = sub.add_parser(
         "ann-query", help="probe a persisted IVF index with a query batch"
     )
@@ -1336,6 +1366,7 @@ def main(argv: list[str] | None = None) -> int:
         "zorder": cmd_zorder,
         "semdedup": cmd_semdedup,
         "ann-index": cmd_ann_index,
+        "ann-append": cmd_ann_append,
         "curate": cmd_curate,
         "ann-query": cmd_ann_query,
         "bpe-train": cmd_bpe_train,

@@ -112,6 +112,21 @@ def test_drift_flags_offdistribution_increment(spark, tmp_path):
     assert rep["rebuild_recommended"]
 
 
+def test_ann_append_cli(spark, tmp_path, capsys):
+    from mrbf_spark.__main__ import main
+    from mrbf_spark.functions.ann_index import write_ann_index
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "idx")
+    write_ann_index(emb.filter(F.col("vec_id") < 350), idx)
+    inc = str(tmp_path / "inc")
+    emb.filter(F.col("vec_id") >= 350).write.parquet(inc)
+    assert main(["ann-append", "--index", idx, "--input", inc]) == 0
+    out = capsys.readouterr().out
+    assert "ann-append[ivf]: +150 vectors (build 350)" in out
+    assert "WARNING" not in out
+
+
 def test_append_updates_stats_generations(spark, tmp_path):
     from mrbf_spark.functions.ann_index import ann_index_append, write_ann_index
 
