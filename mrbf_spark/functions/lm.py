@@ -382,6 +382,9 @@ _FROZEN_SQL = lm_train_score_sql(
 # window is full; its column mapping: n1=rank, n2=weight_q,
 # bucket=selected, avg_log_ratio carries the per-feature mean
 # log-ratio (NULL for the score/bucket parts).
+from .quality_classifier import QLR_TRAIN_MOD as _QLR_MOD
+from .quality_classifier import qlr_suite_sql as _qlr_suite_sql
+
 _LM_SUITE_SQL = f"""
     WITH lm AS ({_LM_ORACLE}),
     ranked AS (SELECT doc_id, cross_entropy,
@@ -418,6 +421,12 @@ _LM_SUITE_SQL = f"""
            cross_entropy, CAST(NULL AS INT) AS bucket,
            CAST(NULL AS VARCHAR) AS label, CAST(NULL AS DOUBLE) AS avg_log_ratio
     FROM ({_FROZEN_SQL}) frozen
+    UNION ALL
+    SELECT 'qlr' AS part, doc_id, logit_fx AS n1, CAST(NULL AS BIGINT) AS n2,
+           prob AS cross_entropy, CAST(pred AS INT) AS bucket,
+           CASE WHEN doc_id % {_QLR_MOD} = 0 THEN 'train' ELSE 'held' END AS label,
+           CAST(NULL AS DOUBLE) AS avg_log_ratio
+    FROM ({_qlr_suite_sql()}) qlr
     """
 
 
@@ -478,8 +487,29 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("label"),
         F.lit(None).cast("double").alias("avg_log_ratio"),
     )
+    # 'qlr' part (r8): the LEARNED quality tier — hard-sigmoid
+    # logistic regression over hashed bigram features, trained
+    # all-integer on the doc_id % QLR_TRAIN_MOD == 0 slice against the
+    # lang=='en' reference label (the CCNet shape), scored frozen over
+    # the whole corpus; the oracle replays every training iteration
+    # (functions/quality_classifier.py).
+    from .quality_classifier import QLR_TRAIN_MOD, lm_qlr_part
+
+    part_qlr = lm_qlr_part(docs).select(
+        F.lit("qlr").alias("part"),
+        "doc_id",
+        F.col("logit_fx").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        F.col("prob").alias("cross_entropy"),
+        F.col("pred").cast("int").alias("bucket"),
+        F.when(F.col("doc_id") % QLR_TRAIN_MOD == 0, F.lit("train"))
+        .otherwise(F.lit("held"))
+        .alias("label"),
+        F.lit(None).cast("double").alias("avg_log_ratio"),
+    )
     return (
         part_score.unionByName(part_bucket)
         .unionByName(part_dsir)
         .unionByName(part_frozen)
+        .unionByName(part_qlr)
     )
