@@ -637,6 +637,35 @@ def cmd_ann_index(args) -> None:
     )
 
 
+def cmd_quality_train(args) -> None:
+    from .functions.quality_classifier import qlr_train
+    from .registry import release_scoped_caches
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    w = qlr_train(docs, F.expr(args.label))
+    spark.createDataFrame(
+        [(i, int(wj)) for i, wj in enumerate(w)], "pos int, val long"
+    ).coalesce(1).write.mode("overwrite").parquet(args.out)
+    release_scoped_caches()
+    nz = sum(1 for wj in w if wj)
+    print(f"quality-train: {len(w)} weights ({nz} nonzero) -> {args.out}")
+
+
+def cmd_quality_score(args) -> None:
+    from .functions.quality_classifier import qlr_score
+
+    spark = _spark(args)
+    rows = spark.read.parquet(args.model).orderBy("pos").collect()
+    w = [int(r["val"]) for r in rows]
+    docs = spark.read.parquet(args.input)
+    out = qlr_score(docs, w)
+    out.write.mode("overwrite").parquet(args.out)
+    res = spark.read.parquet(args.out)
+    kept = res.filter("pred = 1").count()
+    print(f"quality-score: {kept}/{res.count()} docs pass -> {args.out}")
+
+
 def cmd_ann_append(args) -> None:
     from .functions.ann_index import ann_index_append, pq_index_append
 
@@ -1115,6 +1144,27 @@ def main(argv: list[str] | None = None) -> int:
     p_ai.add_argument("--centroids", choices=("flat", "kmeans"), default="flat")
     p_ai.add_argument("--iters", type=int, default=5)
 
+    p_qt = sub.add_parser(
+        "quality-train",
+        help="train the all-integer hard-sigmoid quality classifier "
+        "on hashed bigram features; writes the weight table",
+    )
+    p_qt.add_argument("--input", required=True, help="labeled documents parquet")
+    p_qt.add_argument("--out", required=True, help="weights parquet (pos, val)")
+    p_qt.add_argument(
+        "--label", default="lang = 'en'",
+        help="SQL predicate over the input columns giving the binary "
+        "reference label (default: lang = 'en', the CCNet shape)",
+    )
+
+    p_qs = sub.add_parser(
+        "quality-score",
+        help="score documents with frozen quality-classifier weights",
+    )
+    p_qs.add_argument("--input", required=True)
+    p_qs.add_argument("--model", required=True, help="weights parquet from quality-train")
+    p_qs.add_argument("--out", required=True)
+
     p_aa = sub.add_parser(
         "ann-append",
         help="append new vectors to a persisted IVF/PQ index: encode "
@@ -1367,6 +1417,8 @@ def main(argv: list[str] | None = None) -> int:
         "semdedup": cmd_semdedup,
         "ann-index": cmd_ann_index,
         "ann-append": cmd_ann_append,
+        "quality-train": cmd_quality_train,
+        "quality-score": cmd_quality_score,
         "curate": cmd_curate,
         "ann-query": cmd_ann_query,
         "bpe-train": cmd_bpe_train,

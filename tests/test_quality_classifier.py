@@ -118,6 +118,40 @@ def test_gradient_budget_guard(spark):
         qlr_train(empty, (F.col("lang") == "en"))
 
 
+def test_quality_cli_train_then_score(spark, tmp_path, capsys):
+    from mrbf_spark.__main__ import main
+
+    model = str(tmp_path / "model")
+    scored = str(tmp_path / "scored")
+    assert (
+        main(
+            [
+                "quality-train",
+                "--input", f"{SF_SMOKE}/documents.parquet",
+                "--out", model,
+            ]
+        )
+        == 0
+    )
+    assert (
+        main(
+            [
+                "quality-score",
+                "--input", f"{SF_SMOKE}/documents.parquet",
+                "--model", model,
+                "--out", scored,
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "quality-train: 65 weights" in out
+    assert "docs pass ->" in out
+    res = spark.read.parquet(scored)
+    assert res.count() == 500
+    assert set(res.columns) == {"doc_id", "logit_fx", "prob", "pred"}
+
+
 def test_spark_equals_duckdb_twin_smoke(spark):
     import duckdb
 
