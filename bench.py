@@ -23,7 +23,11 @@ adds the frozen-model part, `data_ops_suite` the merge part,
 `sampling_suite` the shard part, `quality_signals` the PII columns,
 `dedup_clusters` the split layer, and `curate_corpus` / `bpe_suite`
 are newly timed end-to-end entries — priced scope growth again.
-NB late r6: `decontaminate` adds the SEMANTIC part (hashed-embedding
+NB r8: `lm_suite` additionally computes the
+part=qlr learned quality classifier (8 all-integer training
+iterations over hashed-bigram features + a frozen-weights scoring
+pass) — increases on that key price the added part, not a regression
+of the LM paths. NB late r6: `decontaminate` adds the SEMANTIC part (hashed-embedding
 nearest-eval cosine, a second contamination channel) AFTER the r6
 noise adjudication pinned its r4-identical plan (SCALING.md) — any
 increase on that key vs the adjudicated [4.38..5.24] window prices
