@@ -127,6 +127,8 @@ CONTAINED = {
     "temperature_mixture": "sampling_suite",
     # r7: mining rides the suite (shared near-dup pair scan, part=mining)
     "contrastive_triplets": "embedding_dedup_suite",
+    # r8: the learned quality tier rides lm_suite as part=qlr
+    "quality_classifier": "lm_suite",
 }
 
 N_ROUNDS = 3  # KEPT interleaved sweeps per query; median reported
@@ -304,6 +306,13 @@ def legacy_builders() -> dict:
         ).contrastive_triplets(
             _tables.load_table(spark, sf_dir, "embeddings"), method="ivf"
         ),
+        # r8: the learned quality tier, timed standalone (contained
+        # in lm_suite part=qlr): all-integer LR train on the %5 slice
+        # + frozen scoring of the corpus
+        "quality_classifier": lambda spark, sf_dir: __import__(
+            "mrbf_spark.functions.quality_classifier",
+            fromlist=["lm_qlr_part"],
+        ).lm_qlr_part(_tables.load_table(spark, sf_dir, "documents")),
         # late r6: the r4-comparable lexical-only BM25 cost (the
         # catalog's bm25_topk key now times the full retrieval suite)
         "bm25_lexical": lambda spark, sf_dir: _retrieval.bm25_topk(
