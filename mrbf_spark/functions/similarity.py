@@ -1367,32 +1367,56 @@ def _neardup_scale_sql(src: str = "embeddings", pfx: str = "np") -> str:
 
 
 def _semdedup_scale_oracle(
-    tau: float = SEMDEDUP_TAU, src: str = "embeddings", pre_cte: str = ""
+    tau: float = SEMDEDUP_TAU,
+    src: str = "embeddings",
+    pre_cte: str = "",
+    int_vectors: bool = False,
 ) -> str:
     """SCALE twin of _semdedup_oracle (r8): same replay — cell
     assignment by fixed-point dot argmax, centroid cosines, within-
     cell pair cosines, keeper rule — with every dot a per-row list
     comprehension, so the within-cell pair stage stays pairs-many rows
-    instead of pairs × dim."""
+    instead of pairs × dim.
+
+    `int_vectors=True` (the textdedup part): when every vector element
+    is an exact INTEGER (hashed signed bigram counts), trunc(a·b·1e9)
+    = a·b·1e9 exactly, so the whole fixed-point dot collapses to
+    1e9 · Σ a_i b_i — served by DuckDB's native list_dot_product
+    (integer-valued doubles: every partial sum is an exact integer
+    < 2^53, so summation order cannot round). Bit-identical to the
+    lambda form (the registered-oracle equality test covers it) and
+    ~an order of magnitude faster on the within-cell pair stage,
+    which keeps the sf1 gate entry comfortably inside its timeout.
+    INVALID for float32 unit vectors (the embeddings table) — their
+    products genuinely truncate."""
     import re
+
+    if int_vectors:
+        def ldi(a, b):
+            return f"(CAST(list_dot_product({a}, {b}) AS BIGINT) * 1000000000)"
+
+        def ld(a, b):
+            return f"list_dot_product({a}, {b})"
+    else:
+        ldi, ld = _ldot_int_sql, _ldot_sql
 
     sql = f"""
     WITH {{PRE}}norms AS MATERIALIZED (
-        SELECT vec_id, {_ldot_sql('embedding', 'embedding')} AS nrm
+        SELECT vec_id, {ld('embedding', 'embedding')} AS nrm
         FROM embeddings),
     cent AS MATERIALIZED (
         SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cemb
         FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
               LIMIT {N_CENTROIDS})),
     cdots AS (SELECT e.vec_id, c.cid,
-                     {_ldot_int_sql('e.embedding', 'c.cemb')} AS s
+                     {ldi('e.embedding', 'c.cemb')} AS s
               FROM embeddings e CROSS JOIN cent c),
     cr AS (SELECT vec_id, cid, s,
                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS r
            FROM cdots),
     cells AS MATERIALIZED (
         SELECT vec_id, CAST(cid AS INT) AS cell, s FROM cr WHERE r = 1),
-    cnorm AS (SELECT cid, {_ldot_sql('cemb', 'cemb')} AS cnrm FROM cent),
+    cnorm AS (SELECT cid, {ld('cemb', 'cemb')} AS cnrm FROM cent),
     ccos AS MATERIALIZED (
         SELECT cl.vec_id, cl.cell,
                (CAST(cl.s AS DOUBLE) / 1000000000.0)
@@ -1409,7 +1433,7 @@ def _semdedup_scale_oracle(
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM joined a JOIN joined b
           ON a.cell = b.cell AND a.vec_id < b.vec_id
-        WHERE {_ldot_sql('a.embedding', 'b.embedding')}
+        WHERE {ld('a.embedding', 'b.embedding')}
                 / (SQRT(a.nrm) * SQRT(b.nrm)) >= {tau}),
     sym AS (SELECT vec_a AS vec_id, vec_b AS other FROM dup_pairs
             UNION ALL
@@ -1478,6 +1502,7 @@ def _embedding_dedup_suite_scale_sql() -> str:
         tau=TEXT_SEM_TAU,
         src="tvecs",
         pre_cte=f"tvecs AS MATERIALIZED ({text_embeddings_sql()}),",
+        int_vectors=True,  # hashed signed counts — the exact shortcut
     )
     return f"""
     SELECT 'pair' AS part, vec_a AS k1, CAST(vec_b AS BIGINT) AS k2,
