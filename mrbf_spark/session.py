@@ -42,6 +42,15 @@ def get_spark(app_name: str = "mrbf-spark", *, cpus: int | None = None) -> Spark
         # Plan-only effect; results identical on a vanilla session.
         .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # Collected-result ceiling: the ENGINE never collects large
+        # frames (plan-audited), but verification harnesses collect
+        # both compare sides, and at sf≥1 some pair outputs are
+        # legitimately 10⁷-row (dedup_simhash on a Zipfian corpus).
+        # Env-tunable like driver memory; 4g default (Spark ships 1g).
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )

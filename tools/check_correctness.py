@@ -99,6 +99,15 @@ def main() -> int:
     else:
         from mrbf_spark.session import get_spark
 
+        if SCALE_ORACLES:
+            # sf≥1 gate: some entries' pair OUTPUT is legitimately
+            # tens of millions of rows (dedup_simhash emits 70.5M
+            # hamming-≤6 pairs on the Zipfian sf1 corpus — 5.6% of
+            # all pairs, the boilerplate-alike regime); the compare
+            # harness collects both sides, so give the driver result
+            # headroom BEFORE the session builds (static conf). A
+            # CHECKER setting — the engine never collects these frames.
+            os.environ.setdefault("SPARK_GRAFT_MAX_RESULT", "24g")
         spark = get_spark("check-correctness")
     con = duck_con(SF_DIR)
     qs, oracles = catalog.queries(), catalog.oracle_sql()
