@@ -209,6 +209,9 @@ _BNLJ_ALLOWED = {
     "tpch_suite",  # q22's one-row scalar-threshold broadcast attach
     "data_ops_suite",  # validate's 1-row x 1-row aggregate crossJoin
     "validate_events",  # 1-row scan-agg × 1-row fk-agg report crossJoin
+    "ann_index_append",  # r8: the increment encode's one-row frozen
+    # centroid-matrix broadcast attach (with_matrix — same shape as
+    # every other matrix attach above)
 }
 
 
