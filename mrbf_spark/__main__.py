@@ -637,6 +637,30 @@ def cmd_ann_index(args) -> None:
     )
 
 
+def cmd_curate_inc(args) -> None:
+    from .functions.curate import curate_increment
+    from .registry import release_scoped_caches
+
+    spark = _spark(args)
+    new_docs = spark.read.parquet(args.input)
+    history = spark.read.parquet(args.history)
+    eval_docs = spark.read.parquet(args.eval) if args.eval else None
+    survivors, census = curate_increment(
+        new_docs,
+        history,
+        eval_docs,
+        lang=args.lang or None,
+        jaccard_tau=args.jaccard_tau,
+    )
+    survivors.write.mode("overwrite").parquet(args.out)
+    release_scoped_caches()
+    prev = None
+    for stage, n in census:
+        drop = f"  (-{prev - n})" if prev is not None else ""
+        print(f"curate-inc: {stage}\t{n}{drop}")
+        prev = n
+
+
 def cmd_quality_train(args) -> None:
     from .functions.quality_classifier import qlr_train
     from .registry import release_scoped_caches
@@ -1144,6 +1168,18 @@ def main(argv: list[str] | None = None) -> int:
     p_ai.add_argument("--centroids", choices=("flat", "kmeans"), default="flat")
     p_ai.add_argument("--iters", type=int, default=5)
 
+    p_ci = sub.add_parser(
+        "curate-inc",
+        help="curate a NEW shard against an immutable curated history:"
+        " exact+near dedup vs history, quality gate, decontamination",
+    )
+    p_ci.add_argument("--input", required=True, help="the new shard parquet")
+    p_ci.add_argument("--history", required=True, help="curated history parquet")
+    p_ci.add_argument("--out", required=True)
+    p_ci.add_argument("--eval", default=None, help="eval set for decontamination")
+    p_ci.add_argument("--lang", default="en", help="'' disables the lang gate")
+    p_ci.add_argument("--jaccard-tau", type=float, default=0.5)
+
     p_qt = sub.add_parser(
         "quality-train",
         help="train the all-integer hard-sigmoid quality classifier "
@@ -1417,6 +1453,7 @@ def main(argv: list[str] | None = None) -> int:
         "semdedup": cmd_semdedup,
         "ann-index": cmd_ann_index,
         "ann-append": cmd_ann_append,
+        "curate-inc": cmd_curate_inc,
         "quality-train": cmd_quality_train,
         "quality-score": cmd_quality_score,
         "curate": cmd_curate,

@@ -255,6 +255,163 @@ def curate_corpus(
     return cur, census
 
 
+# ---------------------------------------------- incremental curation (r8)
+#
+# The production growing-corpus shape: HISTORY is an already-curated,
+# immutable corpus; a NEW shard arrives and must be judged against it
+# (the dedup_incremental contract, extended to the whole chain). Every
+# check is increment-proportional where the data allows: the exact
+# stage joins increment-sized fingerprints against the history index;
+# the near-dup stage's co-count join costs Σ df_new·df_all — the
+# history side of the inverted index is one history scan per call
+# (a deployment that appends often should persist the shingle index,
+# exactly like ann-append persists the frozen centroids; the join
+# itself only ever emits pairs with a NEW side).
+
+
+def _neardup_drop_vs_history(
+    new_docs: DataFrame,
+    history: DataFrame,
+    threshold: float,
+    max_df: int | None,
+) -> DataFrame:
+    """doc_ids of NEW docs having word-3-gram Jaccard ≥ threshold with
+    any HISTORY doc, or with any smaller-id NEW doc — the incremental
+    form of the batch pairwise keeper rule (with empty history this is
+    exactly exact_jaccard_pairs' loser set; test-pinned). One inverted
+    co-count join over the tagged union index; the df cap is computed
+    over the union (history ∪ increment), matching what the batch rule
+    would see on the combined corpus."""
+    from fractions import Fraction
+
+    from .dedup import shingles_col
+
+    frac = Fraction(threshold).limit_denominator(10**6)
+    p, q = frac.numerator, frac.denominator
+    tagged = new_docs.select(
+        "doc_id", "text", F.lit(False).alias("is_hist")
+    ).unionByName(
+        history.select("doc_id", "text", F.lit(True).alias("is_hist"))
+    )
+    inv = tagged.select(
+        "doc_id",
+        "is_hist",
+        F.size(shingles_col(F.col("text"))).alias("n"),
+        F.explode_outer(shingles_col(F.col("text"))).alias("s"),
+    )
+    if max_df is not None:
+        dfs = inv.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+        inv = inv.join(
+            F.broadcast(dfs.filter(F.col("__df") > max_df).select("s")),
+            "s",
+            "left_anti",
+        )
+    inv = scoped_cache(inv.repartition("s"))
+    inv.count()  # materialize before the two-sided consumption
+    a = inv.filter(~F.col("is_hist")).alias("a")
+    b = inv.alias("b")
+    raw = a.join(
+        b,
+        (F.col("a.s") == F.col("b.s"))
+        & (F.col("b.is_hist") | (F.col("b.doc_id") < F.col("a.doc_id")))
+        & (
+            F.lit(q) * F.least(F.col("a.n"), F.col("b.n"))
+            >= F.lit(p) * F.greatest(F.col("a.n"), F.col("b.n"))
+        ),
+    )
+    g = raw.groupBy(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("b.is_hist").alias("p_hist"),
+        F.col("b.doc_id").alias("p_id"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    jac = F.col("c").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("c")
+    ).cast("double")
+    return g.filter(jac >= threshold).select("doc_id").distinct()
+
+
+def curate_increment(
+    new_docs: DataFrame,
+    history: DataFrame,
+    eval_docs: DataFrame | None = None,
+    *,
+    lang: str | None = "en",
+    min_tokens: int = 5,
+    max_chars_per_token: float = 15.0,
+    jaccard_tau: float = 0.5,
+    jaccard_max_df: int | None = 200,
+    contam_threshold: float = FLAG_THRESHOLD,
+    checkpoint: str = "local",
+) -> tuple[DataFrame, list[tuple[str, int]]]:
+    """Curate a NEW shard against an immutable curated HISTORY:
+
+        new → exact dedup (within shard AND vs history fingerprints)
+            → quality / lang gate (same predicates as the batch chain)
+            → near-dup vs (history ∪ shard survivors), pairwise rule
+            → decontamination (drop, threshold-gated)
+
+    Returns (survivors, census) like curate_corpus. History rows are
+    never re-judged (the incremental contract — matches
+    dedup_incremental's semantics); with an EMPTY history and the
+    batch chain's repetition/semantic stages off, the survivor set
+    equals curate_corpus's (test-pinned equivalence)."""
+    from .dedup import incremental_dedup
+
+    census: list[tuple[str, int]] = []
+
+    def _ck(df):
+        return checkpointed(df, checkpoint)
+
+    cur = _ck(new_docs)
+    census.append(("input", cur.count()))
+    t = F.col("text")
+
+    # 1 — exact dedup within the shard and against history
+    index = (
+        history.select(
+            fingerprint_col(t).alias("fingerprint"), F.col("doc_id")
+        )
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("hist_id"))
+    )
+    fresh = (
+        incremental_dedup(index, cur.select("doc_id", "text"))
+        .filter(F.col("status") == "new")
+        .select("doc_id")
+    )
+    cur = _ck(cur.join(fresh, "doc_id", "left_semi"))
+    census.append(("exact_dedup", cur.count()))
+
+    # 2 — quality / language gate (identical predicates to the batch)
+    n_tok = token_count_col(t)
+    gate = (n_tok >= min_tokens) & (
+        F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double") / n_tok
+        <= max_chars_per_token
+    )
+    if lang is not None:
+        gate = (F.col("lang") == lang) & gate
+    cur = _ck(cur.filter(gate))
+    census.append(("quality_gate", cur.count()))
+
+    # 3 — near-dup vs history ∪ shard survivors (pairwise rule)
+    drops = _neardup_drop_vs_history(
+        cur, history, jaccard_tau, jaccard_max_df
+    )
+    cur = _ck(cur.join(drops, "doc_id", "left_anti"))
+    census.append(("neardup_jaccard", cur.count()))
+
+    # 4 — decontamination (drop mode)
+    if eval_docs is not None:
+        report = decontaminate_docs(cur, eval_docs, threshold=contam_threshold)
+        flagged = report.filter(F.col("flagged") == 1).select("doc_id")
+        cur = _ck(cur.join(flagged, "doc_id", "left_anti"))
+        census.append(("decontaminate", cur.count()))
+
+    return cur, census
+
+
 # ------------------------------------- the driver-checked catalog entry
 #
 # r6 (VERDICT r5 next-round #1): the end-to-end curated-training-set
