@@ -120,17 +120,35 @@ def qlr_train(
         )
     w = [0] * (dim + 1)
     step_den = 4 * n * lr_den
+    spark = docs.sparkSession
     for _ in range(iters):
-        m = _margin_col(w)
+        # weights ride as a ONE-ROW broadcast array column, never as
+        # plan literals (the kmeans/with_matrix lesson): literal
+        # weights change the plan text every iteration, forcing a
+        # fresh WholeStageCodegen compile per iteration — measured
+        # ~2 s/iteration of pure JIT at sf0.1. With the broadcast
+        # column the 8 iterations share ONE compiled plan. Integer
+        # mults/sums are order-exact, so the margin is unchanged.
+        wdf = spark.createDataFrame([([int(x) for x in w],)], "w array<bigint>")
+        m = F.aggregate(
+            F.zip_with("w", "x", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
         # hard sigmoid at scale 4S, residual against 4S·y
         u = F.least(F.greatest(m + F.lit(2 * S), F.lit(0).cast("long")), F.lit(4 * S))
         r = u - F.lit(4 * S) * F.col("y")
-        row = feats.select(r.alias("r"), "x").agg(
-            *[
-                F.sum(F.col("r") * F.element_at("x", j + 1)).alias(f"g{j}")
-                for j in range(dim + 1)
-            ]
-        ).collect()[0]
+        row = (
+            feats.crossJoin(F.broadcast(wdf))
+            .select(r.alias("r"), "x")
+            .agg(
+                *[
+                    F.sum(F.col("r") * F.element_at("x", j + 1)).alias(f"g{j}")
+                    for j in range(dim + 1)
+                ]
+            )
+            .collect()[0]
+        )
         # integer division truncating toward zero — Spark DIV and
         # DuckDB // agree on this (probed: -7 DIV 2 == -3 on both)
         w = [
