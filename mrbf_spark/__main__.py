@@ -478,6 +478,10 @@ def cmd_curate(args) -> None:
         spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
     docs = spark.read.parquet(args.input)
     eval_docs = spark.read.parquet(args.eval) if args.eval else None
+    weights = None
+    if args.classifier_weights:
+        rows = spark.read.parquet(args.classifier_weights).orderBy("pos").collect()
+        weights = [int(r["val"]) for r in rows]
     curated, census = curate_corpus(
         docs,
         eval_docs,
@@ -488,6 +492,7 @@ def cmd_curate(args) -> None:
         repetition=args.repetition,
         semantic=not args.no_semantic,
         decontam_action=args.decontam_action,
+        classifier_weights=weights,
         checkpoint=args.checkpoint,
     )
     curated.write.mode("overwrite").parquet(args.out)
@@ -1141,6 +1146,11 @@ def main(argv: list[str] | None = None) -> int:
         "doc keeps a surviving near-dup partner)",
     )
     p_cu.add_argument("--no-semantic", action="store_true")
+    p_cu.add_argument(
+        "--classifier-weights", default=None,
+        help="weights parquet from quality-train: adds the LEARNED "
+        "quality gate after the heuristic gate (drop pred==0 docs)",
+    )
     p_cu.add_argument(
         "--checkpoint",
         choices=("local", "reliable"),

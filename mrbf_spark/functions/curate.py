@@ -63,10 +63,21 @@ def curate_corpus(
     sem_tau: float = TEXT_SEM_TAU,
     contam_threshold: float = FLAG_THRESHOLD,
     decontam_action: str = "drop",
+    classifier_weights: list[int] | None = None,
     checkpoint: str = "local",
 ) -> tuple[DataFrame, list[tuple[str, int]]]:
     """Run the full curation chain; returns (curated_docs, census)
     where census = [(stage, docs_surviving_after_stage), ...].
+
+    `classifier_weights` (r8, opt-in): frozen weights from
+    quality_classifier.qlr_train (the `quality-train` CLI) add a
+    LEARNED quality gate right after the heuristic quality gate —
+    drop every doc the hard-sigmoid model scores below 1/2. Map-only
+    (hashed features + integer margin), so the stage costs one corpus
+    pass. The weights are a training-run config like the temperature
+    rates; the chain never trains in-line (a chain that trained on
+    its own input would make the survivor set depend on the corpus's
+    label mix — the caller owns the reference distribution).
 
     The returned DataFrame carries the input's full schema. Rows are
     only ever filtered, never rewritten — EXCEPT under
@@ -140,6 +151,19 @@ def curate_corpus(
         gate = (F.col("lang") == lang) & gate
     cur = _ck(cur.filter(gate))
     census.append(("quality_gate", cur.count()))
+
+    # 2a — optional LEARNED quality gate (r8): frozen qlr weights,
+    # map-only scoring, keep pred == 1 (docstring)
+    if classifier_weights is not None:
+        from .quality_classifier import qlr_score
+
+        keep_scored = (
+            qlr_score(cur, classifier_weights)
+            .filter(F.col("pred") == 1)
+            .select("doc_id")
+        )
+        cur = _ck(cur.join(keep_scored, "doc_id", "left_semi"))
+        census.append(("classifier_gate", cur.count()))
 
     # 2b — optional Gopher repetition gate (r7): drop docs failing any
     # of the 13 repetition thresholds (functions/repetition.py). Off by

@@ -118,6 +118,71 @@ def test_gradient_budget_guard(spark):
         qlr_train(empty, (F.col("lang") == "en"))
 
 
+def test_classifier_gate_in_curate_chain(spark):
+    """The opt-in learned gate drops exactly the pred==0 docs that
+    survive the stages before it — pinned against composing the ops
+    by hand."""
+    from pyspark.sql import functions as F
+
+    from mrbf_spark.functions.curate import curate_corpus
+    from mrbf_spark.functions.quality_classifier import (
+        QLR_TRAIN_MOD,
+        qlr_score,
+        qlr_train,
+    )
+    from mrbf_spark.registry import release_scoped_caches
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    w = qlr_train(
+        docs.filter(F.col("doc_id") % QLR_TRAIN_MOD == 0),
+        (F.col("lang") == "en"),
+    )
+    release_scoped_caches()
+    gated, census = curate_corpus(
+        docs, semantic=False, classifier_weights=w
+    )
+    gated_ids = {r["doc_id"] for r in gated.select("doc_id").collect()}
+    release_scoped_caches()
+    assert "classifier_gate" in [s for s, _ in census]
+
+    # hand-compose the same chain with library ops: exact dedup →
+    # quality gate → pred==1 filter → pairwise near-dup
+    from mrbf_spark.functions.dedup import exact_jaccard_pairs
+    from mrbf_spark.functions.text import fingerprint_col, token_count_col
+
+    t = F.col("text")
+    surv = (
+        docs.groupBy(fingerprint_col(t).alias("f"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    cur = docs.join(surv, "doc_id", "left_semi")
+    n_tok = token_count_col(t)
+    cur = cur.filter(
+        (F.col("lang") == "en")
+        & (n_tok >= 5)
+        & (
+            F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double")
+            / n_tok
+            <= 15.0
+        )
+    )
+    keep = qlr_score(cur, w).filter("pred = 1").select("doc_id")
+    cur = cur.join(keep, "doc_id", "left_semi")
+    pairs = exact_jaccard_pairs(cur, 0.5, max_df=200)
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    want = {
+        r["doc_id"]
+        for r in cur.join(losers, "doc_id", "left_anti")
+        .select("doc_id")
+        .collect()
+    }
+    release_scoped_caches()
+    assert gated_ids == want and len(want) > 0
+
+
 def test_quality_cli_train_then_score(spark, tmp_path, capsys):
     from mrbf_spark.__main__ import main
 
