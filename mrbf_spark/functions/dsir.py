@@ -17,13 +17,15 @@ implemented (rank by weight, keep the top fraction, doc_id
 tie-break) is the reproducible-pipeline choice, like the systematic
 split in sampling.py.
 
-Determinism / oracle design: the per-bucket log-ratio is fixed-pointed
-FIRST — trunc(1e9·ln p_b) − trunc(1e9·ln q_b) as BIGINT (the lm.py
-pattern) — so each doc's weight is an exact integer sum, bit-identical
-however Spark partitions the aggregation, and the DuckDB oracle
-replays the whole pipeline (md5 bucket hash → models → log-ratio →
-weights → rank) value-for-value. The only cross-engine risk is the
-same <1-ulp libm ln() boundary case lm.py documents.
+Determinism / oracle design: the per-bucket log-ratio is an EXACT
+INTEGER from the libm-free fixed-point log2 kernel (intlog.py, r9) —
+lrq_b = (L2Q(ct+1) − L2Q(Nt+B)) − (L2Q(cr+1) − L2Q(Nr+B)) in 2^-24
+log2 units — so each doc's weight is an exact integer sum,
+bit-identical however Spark partitions the aggregation, and the DuckDB
+oracle replays the whole pipeline (md5 bucket hash → models →
+log-ratio → weights → rank) value-for-value with zero libm anywhere
+on the comparison path (through r8 this used trunc(1e9·ln p) and
+carried lm.py's documented truncation-boundary risk).
 
 100 TB shape: one corpus scan to hashed features; (doc_id, bucket,
 cnt) INT rows are all that shuffles (text never does). Both models
@@ -42,11 +44,12 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..registry import builder, scoped_cache
 from ..tables import load_table
+from .intlog import FBITS, LN2, l2q_int, l2q_sql_ctes, with_l2q
 from .sketches import _h60, _h60_sql
 
 DSIR_BUCKETS = 256
 DSIR_SALT = "dsir"
-DSIR_SCALE = 1_000_000_000  # 1e9 fixed point, matches lm.LM_SCALE
+DSIR_SCALE = 1 << FBITS  # 2^24 fixed-point log2 units, matches lm.LM_SCALE
 # deterministic top-fraction kept: k = ceil(n_raw / 4)
 DSIR_KEEP_NUM, DSIR_KEEP_DEN = 1, 4
 
@@ -93,10 +96,10 @@ def dsir_select(
     predicate counts as not-matching — see _hashed_features).
 
     p_b = (ct_b + 1)/(Nt + B), q_b = (cr_b + 1)/(Nr + B) with bucket
-    counts ct/cr from the target/raw splits; lrq_b = trunc(1e9·ln p_b)
-    − trunc(1e9·ln q_b); weight_q = Σ_b c_b·lrq_b (exact BIGINT);
-    rank is (weight_q DESC, doc_id) and selected=1 for the top
-    ceil(n·1/4)."""
+    counts ct/cr from the target/raw splits; lrq_b = (L2Q(ct+1) −
+    L2Q(Nt+B)) − (L2Q(cr+1) − L2Q(Nr+B)) in exact 2^-24 log2 units
+    (intlog.py); weight_q = Σ_b c_b·lrq_b (exact BIGINT); rank is
+    (weight_q DESC, doc_id) and selected=1 for the top ceil(n·1/4)."""
     from .lm import _distributed_rank
 
     spark = docs.sparkSession
@@ -114,27 +117,21 @@ def dsir_select(
         .groupBy("b")
         .agg(F.sum("c").cast("long").alias("cr"))
     )
-    lp = (
-        F.log(
-            (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
-            / F.lit(float(nt + b))
-        )
-        * F.lit(float(DSIR_SCALE))
-    ).cast("long")
-    lq = (
-        F.log(
-            (F.coalesce(F.col("cr"), F.lit(0)) + 1).cast("double")
-            / F.lit(float(nr + b))
-        )
-        * F.lit(float(DSIR_SCALE))
-    ).cast("long")
+    # libm-free log-ratio: L2Q over the ≤B-row bucket table, model
+    # totals as plan-time constants through the exact Python twin
     lr = (
         spark.range(b)
         .select(F.col("id").alias("b"))
         .join(tm, "b", "left")
         .join(rm, "b", "left")
-        .select("b", (lp - lq).alias("lrq"))
+        .withColumn("__ct1", F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1))
+        .withColumn("__cr1", F.coalesce(F.col("cr"), F.lit(0)) + F.lit(1))
     )
+    lr = with_l2q(lr, "__ct1", "__l2t")
+    lr = with_l2q(lr, "__cr1", "__l2r")
+    lp = F.col("__l2t") - F.lit(l2q_int(nt + b))
+    lq = F.col("__l2r") - F.lit(l2q_int(nr + b))
+    lr = lr.select("b", (lp - lq).alias("lrq"))
     docw = (
         feats.filter(~F.col("is_t"))
         .join(F.broadcast(lr), "b")
@@ -156,6 +153,7 @@ def dsir_select(
             F.col("weight_q").cast("double")
             / F.lit(float(DSIR_SCALE))
             / F.col("n_feats").cast("double")
+            * F.lit(LN2)
         ).alias("avg_log_ratio"),
         "rank",
         F.when(F.col("rank") <= F.lit(k), F.lit(1))
@@ -172,7 +170,7 @@ def dsir_duckdb_sql(
 ) -> str:
     """DuckDB twin of dsir_select (same fixed-point pipeline)."""
     return f"""
-    WITH feats AS (
+    WITH RECURSIVE feats AS (
       SELECT doc_id, is_t, {_h60_sql('feat', DSIR_SALT)} % {b} AS b,
              CAST(COUNT(*) AS BIGINT) AS c
       FROM (SELECT doc_id, COALESCE(({target_pred}), FALSE) AS is_t,
@@ -186,15 +184,22 @@ def dsir_duckdb_sql(
     rm AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cr FROM feats WHERE NOT is_t GROUP BY 1),
     nt AS (SELECT COALESCE(CAST(SUM(ct) AS BIGINT), 0) AS n FROM tm),
     nr AS (SELECT COALESCE(CAST(SUM(cr) AS BIGINT), 0) AS n FROM rm),
+    {l2q_sql_ctes(
+        "SELECT DISTINCT v FROM ("
+        "SELECT ct + 1 AS v FROM tm"
+        " UNION ALL SELECT cr + 1 FROM rm"
+        " UNION ALL SELECT 1"
+        f" UNION ALL SELECT (SELECT n FROM nt) + {b}"
+        f" UNION ALL SELECT (SELECT n FROM nr) + {b})"
+    )},
     lr AS (SELECT gs.i AS b,
-             CAST(TRUNC(ln(CAST(COALESCE(tm.ct, 0) + 1 AS DOUBLE)
-                           / CAST((SELECT n FROM nt) + {b} AS DOUBLE))
-                        * {float(DSIR_SCALE)}) AS BIGINT)
-           - CAST(TRUNC(ln(CAST(COALESCE(rm.cr, 0) + 1 AS DOUBLE)
-                           / CAST((SELECT n FROM nr) + {b} AS DOUBLE))
-                        * {float(DSIR_SCALE)}) AS BIGINT) AS lrq
+             (lt.l2q - (SELECT l2q FROM l2 WHERE v = (SELECT n FROM nt) + {b}))
+           - (lrr.l2q - (SELECT l2q FROM l2 WHERE v = (SELECT n FROM nr) + {b}))
+             AS lrq
            FROM generate_series(0, {b - 1}) gs(i)
-           LEFT JOIN tm ON tm.b = gs.i LEFT JOIN rm ON rm.b = gs.i),
+           LEFT JOIN tm ON tm.b = gs.i LEFT JOIN rm ON rm.b = gs.i
+           JOIN l2 lt ON lt.v = COALESCE(tm.ct, 0) + 1
+           JOIN l2 lrr ON lrr.v = COALESCE(rm.cr, 0) + 1),
     docw AS (SELECT f.doc_id, CAST(SUM(f.c) AS BIGINT) AS n_feats,
                     CAST(SUM(f.c * lr.lrq) AS BIGINT) AS weight_q
              FROM feats f JOIN lr ON f.b = lr.b
@@ -205,7 +210,7 @@ def dsir_duckdb_sql(
                FROM docw)
     SELECT doc_id, n_feats, weight_q,
            CAST(weight_q AS DOUBLE) / {float(DSIR_SCALE)}
-             / CAST(n_feats AS DOUBLE) AS avg_log_ratio,
+             / CAST(n_feats AS DOUBLE) * CAST('{LN2!r}' AS DOUBLE) AS avg_log_ratio,
            rank,
            CAST(CASE WHEN rank <= (n * {DSIR_KEEP_NUM} + {DSIR_KEEP_DEN - 1})
                                // {DSIR_KEEP_DEN}

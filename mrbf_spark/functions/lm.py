@@ -12,15 +12,17 @@ Determinism / oracle design: a per-doc SUM over double log-probs is
 order-dependent (float addition does not associate; Spark's partial
 aggregation order varies run to run), so the engine and the DuckDB
 twin could never hash-match on raw doubles. Instead every per-bigram
-term is fixed-pointed FIRST — trunc(1e9·ln(p)) as BIGINT, the
-_decimal_dot pattern — and the per-doc sum runs in exact integer
-arithmetic (|term| ≤ ~2e10, docs ≤ ~1e4 bigrams ⇒ sums ≪ 2^63).
-The reported cross_entropy is then derived from the integer sum by
-IEEE double division only (exactly-representable operands), so it is
-bit-identical on any engine that agrees on the per-term ln — the one
-residual cross-engine risk is a <1-ulp libm ln() difference landing a
-term exactly on a truncation boundary (~1e-6 odds across the whole
-sf0.01 corpus; accepted and test-pinned).
+term is an EXACT INTEGER from the libm-free fixed-point log2 kernel
+(intlog.py, r9): term_q = L2Q(c_prev+V) − L2Q(c_bg+1), where L2Q is
+the pinned bit-length + 24-squaring-steps algorithm every engine
+replays bit-identically (no ln() anywhere on the comparison path —
+through r8 the term was trunc(1e9·ln p) from each engine's libm, and
+the rich-vocab sf1 corpus collapsed the truncation-boundary margin to
+3 ulps; VERDICT r8 next-round #1). Per-doc sums stay exact int64
+(|term| ≤ 63·2^24 ≈ 2^30, docs ≤ ~1e6 bigrams ⇒ sums ≪ 2^63). The
+reported cross_entropy converts to nats via IEEE-exact double ops
+only (÷2^24, ÷n_bigrams, ×LN2-literal — correctly-rounded by the
+standard, hence deterministic on any engine).
 
 100 TB shape: one corpus scan to bigrams; doc-level and global bigram
 counts partial-aggregate map-side; the score join is a shuffle
@@ -36,8 +38,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import builder, register, scoped_cache
 from ..tables import load_table
+from .intlog import FBITS, LN2, l2q_int, l2q_sql_ctes, with_l2q
 
-LM_SCALE = 1_000_000_000  # 1e9 fixed-point, matches _decimal_dot
+LM_SCALE = 1 << FBITS  # 2^24 fixed-point log2 units (intlog.py, r9)
 
 
 def _doc_bigrams(docs: DataFrame) -> DataFrame:
@@ -66,10 +69,11 @@ def lm_score(docs: DataFrame) -> DataFrame:
     """(doc_id, n_bigrams, nll_q, cross_entropy) under the
     corpus-trained add-one bigram model.
 
-    p(cur|prev) = (c(prev,cur) + 1) / (c(prev) + V); term_q =
-    trunc(1e9·ln p) as BIGINT; nll_q = −Σ cnt·term_q (exact);
-    cross_entropy = nll_q / 1e9 / n_bigrams (pure IEEE division of
-    exactly-representable values — deterministic given the longs)."""
+    p(cur|prev) = (c(prev,cur) + 1) / (c(prev) + V); per-bigram
+    −log2 p ≈ (L2Q(c_prev+V) − L2Q(c_bg+1)) / 2^24 with L2Q the
+    integer-exact intlog kernel; nll_q = Σ cnt·(L2Q(den) − L2Q(num))
+    (exact BIGINT, ≥ 0); cross_entropy = nll_q/2^24/n_bigrams·LN2
+    (IEEE-exact ops only — deterministic given the longs)."""
     # Cache + materialize the doc-bigram table before fan-out: it
     # feeds THREE consumers (the scored main side, the model
     # broadcast, and ctx via model), and the model/ctx sides sit
@@ -89,17 +93,23 @@ def lm_score(docs: DataFrame) -> DataFrame:
         .agg(F.countDistinct("t").alias("v"))
         .collect()[0]["v"]
     )
-    p = (F.col("c_bg") + 1).cast("double") / (F.col("c_prev") + F.lit(vocab)).cast(
-        "double"
-    )
-    term_q = (F.log(p) * F.lit(float(LM_SCALE))).cast("long")  # trunc toward 0
+    # L2Q rides the model/ctx relations directly — ~100 int ops per
+    # row inside the existing projection, no extra shuffle or join
+    model = with_l2q(
+        model.withColumn("__num", F.col("c_bg") + F.lit(1)), "__num", "l2_num"
+    ).drop("__num")
+    ctx = with_l2q(
+        ctx.withColumn("__den", F.col("c_prev") + F.lit(vocab)), "__den", "l2_den"
+    ).drop("__den")
     scored = (
         bg.join(model, ["prev", "cur"])
         .join(ctx, "prev")
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").cast("long").alias("n_bigrams"),
-            (-F.sum(F.col("cnt") * term_q)).cast("long").alias("nll_q"),
+            F.sum(F.col("cnt") * (F.col("l2_den") - F.col("l2_num")))
+            .cast("long")
+            .alias("nll_q"),
         )
     )
     return scored.select(
@@ -110,12 +120,14 @@ def lm_score(docs: DataFrame) -> DataFrame:
             F.col("nll_q").cast("double")
             / F.lit(float(LM_SCALE))
             / F.col("n_bigrams").cast("double")
+            * F.lit(LN2)
         ).alias("cross_entropy"),
     )
 
 
 _LM_ORACLE = f"""
-    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
     bgx AS (SELECT doc_id,
                    unnest([struct_pack(prev := t[i], cur := t[i+1])
                            for i in generate_series(1, len(t)-1)]) AS u
@@ -126,17 +138,23 @@ _LM_ORACLE = f"""
     ctx AS (SELECT prev, CAST(SUM(c_bg) AS BIGINT) AS c_prev FROM model GROUP BY 1),
     v AS (SELECT COUNT(DISTINCT tok) AS v
           FROM (SELECT unnest(t) AS tok FROM toks)),
+    {l2q_sql_ctes(
+        "SELECT DISTINCT v FROM ("
+        "SELECT c_bg + 1 AS v FROM model"
+        " UNION ALL SELECT c_prev + (SELECT v FROM v) AS v FROM ctx)"
+    )},
     terms AS (SELECT bg.doc_id, bg.cnt,
-                     CAST(TRUNC(ln(CAST(model.c_bg + 1 AS DOUBLE)
-                                   / CAST(ctx.c_prev + v.v AS DOUBLE))
-                                * {LM_SCALE}.0) AS BIGINT) AS term_q
-              FROM bg JOIN model USING (prev, cur) JOIN ctx USING (prev), v),
+                     l2d.l2q - l2n.l2q AS term_q
+              FROM bg JOIN model USING (prev, cur) JOIN ctx USING (prev)
+              CROSS JOIN v
+              JOIN l2 l2n ON l2n.v = model.c_bg + 1
+              JOIN l2 l2d ON l2d.v = ctx.c_prev + v.v),
     agg AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
-                   CAST(-SUM(cnt * term_q) AS BIGINT) AS nll_q
+                   CAST(SUM(cnt * term_q) AS BIGINT) AS nll_q
             FROM terms GROUP BY doc_id)
     SELECT doc_id, n_bigrams, nll_q,
            CAST(nll_q AS DOUBLE) / {LM_SCALE}.0 / CAST(n_bigrams AS DOUBLE)
-             AS cross_entropy
+             * CAST('{LN2!r}' AS DOUBLE) AS cross_entropy
     FROM agg
     """
 
@@ -191,17 +209,28 @@ def score_with_model(
     case — never broadcast); ctx is a ≤|model| groupBy."""
     bg = _doc_bigrams(docs)
     ctx = model.groupBy("prev").agg(F.sum("c_bg").cast("long").alias("c_prev"))
-    p = (F.coalesce(F.col("c_bg"), F.lit(0)) + 1).cast("double") / (
-        F.coalesce(F.col("c_prev"), F.lit(0)) + F.lit(vocab_size)
-    ).cast("double")
-    term_q = (F.log(p) * F.lit(float(LM_SCALE))).cast("long")
+    # L2Q attaches to the model/ctx sides BEFORE the left joins; the
+    # zero-count smoothing coalesces to the constant L2Q values an
+    # unseen bigram (num=0+1 → L2Q(1)=0) / context (den=0+V → L2Q(V))
+    # would have produced
+    model = with_l2q(
+        model.withColumn("__num", F.col("c_bg") + F.lit(1)), "__num", "l2_num"
+    ).drop("__num")
+    ctx = with_l2q(
+        ctx.withColumn("__den", F.col("c_prev") + F.lit(vocab_size)),
+        "__den",
+        "l2_den",
+    ).drop("__den")
+    term_q = F.coalesce(F.col("l2_den"), F.lit(l2q_int(vocab_size))) - F.coalesce(
+        F.col("l2_num"), F.lit(0)
+    )
     scored = (
         bg.join(model, ["prev", "cur"], "left")
         .join(ctx, "prev", "left")
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").cast("long").alias("n_bigrams"),
-            (-F.sum(F.col("cnt") * term_q)).cast("long").alias("nll_q"),
+            F.sum(F.col("cnt") * term_q).cast("long").alias("nll_q"),
         )
     )
     return scored.select(
@@ -212,6 +241,7 @@ def score_with_model(
             F.col("nll_q").cast("double")
             / F.lit(float(LM_SCALE))
             / F.col("n_bigrams").cast("double")
+            * F.lit(LN2)
         ).alias("cross_entropy"),
     )
 
@@ -221,7 +251,8 @@ def lm_train_score_sql(train_src: str, score_src: str) -> str:
     on train_src docs) — replays training, the left-join smoothing,
     and the fixed-point sums."""
     return f"""
-    WITH ttoks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM {train_src}),
+    WITH RECURSIVE
+    ttoks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM {train_src}),
     tbg AS (SELECT u.prev AS prev, u.cur AS cur, COUNT(*) AS cnt
             FROM (SELECT unnest([struct_pack(prev := t[i], cur := t[i+1])
                                  for i in generate_series(1, len(t)-1)]) AS u
@@ -231,6 +262,13 @@ def lm_train_score_sql(train_src: str, score_src: str) -> str:
     ctx AS (SELECT prev, CAST(SUM(c_bg) AS BIGINT) AS c_prev FROM model GROUP BY 1),
     v AS (SELECT COUNT(DISTINCT tok) AS v
           FROM (SELECT unnest(t) AS tok FROM ttoks)),
+    {l2q_sql_ctes(
+        "SELECT DISTINCT v FROM ("
+        "SELECT c_bg + 1 AS v FROM model"
+        " UNION ALL SELECT c_prev + (SELECT v FROM v) AS v FROM ctx"
+        " UNION ALL SELECT 1"
+        " UNION ALL SELECT (SELECT v FROM v))"
+    )},
     stoks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM {score_src}),
     sbg AS (SELECT doc_id, u.prev AS prev, u.cur AS cur, COUNT(*) AS cnt
             FROM (SELECT doc_id,
@@ -239,17 +277,17 @@ def lm_train_score_sql(train_src: str, score_src: str) -> str:
                   FROM stoks WHERE len(t) >= 2)
             GROUP BY 1, 2, 3),
     terms AS (SELECT sbg.doc_id, sbg.cnt,
-                     CAST(TRUNC(ln(CAST(COALESCE(model.c_bg, 0) + 1 AS DOUBLE)
-                                   / CAST(COALESCE(ctx.c_prev, 0) + v.v AS DOUBLE))
-                                * {LM_SCALE}.0) AS BIGINT) AS term_q
+                     l2d.l2q - l2n.l2q AS term_q
               FROM sbg LEFT JOIN model USING (prev, cur)
-                       LEFT JOIN ctx USING (prev), v),
+                       LEFT JOIN ctx USING (prev) CROSS JOIN v
+              JOIN l2 l2n ON l2n.v = COALESCE(model.c_bg, 0) + 1
+              JOIN l2 l2d ON l2d.v = COALESCE(ctx.c_prev, 0) + v.v),
     agg AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
-                   CAST(-SUM(cnt * term_q) AS BIGINT) AS nll_q
+                   CAST(SUM(cnt * term_q) AS BIGINT) AS nll_q
             FROM terms GROUP BY doc_id)
     SELECT doc_id, n_bigrams, nll_q,
            CAST(nll_q AS DOUBLE) / {LM_SCALE}.0 / CAST(n_bigrams AS DOUBLE)
-             AS cross_entropy
+             * CAST('{LN2!r}' AS DOUBLE) AS cross_entropy
     FROM agg
     """
 

@@ -17,9 +17,14 @@ fixed association order — mirrored token-for-token in the DuckDB twin
 fixed-pointed (trunc(1e9·score) → BIGINT) so the per-doc sum is exact
 integer arithmetic, order-independent across partitionings and
 engines. dl/avgdl is computed as dl·N/total (integers into one double
-division) so no engine ever materializes a rounded avgdl. Residual
-cross-engine risk is the <1-ulp libm ln() landing exactly on a trunc
-boundary — the same accepted, test-pinned risk as the LM scorer.
+division) so no engine ever materializes a rounded avgdl. The idf is
+libm-free (r9, the intlog.py kernel): 1 + (N−df+0.5)/(df+0.5) ≡
+(2N+2)/(2df+1) exactly, so idf = (L2Q(2N+2) − L2Q(2df+1))/2^24·LN2 —
+an exact integer difference converted to nats by IEEE-exact double
+ops. Every remaining double op in the score is +,−,×,÷ on
+deterministic operands (correctly rounded per IEEE 754), so no
+cross-engine trunc-boundary risk remains (through r8 the idf came
+from each engine's libm ln()).
 
 100 TB shape: one corpus scan → per-doc term frequencies for the
 QUERY TERMS only (the IN filter prunes before the tf aggregation, so
@@ -67,13 +72,19 @@ def bm25_topk(
     )
     df_ = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     # One double expression, association order mirrored in the DuckDB
-    # twin (see module docstring): ln(1 + (N - df + 0.5)/(df + 0.5))
+    # twin (see module docstring): idf(t) ≡ ln((2N+2)/(2df+1)) via the
+    # integer-exact L2Q kernel (intlog.py)
     # * (tf*(k1+1)) / (tf + k1*(1 - b + b*dl*N/total)).
+    from .intlog import FBITS, LN2, l2q_int, with_l2q
+
+    df_ = with_l2q(
+        df_.withColumn("__dfv", F.lit(2) * F.col("df") + F.lit(1)), "__dfv", "l2_df"
+    ).drop("__dfv")
     dd = lambda c: c.cast("double")  # noqa: E731
-    idf = F.ln(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - dd(F.col("df")) + F.lit(0.5))
-        / (dd(F.col("df")) + F.lit(0.5))
+    idf = (
+        (F.lit(l2q_int(2 * n_docs + 2)) - F.col("l2_df")).cast("double")
+        / F.lit(float(1 << FBITS))
+        * F.lit(LN2)
     )
     norm = dd(F.col("tf")) + F.lit(k1) * (
         F.lit(1.0 - b)
@@ -109,28 +120,40 @@ def bm25_topk(
 def bm25_duckdb_sql(query_terms: list[str], k: int = BM25_TOPK) -> str:
     """The DuckDB twin of bm25_topk over the `documents` view —
     association order mirrored expression-for-expression."""
+    from .intlog import FBITS, LN2, l2q_sql_ctes
+
     terms = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
     return f"""
-    WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
                   FROM documents),
     dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dl),
     stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
                      CAST(SUM(dl) AS DOUBLE) AS total FROM dl),
     tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks
            WHERE t IN ({terms}) GROUP BY 1, 2),
     dfs AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+    {l2q_sql_ctes(
+        "SELECT DISTINCT v FROM ("
+        "SELECT 2 * df + 1 AS v FROM dfs"
+        " UNION ALL SELECT 2 * (SELECT n FROM nd) + 2)"
+    )},
     term AS (SELECT tf.doc_id,
                     -- TRUNC before the cast: DuckDB's double->BIGINT
                     -- cast ROUNDS, Spark's truncates toward zero
-                    CAST(TRUNC(LN(1.0 + (s.n_docs - CAST(dfs.df AS DOUBLE) + 0.5)
-                                         / (CAST(dfs.df AS DOUBLE) + 0.5))
+                    CAST(TRUNC(CAST((SELECT l2q FROM l2
+                                     WHERE v = 2 * (SELECT n FROM nd) + 2)
+                                    - l2d.l2q AS DOUBLE)
+                                 / {float(1 << FBITS)} * CAST('{LN2!r}' AS DOUBLE)
                                * (CAST(tf.tf AS DOUBLE) * {BM25_K1 + 1.0})
                                / (CAST(tf.tf AS DOUBLE)
                                   + {BM25_K1} * ({1.0 - BM25_B}
                                                  + {BM25_B} * CAST(dl.dl AS DOUBLE)
                                                    * s.n_docs / s.total))
                                * {float(BM25_SCALE)}) AS BIGINT) AS q
-             FROM tf JOIN dfs USING (t) JOIN dl USING (doc_id) CROSS JOIN stats s),
+             FROM tf JOIN dfs USING (t) JOIN dl USING (doc_id) CROSS JOIN stats s
+             JOIN l2 l2d ON l2d.v = 2 * dfs.df + 1),
     scored AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
                       CAST(SUM(q) AS BIGINT) AS score_q
                FROM term GROUP BY doc_id)

@@ -37,19 +37,24 @@ def test_lm_cross_entropy_matches_duckdb(spark):
 def test_lm_score_tiny_corpus_ground_truth(spark):
     """2-doc corpus small enough to hand-roll: 'a b a b' and 'a b'.
     Bigrams: doc1 {ab:2, ba:1}, doc2 {ab:1}. Model: c(ab)=3, c(ba)=1;
-    c(a)=3, c(b)=1; V=2."""
+    c(a)=3, c(b)=1; V=2. Terms come from the exact intlog kernel:
+    −log2 p(ab) = L2Q(3+2) − L2Q(3+1) etc."""
+    from mrbf_spark.functions.intlog import L2_SCALE, LN2, l2q_int
+
     docs = spark.createDataFrame(
         [(1, "a b a b"), (2, "a b")], "doc_id long, text string"
     )
     rows = {r["doc_id"]: r for r in lm_score(docs).collect()}
-    p_ab = (3 + 1) / (3 + 2)  # 0.8
-    p_ba = (1 + 1) / (1 + 2)
-    q_ab = int(math.log(p_ab) * 1e9)  # trunc toward zero (negative)
-    q_ba = int(math.log(p_ba) * 1e9)
+    q_ab = l2q_int(3 + 2) - l2q_int(3 + 1)  # −log2 p_ab, ≥ 0
+    q_ba = l2q_int(1 + 2) - l2q_int(1 + 1)
     assert rows[1]["n_bigrams"] == 3 and rows[2]["n_bigrams"] == 1
-    assert rows[1]["nll_q"] == -(2 * q_ab + q_ba)
-    assert rows[2]["nll_q"] == -q_ab
-    assert rows[2]["cross_entropy"] == pytest.approx(-math.log(p_ab), rel=1e-8)
+    assert rows[1]["nll_q"] == 2 * q_ab + q_ba
+    assert rows[2]["nll_q"] == q_ab
+    # bit-exact: the engine must derive cross_entropy by the pinned
+    # IEEE op order (q/2^24)/n·LN2
+    assert rows[2]["cross_entropy"] == q_ab / L2_SCALE / 1.0 * LN2
+    # and the value still approximates true nats: −ln(0.8)
+    assert rows[2]["cross_entropy"] == pytest.approx(-math.log(4 / 5), rel=1e-6)
 
 
 def test_lm_score_flags_out_of_distribution_text(spark):
@@ -138,9 +143,9 @@ def test_frozen_model_split_matches_duckdb(spark):
 def test_frozen_model_unseen_tokens_hand_truth(spark):
     """A scored doc whose tokens the model never saw: every bigram
     has c_bg=0 and unseen prev (c_prev=0), so each term is
-    trunc(1e9·ln(1/V)) exactly."""
-    import math
-
+    −log2(1/V) = L2Q(V) − L2Q(1) exactly (the coalesced-constant
+    smoothing path)."""
+    from mrbf_spark.functions.intlog import l2q_int
     from mrbf_spark.functions.lm import score_with_model, train_bigram_lm
 
     train = spark.createDataFrame(
@@ -150,9 +155,9 @@ def test_frozen_model_unseen_tokens_hand_truth(spark):
     model, v = train_bigram_lm(train)
     assert v == 3  # {a, b, c}
     row = score_with_model(score, model, v).collect()[0]
-    term = int(math.log(1.0 / 3.0) * 1e9)  # trunc toward zero
+    term = l2q_int(3) - l2q_int(1)  # L2Q(1) = 0
     assert row["n_bigrams"] == 2
-    assert row["nll_q"] == -2 * term
+    assert row["nll_q"] == 2 * term
 
 
 def test_streaming_lm_score_matches_batch(spark, tmp_path):
