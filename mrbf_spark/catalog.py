@@ -63,6 +63,7 @@ PARTS: dict[str, list[str]] = {
         "diff_detail", "diff_summary", "merge", "profile", "validate",
     ],
     "decontaminate": ["cut", "ngram", "semantic"],
+    "dedup_simhash": ["degree", "hamming_census", "survivor"],
     "distinct_aggs": ["events", "lineitem"],
     "embedding_dedup_suite": [
         "kmeans", "mining", "pair", "semdedup", "textdedup",

@@ -21,7 +21,7 @@ from fractions import Fraction
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from ..registry import register, scoped_cache
+from ..registry import builder, register, scoped_cache
 from ..tables import load_table
 from .text import FINGERPRINT_SQL, fingerprint_col
 
@@ -888,12 +888,88 @@ def _simhash_oracle() -> str:
     """
 
 
-@register("dedup_simhash", _simhash_oracle())
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs over the documents table (see
-    simhash_pairs for the algorithm). Hash-matched: the md5-based
-    portable signature lets the oracle replay the full pipeline."""
+@builder("dedup_simhash_pairs", _simhash_oracle())
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL SimHash near-dup pair dump (doc_a, doc_b, hamming) —
+    the explicit materialize-everything option (builder since r9; the
+    registered entry is the bounded census below). On boilerplate-
+    heavy corpora the pair count is output-superlinear: 70.5M pairs
+    (5.6% of all pairs) on the Zipfian sf1 corpus — computing it is
+    fine, *collecting* it is the 100 TB hazard (VERDICT r8 next-round
+    #2)."""
     return simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_census_oracle() -> str:
+    """DuckDB twin of the census entry — composes the full-pair twin
+    and reduces it to the same three bounded parts."""
+    return f"""
+    WITH pairs AS ({_simhash_oracle()}),
+    deg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM (SELECT doc_a AS doc_id FROM pairs
+                  UNION ALL SELECT doc_b AS doc_id FROM pairs)
+            GROUP BY doc_id),
+    degall AS (SELECT d.doc_id, COALESCE(deg.degree, 0) AS degree
+               FROM (SELECT doc_id FROM documents) d
+               LEFT JOIN deg USING (doc_id))
+    SELECT 'hamming_census' AS part, CAST(hamming AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY hamming
+    UNION ALL
+    SELECT 'degree' AS part, degree AS k, CAST(COUNT(*) AS BIGINT) AS n
+    FROM degall GROUP BY degree
+    UNION ALL
+    SELECT 'survivor' AS part, doc_id AS k, degree AS n
+    FROM degall
+    WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+    """
+
+
+@register("dedup_simhash", _simhash_census_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup CENSUS (r9, VERDICT r8 next-round #2) — the
+    bounded-output contract a 100 TB pipeline actually wants, replacing
+    the registered full pair dump (still available:
+    dedup_simhash_pairs builder / simhash_pairs library fn). Parts:
+
+    - 'hamming_census': k=hamming distance, n=pair count — ≤ 7 rows
+      however duplicated the corpus is (the dup-mass report).
+    - 'degree': k=#near-dup partners, n=docs with that degree —
+      bounded by distinct degree values (the skew report).
+    - 'survivor': k=doc_id, n=its degree — the docs KEPT under the
+      greedy lowest-doc_id-wins rule (any doc never appearing as the
+      higher id of a pair), i.e. the dedup answer itself. Bounded by
+      n_docs, never by n_pairs.
+
+    The 70.5M-pair intermediate still streams through the engine at
+    sf1, but every part reduces engine-side — nothing pair-shaped is
+    ever collected (the r8 sf1 gate needed a 24g driver.maxResultSize
+    purely to COMPARE the old pair dump)."""
+    pairs = scoped_cache(simhash_pairs(load_table(spark, sf_dir, "documents")))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    degall = docs.join(deg, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("degree"), F.lit(0)).cast("long").alias("degree")
+    )
+    ham_census = pairs.groupBy(F.col("hamming").cast("long").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    deg_census = degall.groupBy(F.col("degree").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    survivors = degall.join(
+        pairs.select(F.col("doc_b").alias("doc_id")), "doc_id", "left_anti"
+    ).select(F.col("doc_id").alias("k"), F.col("degree").alias("n"))
+    return (
+        ham_census.select(F.lit("hamming_census").alias("part"), "k", "n")
+        .unionByName(deg_census.select(F.lit("degree").alias("part"), "k", "n"))
+        .unionByName(survivors.select(F.lit("survivor").alias("part"), "k", "n"))
+    )
 
 
 def simhash_pairs(d: DataFrame) -> DataFrame:

@@ -16,7 +16,7 @@ from mrbf_spark.functions.multimodal import FEATURE_DIM, binary_payloads, decode
 from mrbf_spark.functions.similarity import cosine_pairs
 from mrbf_spark.tables import load_table
 
-from conftest import SF_SMOKE
+from conftest import SF_ORACLE, SF_SMOKE
 
 
 def test_shingles_semantics(spark):
@@ -273,6 +273,45 @@ def test_simhash_finds_planted_duplicate(spark):
         for pair in found
         if pair != (100001, 100002)
     )
+
+
+def test_simhash_census_consistent_with_pair_dump(spark):
+    """The registered census entry (r9) must be the exact reduction of
+    the full pair dump: Σ hamming_census.n = |pairs|; Σ degree k·n =
+    2·|pairs|; Σ degree.n = |docs|; survivors = docs never appearing
+    as doc_b, reported with their true degree."""
+    from collections import Counter
+
+    from mrbf_spark import catalog
+    from mrbf_spark.functions.dedup import simhash_pairs
+    from mrbf_spark.tables import load_table
+
+    sf = SF_ORACLE
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_pairs(
+            load_table(spark, sf, "documents").select("doc_id", "text")
+        ).collect()
+    ]
+    n_docs = load_table(spark, sf, "documents").count()
+    census = catalog.queries()["dedup_simhash"](spark, sf).collect()
+    ham = {r["k"]: r["n"] for r in census if r["part"] == "hamming_census"}
+    deg = {r["k"]: r["n"] for r in census if r["part"] == "degree"}
+    surv = {r["k"]: r["n"] for r in census if r["part"] == "survivor"}
+    assert sum(ham.values()) == len(pairs) > 0
+    assert sum(k * n for k, n in deg.items()) == 2 * len(pairs)
+    assert sum(deg.values()) == n_docs
+    true_deg = Counter()
+    for a, b in pairs:
+        true_deg[a] += 1
+        true_deg[b] += 1
+    dup_b = {b for _, b in pairs}
+    all_ids = {
+        d for d, in load_table(spark, sf, "documents").select("doc_id").collect()
+    }
+    assert set(surv) == all_ids - dup_b
+    for d, n in surv.items():
+        assert n == true_deg.get(d, 0)
 
 
 def test_bruteforce_topk_matches_numpy(spark):

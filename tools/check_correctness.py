@@ -99,15 +99,12 @@ def main() -> int:
     else:
         from mrbf_spark.session import get_spark
 
-        if SCALE_ORACLES:
-            # sf≥1 gate: some entries' pair OUTPUT is legitimately
-            # tens of millions of rows (dedup_simhash emits 70.5M
-            # hamming-≤6 pairs on the Zipfian sf1 corpus — 5.6% of
-            # all pairs, the boilerplate-alike regime); the compare
-            # harness collects both sides, so give the driver result
-            # headroom BEFORE the session builds (static conf). A
-            # CHECKER setting — the engine never collects these frames.
-            os.environ.setdefault("SPARK_GRAFT_MAX_RESULT", "24g")
+        # r8 set SPARK_GRAFT_MAX_RESULT=24g here for the sf≥1 gate:
+        # dedup_simhash's registered answer was the full 70.5M-pair
+        # dump and the compare harness collects both sides. r9 made
+        # the registered entry a bounded census (≤ n_docs rows), so
+        # the session default (4g) suffices — the env var remains the
+        # escape hatch for one-off full-pair-dump comparisons.
         spark = get_spark("check-correctness")
     con = duck_con(SF_DIR)
     qs, oracles = catalog.queries(), catalog.oracle_sql()
