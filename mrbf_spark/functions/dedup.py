@@ -17,6 +17,7 @@ DuckDB oracle:
 
 from __future__ import annotations
 
+import logging
 from fractions import Fraction
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
@@ -612,11 +613,38 @@ def exact_jaccard_pairs(
     )
 
 
+# guaranteed="auto" routes exact→LSH when the co-count join volume
+# Σ_s C(df(s), 2) — the EXACT row count of the inverted-index
+# self-join, known from a one-scan df census before any join runs —
+# exceeds this budget. 2e8 rows keeps the catalog/bench/sf1 regimes on
+# the exact path (sf1 Zipf corpus: ~6e7) while a boilerplate-heavy
+# corpus whose hot-shingle head would quadratically dominate
+# (C(f·N, 2) ≈ 1e10 at f·N ≈ 140k verbatim copies) routes to the
+# probabilistic LSH path whose join volume is bucket collisions,
+# independent of Σ df² (VERDICT r8 next-round #3, the mining
+# method="auto" pattern).
+MINHASH_AUTO_COCOUNT = 200_000_000
+
+_LOG = logging.getLogger(__name__)
+
+
 def minhash_candidates(
-    docs: DataFrame, threshold: float = 0.5, guaranteed: bool = False
+    docs: DataFrame,
+    threshold: float = 0.5,
+    guaranteed: bool | str = "auto",
+    auto_cocount: int = MINHASH_AUTO_COCOUNT,
 ) -> DataFrame:
     """Near-dup pairs (doc_a, doc_b, jaccard), doc_a < doc_b, jaccard
     ≥ threshold.
+
+    guaranteed="auto" (the library default, r9): run the one-scan
+    shingle df census, compute the exact co-count join volume
+    Σ C(df, 2), and route — ≤ `auto_cocount` takes the exact path
+    (guaranteed=True), above it the probabilistic LSH path, logging
+    the decision. The census is agg-only (two scalars to the driver)
+    and partial-aggregates map-side; it is the same statistic the
+    exact path's max_df cap consults, spent up front so a Zipf-head
+    corpus never starts the quadratic join it cannot finish.
 
     guaranteed=False — the 100 TB probabilistic path: MinHash+LSH.
     shingle → 64-perm signature → band → bucket self-join →
@@ -645,6 +673,28 @@ def minhash_candidates(
     other side is the tiny candidate-pair set (broadcast), so no
     corpus shuffle anywhere.
     """
+    if guaranteed == "auto":
+        cocount = int(
+            shingled_docs(docs)
+            .select(F.explode_outer("shingles").alias("s"))
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("df") * (F.col("df") - 1)), F.lit(0)
+                ).alias("c2x2")
+            )
+            .collect()[0]["c2x2"]
+            // 2
+        )
+        guaranteed = cocount <= auto_cocount
+        _LOG.info(
+            "minhash_candidates auto: sum C(df,2) = %d co-count rows "
+            "(budget %d) -> %s",
+            cocount,
+            auto_cocount,
+            "exact" if guaranteed else "lsh",
+        )
     if guaranteed:
         # hashed=True: the certified 8-byte-key variant — measured
         # 1.7× the string path at sf0.1 even INCLUDING the
@@ -1029,8 +1079,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard over LSH candidates at a lower
     threshold — the precision pass after minhash recall. Unregistered
     builder: identical to the registered `dedup_minhash_lsh` (which
-    runs at threshold 0.2 and carries exact jaccard per pair)."""
-    return minhash_candidates(load_table(spark, sf_dir, "documents"), threshold=0.2)
+    runs at threshold 0.2 and carries exact jaccard per pair) —
+    guaranteed=True pinned so the identity holds on ANY corpus, not
+    just under the auto route's budget."""
+    return minhash_candidates(
+        load_table(spark, sf_dir, "documents"), threshold=0.2, guaranteed=True
+    )
 
 
 # ------------------------------------------------- connected components

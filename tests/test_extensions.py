@@ -45,6 +45,53 @@ def test_minhash_finds_planted_duplicate(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_minhash_auto_routes_both_regimes(spark, caplog):
+    """guaranteed="auto" (the r9 library default) routes on the
+    df-census co-count volume: under the budget it IS the exact path
+    (identical pair set + jaccards), over a forced 0 budget it IS the
+    LSH path — both decisions logged (VERDICT r8 next-round #3,
+    the mining method="auto" pattern)."""
+    import logging
+
+    from mrbf_spark.functions.dedup import minhash_candidates
+    from mrbf_spark.registry import release_scoped_caches
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").limit(60)
+    key = lambda r: (r["doc_a"], r["doc_b"], r["jaccard"])  # noqa: E731
+    exact = sorted(
+        map(key, minhash_candidates(docs, threshold=0.2, guaranteed=True).collect())
+    )
+    release_scoped_caches()
+    with caplog.at_level(logging.INFO, logger="mrbf_spark.functions.dedup"):
+        auto = sorted(
+            map(key, minhash_candidates(docs, threshold=0.2).collect())
+        )
+        release_scoped_caches()
+    assert auto == exact
+    assert any("-> exact" in r.message for r in caplog.records)
+
+    caplog.clear()
+    lsh = sorted(
+        map(
+            key,
+            minhash_candidates(docs, threshold=0.2, guaranteed=False).collect(),
+        )
+    )
+    release_scoped_caches()
+    with caplog.at_level(logging.INFO, logger="mrbf_spark.functions.dedup"):
+        routed = sorted(
+            map(
+                key,
+                minhash_candidates(
+                    docs, threshold=0.2, auto_cocount=0
+                ).collect(),
+            )
+        )
+        release_scoped_caches()
+    assert routed == lsh
+    assert any("-> lsh" in r.message for r in caplog.records)
+
+
 def test_minhash_guaranteed_equals_bruteforce(spark):
     """guaranteed=True must return EXACTLY the Jaccard-≥τ pair set
     (prefix-filter blocking is complete, verify is exact): compare
