@@ -299,6 +299,14 @@ def legacy_builders() -> dict:
         # fixed 10% tail slice here), never the corpus. The parquet
         # write is the same noop-replaced sink every bench row skips.
         "ann_index_append": _ann_append_builder(),
+        # r9 (VERDICT r8 next-round #4): incremental curation against
+        # the PERSISTED history index — the history artifacts
+        # (fingerprints, shingle index, shingle census) build ONCE on
+        # the 90% slice (warm-up pass, cost excluded like the other
+        # build-once rows); the timed number is one curate_increment
+        # call over the 10% increment reading only the columnar
+        # artifacts — cost ∝ increment, history text never re-read.
+        "curate_increment_indexed": _curate_inc_indexed_builder(),
         # r7: contrastive (anchor, positive, hard-negative) mining —
         # the IVF-routed scale path over the embeddings table
         "contrastive_triplets": lambda spark, sf_dir: __import__(
@@ -351,6 +359,36 @@ def _dense_indexed_builder():
             )
             cache[sf_dir] = path
         return _r.dense_topk_indexed(spark, path, "table scan fast")
+
+    return q
+
+
+def _curate_inc_indexed_builder():
+    """Closure giving curate_increment_indexed a build-once history
+    index (the doc_id % 10 != 0 slice) under .tmp/; the timed call
+    curates the % 10 == 0 increment against the persisted artifacts."""
+    cache: dict[str, str] = {}
+
+    def q(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from mrbf_spark import tables as _t
+        from mrbf_spark.functions import curate as _c
+
+        docs = _t.load_table(spark, sf_dir, "documents")
+        path = cache.get(sf_dir)
+        if path is None:
+            base = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), ".tmp"
+            )
+            os.makedirs(base, exist_ok=True)
+            path = os.path.join(
+                base, "curate_idx_" + sf_dir.strip("/").replace("/", "_")
+            )
+            _c.curate_index_build(docs.filter(F.col("doc_id") % 10 != 0), path)
+            cache[sf_dir] = path
+        inc = docs.filter(F.col("doc_id") % 10 == 0)
+        return _c.curate_increment(inc, history_index=path)[0]
 
     return q
 

@@ -648,7 +648,7 @@ def cmd_curate_inc(args) -> None:
 
     spark = _spark(args)
     new_docs = spark.read.parquet(args.input)
-    history = spark.read.parquet(args.history)
+    history = spark.read.parquet(args.history) if args.history else None
     eval_docs = spark.read.parquet(args.eval) if args.eval else None
     survivors, census = curate_increment(
         new_docs,
@@ -656,6 +656,7 @@ def cmd_curate_inc(args) -> None:
         eval_docs,
         lang=args.lang or None,
         jaccard_tau=args.jaccard_tau,
+        history_index=args.history_index,
     )
     survivors.write.mode("overwrite").parquet(args.out)
     release_scoped_caches()
@@ -664,6 +665,15 @@ def cmd_curate_inc(args) -> None:
         drop = f"  (-{prev - n})" if prev is not None else ""
         print(f"curate-inc: {stage}\t{n}{drop}")
         prev = n
+
+
+def cmd_curate_index_build(args) -> None:
+    from .functions.curate import curate_index_build
+
+    spark = _spark(args)
+    report = curate_index_build(spark.read.parquet(args.history), args.out)
+    for k, v in report.items():
+        print(f"curate-index-build: {k}\t{v}")
 
 
 def cmd_quality_train(args) -> None:
@@ -1184,11 +1194,27 @@ def main(argv: list[str] | None = None) -> int:
         " exact+near dedup vs history, quality gate, decontamination",
     )
     p_ci.add_argument("--input", required=True, help="the new shard parquet")
-    p_ci.add_argument("--history", required=True, help="curated history parquet")
+    p_ci.add_argument(
+        "--history", default=None, help="curated history parquet (docs)"
+    )
+    p_ci.add_argument(
+        "--history-index", default=None,
+        help="persisted index from curate-index-build (replaces "
+        "--history for frequent-append deployments; history text is "
+        "never re-read)",
+    )
     p_ci.add_argument("--out", required=True)
     p_ci.add_argument("--eval", default=None, help="eval set for decontamination")
     p_ci.add_argument("--lang", default="en", help="'' disables the lang gate")
     p_ci.add_argument("--jaccard-tau", type=float, default=0.5)
+
+    p_cib = sub.add_parser(
+        "curate-index-build",
+        help="persist the curate-inc history artifacts (fingerprints, "
+        "shingle index, shingle census) — build once, append many",
+    )
+    p_cib.add_argument("--history", required=True, help="curated history parquet")
+    p_cib.add_argument("--out", required=True, help="index directory")
 
     p_qt = sub.add_parser(
         "quality-train",
@@ -1464,6 +1490,7 @@ def main(argv: list[str] | None = None) -> int:
         "ann-index": cmd_ann_index,
         "ann-append": cmd_ann_append,
         "curate-inc": cmd_curate_inc,
+        "curate-index-build": cmd_curate_index_build,
         "quality-train": cmd_quality_train,
         "quality-score": cmd_quality_score,
         "curate": cmd_curate,

@@ -286,18 +286,74 @@ def curate_corpus(
 # (the dedup_incremental contract, extended to the whole chain). Every
 # check is increment-proportional where the data allows: the exact
 # stage joins increment-sized fingerprints against the history index;
-# the near-dup stage's co-count join costs Σ df_new·df_all — the
-# history side of the inverted index is one history scan per call
-# (a deployment that appends often should persist the shingle index,
-# exactly like ann-append persists the frozen centroids; the join
-# itself only ever emits pairs with a NEW side).
+# the near-dup stage's co-count join costs Σ df_new·df_all; and since
+# r9 (VERDICT r8 next-round #4) the history-derived artifacts persist
+# once — curate_index_build(history, path) writes the fingerprint
+# index, the shingle inverted index, and the per-shingle df census to
+# parquet, and curate_increment(..., history_index=path) replays every
+# judgment from those columnar tables without ever re-reading or
+# re-shingling history TEXT (the ann-append frozen-artifact pattern).
+# Byte-identical to the recompute path (test-pinned): the persisted
+# rows ARE the rows the recompute would derive, and the union df cap
+# equals df_hist (persisted) + df_new (one increment scan).
+
+
+def _shingle_index(docs: DataFrame) -> DataFrame:
+    """(doc_id, n, s) — the per-doc shingle inverted index rows the
+    near-dup stage consumes: n = |distinct 3-gram shingles|, one row
+    per (doc, shingle). The persistable near-dup artifact."""
+    from .dedup import shingles_col
+
+    return docs.select(
+        "doc_id",
+        F.size(shingles_col(F.col("text"))).alias("n"),
+        F.explode_outer(shingles_col(F.col("text"))).alias("s"),
+    )
+
+
+def curate_index_build(history: DataFrame, path: str) -> dict[str, int]:
+    """Persist the history-derived judgment artifacts at `path` (r9,
+    VERDICT r8 next-round #4 — the ann-append frozen-artifact pattern):
+
+      {path}/fingerprints  (fingerprint, hist_id)    — exact-dedup index
+      {path}/shingle_index (doc_id, n, s)            — near-dup inverted index
+      {path}/shingle_census (s, df)                  — per-shingle history df
+
+    One history scan per artifact family (fingerprints; shingles — the
+    census groupBy reuses the index read, not the text). Every
+    subsequent curate_increment(..., history_index=path) call is then
+    increment-proportional: history TEXT is never re-read or
+    re-shingled. Returns row counts per artifact (the build report)."""
+    fp = (
+        history.select(
+            fingerprint_col(F.col("text")).alias("fingerprint"), F.col("doc_id")
+        )
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("hist_id"))
+    )
+    fp.write.mode("overwrite").parquet(f"{path}/fingerprints")
+    _shingle_index(history).write.mode("overwrite").parquet(
+        f"{path}/shingle_index"
+    )
+    spark = history.sparkSession
+    idx = spark.read.parquet(f"{path}/shingle_index")
+    idx.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("df")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/shingle_census")
+    return {
+        "fingerprints": spark.read.parquet(f"{path}/fingerprints").count(),
+        "shingle_index": idx.count(),
+        "shingle_census": spark.read.parquet(f"{path}/shingle_census").count(),
+    }
 
 
 def _neardup_drop_vs_history(
     new_docs: DataFrame,
-    history: DataFrame,
+    history: DataFrame | None,
     threshold: float,
     max_df: int | None,
+    hist_index: DataFrame | None = None,
+    hist_census: DataFrame | None = None,
 ) -> DataFrame:
     """doc_ids of NEW docs having word-3-gram Jaccard ≥ threshold with
     any HISTORY doc, or with any smaller-id NEW doc — the incremental
@@ -305,31 +361,51 @@ def _neardup_drop_vs_history(
     exactly exact_jaccard_pairs' loser set; test-pinned). One inverted
     co-count join over the tagged union index; the df cap is computed
     over the union (history ∪ increment), matching what the batch rule
-    would see on the combined corpus."""
-    from fractions import Fraction
+    would see on the combined corpus.
 
-    from .dedup import shingles_col
+    History arrives either as text (`history`, re-shingled per call)
+    or as the persisted artifacts (`hist_index` + `hist_census`, r9) —
+    identical results by construction: the persisted rows ARE the rows
+    the text path derives, and df_union = df_hist + df_new."""
+    from fractions import Fraction
 
     frac = Fraction(threshold).limit_denominator(10**6)
     p, q = frac.numerator, frac.denominator
-    tagged = new_docs.select(
-        "doc_id", "text", F.lit(False).alias("is_hist")
-    ).unionByName(
-        history.select("doc_id", "text", F.lit(True).alias("is_hist"))
-    )
-    inv = tagged.select(
-        "doc_id",
-        "is_hist",
-        F.size(shingles_col(F.col("text"))).alias("n"),
-        F.explode_outer(shingles_col(F.col("text"))).alias("s"),
-    )
-    if max_df is not None:
-        dfs = inv.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
-        inv = inv.join(
-            F.broadcast(dfs.filter(F.col("__df") > max_df).select("s")),
-            "s",
-            "left_anti",
+    inv_new = _shingle_index(new_docs).withColumn("is_hist", F.lit(False))
+    if hist_index is not None:
+        inv_hist = hist_index.select("doc_id", "n", "s").withColumn(
+            "is_hist", F.lit(True)
         )
+    else:
+        inv_hist = _shingle_index(history).withColumn("is_hist", F.lit(True))
+    if max_df is not None:
+        if hist_index is not None and hist_census is not None:
+            # union df from the persisted census + one increment-only
+            # census — never a history-wide groupBy at append time
+            new_dfs = inv_new.groupBy("s").agg(
+                F.count(F.lit(1)).alias("__dfn")
+            )
+            dfs = (
+                new_dfs.join(hist_census, "s", "full_outer")
+                .select(
+                    "s",
+                    (
+                        F.coalesce(F.col("__dfn"), F.lit(0))
+                        + F.coalesce(F.col("df"), F.lit(0))
+                    ).alias("__df"),
+                )
+            )
+        else:
+            dfs = (
+                inv_new.select("s")
+                .unionAll(inv_hist.select("s"))
+                .groupBy("s")
+                .agg(F.count(F.lit(1)).alias("__df"))
+            )
+        hot = F.broadcast(dfs.filter(F.col("__df") > max_df).select("s"))
+        inv_new = inv_new.join(hot, "s", "left_anti")
+        inv_hist = inv_hist.join(hot, "s", "left_anti")
+    inv = inv_new.unionByName(inv_hist)
     inv = scoped_cache(inv.repartition("s"))
     inv.count()  # materialize before the two-sided consumption
     a = inv.filter(~F.col("is_hist")).alias("a")
@@ -358,7 +434,7 @@ def _neardup_drop_vs_history(
 
 def curate_increment(
     new_docs: DataFrame,
-    history: DataFrame,
+    history: DataFrame | None = None,
     eval_docs: DataFrame | None = None,
     *,
     lang: str | None = "en",
@@ -368,6 +444,7 @@ def curate_increment(
     jaccard_max_df: int | None = 200,
     contam_threshold: float = FLAG_THRESHOLD,
     checkpoint: str = "local",
+    history_index: str | None = None,
 ) -> tuple[DataFrame, list[tuple[str, int]]]:
     """Curate a NEW shard against an immutable curated HISTORY:
 
@@ -376,6 +453,13 @@ def curate_increment(
             → near-dup vs (history ∪ shard survivors), pairwise rule
             → decontamination (drop, threshold-gated)
 
+    History arrives either as `history` (the docs frame — fingerprints
+    and shingles derived per call) or as `history_index` (a path
+    written by curate_index_build, r9 — the frequent-append deployment:
+    every judgment replays from the persisted columnar artifacts and
+    the call never re-reads history text; byte-identical results,
+    test-pinned). Exactly one of the two must be given.
+
     Returns (survivors, census) like curate_corpus. History rows are
     never re-judged (the incremental contract — matches
     dedup_incremental's semantics); with an EMPTY history and the
@@ -383,6 +467,12 @@ def curate_increment(
     equals curate_corpus's (test-pinned equivalence)."""
     from .dedup import incremental_dedup
 
+    if (history is None) == (history_index is None):
+        raise ValueError(
+            "curate_increment needs exactly one of history / history_index"
+        )
+    spark = new_docs.sparkSession
+    hist_index = hist_census = None
     census: list[tuple[str, int]] = []
 
     def _ck(df):
@@ -393,13 +483,18 @@ def curate_increment(
     t = F.col("text")
 
     # 1 — exact dedup within the shard and against history
-    index = (
-        history.select(
-            fingerprint_col(t).alias("fingerprint"), F.col("doc_id")
+    if history_index is not None:
+        index = spark.read.parquet(f"{history_index}/fingerprints")
+        hist_index = spark.read.parquet(f"{history_index}/shingle_index")
+        hist_census = spark.read.parquet(f"{history_index}/shingle_census")
+    else:
+        index = (
+            history.select(
+                fingerprint_col(t).alias("fingerprint"), F.col("doc_id")
+            )
+            .groupBy("fingerprint")
+            .agg(F.min("doc_id").alias("hist_id"))
         )
-        .groupBy("fingerprint")
-        .agg(F.min("doc_id").alias("hist_id"))
-    )
     fresh = (
         incremental_dedup(index, cur.select("doc_id", "text"))
         .filter(F.col("status") == "new")
@@ -421,7 +516,12 @@ def curate_increment(
 
     # 3 — near-dup vs history ∪ shard survivors (pairwise rule)
     drops = _neardup_drop_vs_history(
-        cur, history, jaccard_tau, jaccard_max_df
+        cur,
+        history,
+        jaccard_tau,
+        jaccard_max_df,
+        hist_index=hist_index,
+        hist_census=hist_census,
     )
     cur = _ck(cur.join(drops, "doc_id", "left_anti"))
     census.append(("neardup_jaccard", cur.count()))

@@ -82,6 +82,40 @@ def test_empty_history_equals_batch_chain(spark):
     assert inc_ids == batch_ids and len(inc_ids) > 0
 
 
+def test_history_index_equals_recompute(spark, tmp_path):
+    """curate_increment(history_index=path) must be BYTE-IDENTICAL to
+    curate_increment(history=docs) — survivors (all columns) and the
+    per-stage census — on a slice with real exact-, near-, and
+    census-relevant structure (VERDICT r8 next-round #4 done
+    criterion). Also pins the exactly-one-of-history/index contract."""
+    import pytest
+
+    from mrbf_spark.functions.curate import curate_increment, curate_index_build
+    from mrbf_spark.registry import release_scoped_caches
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    history = docs.filter(F.col("doc_id") < 300)
+    new = docs.filter(F.col("doc_id") >= 300)
+
+    path = str(tmp_path / "cidx")
+    report = curate_index_build(history, path)
+    assert report["fingerprints"] > 0 and report["shingle_index"] > 0
+
+    ref_s, ref_c = curate_increment(new, history)
+    ref = sorted(map(tuple, ref_s.collect()))
+    release_scoped_caches()
+    idx_s, idx_c = curate_increment(new, history_index=path)
+    idx = sorted(map(tuple, idx_s.collect()))
+    release_scoped_caches()
+    assert idx == ref and len(idx) > 0
+    assert idx_c == ref_c
+
+    with pytest.raises(ValueError, match="exactly one"):
+        curate_increment(new)
+    with pytest.raises(ValueError, match="exactly one"):
+        curate_increment(new, history, history_index=path)
+
+
 def test_curate_inc_cli(spark, tmp_path, capsys):
     from mrbf_spark.__main__ import main
 
@@ -106,3 +140,25 @@ def test_curate_inc_cli(spark, tmp_path, capsys):
     assert "curate-inc: input\t200" in text
     assert "curate-inc: neardup_jaccard" in text
     assert spark.read.parquet(out).count() > 0
+
+    # index-based flow (r9): build once, append via --history-index —
+    # identical survivors to the --history run above
+    idx = str(tmp_path / "idx")
+    out2 = str(tmp_path / "out2")
+    assert main(["curate-index-build", "--history", hist, "--out", idx]) == 0
+    text = capsys.readouterr().out
+    assert "curate-index-build: fingerprints" in text
+    assert (
+        main(
+            [
+                "curate-inc",
+                "--input", new,
+                "--history-index", idx,
+                "--out", out2,
+            ]
+        )
+        == 0
+    )
+    a = sorted(map(tuple, spark.read.parquet(out).collect()))
+    b = sorted(map(tuple, spark.read.parquet(out2).collect()))
+    assert a == b
