@@ -692,7 +692,8 @@ def cmd_quality_train(args) -> None:
 
 
 def cmd_quality_score(args) -> None:
-    from .functions.quality_classifier import qlr_score
+    from .functions.quality_classifier import qlr_eval, qlr_score
+    from .registry import release_scoped_caches
 
     spark = _spark(args)
     rows = spark.read.parquet(args.model).orderBy("pos").collect()
@@ -703,6 +704,21 @@ def cmd_quality_score(args) -> None:
     res = spark.read.parquet(args.out)
     kept = res.filter("pred = 1").count()
     print(f"quality-score: {kept}/{res.count()} docs pass -> {args.out}")
+    if args.eval_label:
+        report = qlr_eval(docs, w, F.expr(args.eval_label)).collect()
+        release_scoped_caches()
+        for r in sorted(
+            (r for r in report if r["outcome"] != "auc"),
+            key=lambda r: (r["k"], r["outcome"]),
+        ):
+            print(
+                f"quality-eval: thr={r['thr']}\t{r['outcome']}={r['cnt']}"
+            )
+        auc = next(r for r in report if r["outcome"] == "auc")
+        print(
+            f"quality-eval: auc={auc['auc']}"
+            f" ({auc['auc_num']}/{auc['auc_den']})"
+        )
 
 
 def cmd_ann_append(args) -> None:
@@ -1236,6 +1252,12 @@ def main(argv: list[str] | None = None) -> int:
     p_qs.add_argument("--input", required=True)
     p_qs.add_argument("--model", required=True, help="weights parquet from quality-train")
     p_qs.add_argument("--out", required=True)
+    p_qs.add_argument(
+        "--eval-label", default=None,
+        help="SQL predicate giving the reference label; when set, also "
+        "print the quality report (threshold-sweep confusion counts + "
+        "exact midrank AUC) over the scored input",
+    )
 
     p_aa = sub.add_parser(
         "ann-append",

@@ -71,7 +71,7 @@ PARTS: dict[str, list[str]] = {
     "grouped_ratio_metrics": ["halfup", "ratio"],
     "grouping_family": ["cube", "gsets", "pivot", "rollup"],
     "json_null_ops": ["json_agg", "null_sem"],
-    "lm_suite": ["bucket", "dsir", "frozen", "qlr", "score"],
+    "lm_suite": ["bucket", "dsir", "frozen", "qlr", "qlr_eval", "score"],
     "multimodal_decode": ["audio", "features", "frames"],
     "multimodal_meta_stats": ["meta", "stats"],
     "packing_suite": ["chunk", "contig", "layout"],

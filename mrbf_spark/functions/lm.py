@@ -421,6 +421,7 @@ _FROZEN_SQL = lm_train_score_sql(
 # bucket=selected, avg_log_ratio carries the per-feature mean
 # log-ratio (NULL for the score/bucket parts).
 from .quality_classifier import QLR_TRAIN_MOD as _QLR_MOD
+from .quality_classifier import qlr_eval_suite_sql as _qlr_eval_suite_sql
 from .quality_classifier import qlr_suite_sql as _qlr_suite_sql
 
 _LM_SUITE_SQL = f"""
@@ -465,6 +466,12 @@ _LM_SUITE_SQL = f"""
            CASE WHEN doc_id % {_QLR_MOD} = 0 THEN 'train' ELSE 'held' END AS label,
            CAST(NULL AS DOUBLE) AS avg_log_ratio
     FROM ({_qlr_suite_sql()}) qlr
+    UNION ALL
+    SELECT 'qlr_eval' AS part, k AS doc_id,
+           COALESCE(cnt, auc_num) AS n1, COALESCE(thr, auc_den) AS n2,
+           auc AS cross_entropy, CAST(NULL AS INT) AS bucket,
+           outcome AS label, CAST(NULL AS DOUBLE) AS avg_log_ratio
+    FROM ({_qlr_eval_suite_sql()}) qev
     """
 
 
@@ -531,9 +538,17 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lang=='en' reference label (the CCNet shape), scored frozen over
     # the whole corpus; the oracle replays every training iteration
     # (functions/quality_classifier.py).
-    from .quality_classifier import QLR_TRAIN_MOD, lm_qlr_part
+    # 'qlr_eval' part (r9, VERDICT r8 next-round #7): the quality
+    # report over the HELD slice under the SAME trained weights —
+    # integer confusion counts across a 9-point threshold sweep plus
+    # the exact midrank-AUC rational.
+    from .quality_classifier import QLR_TRAIN_MOD, qlr_eval, qlr_score, qlr_train
 
-    part_qlr = lm_qlr_part(docs).select(
+    qlr_w = qlr_train(
+        docs.filter(F.col("doc_id") % QLR_TRAIN_MOD == 0),
+        (F.col("lang") == "en"),
+    )
+    part_qlr = qlr_score(docs, qlr_w).select(
         F.lit("qlr").alias("part"),
         "doc_id",
         F.col("logit_fx").alias("n1"),
@@ -545,9 +560,24 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("label"),
         F.lit(None).cast("double").alias("avg_log_ratio"),
     )
+    part_qlr_eval = qlr_eval(
+        docs.filter(F.col("doc_id") % QLR_TRAIN_MOD != 0),
+        qlr_w,
+        (F.col("lang") == "en"),
+    ).select(
+        F.lit("qlr_eval").alias("part"),
+        F.col("k").alias("doc_id"),
+        F.coalesce(F.col("cnt"), F.col("auc_num")).alias("n1"),
+        F.coalesce(F.col("thr"), F.col("auc_den")).alias("n2"),
+        F.col("auc").alias("cross_entropy"),
+        F.lit(None).cast("int").alias("bucket"),
+        F.col("outcome").alias("label"),
+        F.lit(None).cast("double").alias("avg_log_ratio"),
+    )
     return (
         part_score.unionByName(part_bucket)
         .unionByName(part_dsir)
         .unionByName(part_frozen)
         .unionByName(part_qlr)
+        .unionByName(part_qlr_eval)
     )

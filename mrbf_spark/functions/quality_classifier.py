@@ -30,9 +30,13 @@ BPE twins (which rely on exactly-representable IEEE divisions); here
 there is no IEEE op at all until the final display-only probability.
 
 Overflow budget (int64): |gradient_j| ≤ 4S · Σ_i |x_ij| ≤
-4e9 · n_train · max|x|. The trainer measures Σ|x| once and raises
-loudly past 2^62 — at that point shard the gradient (sum per
+4e9 · n_train · max|x|. The trainer measures Σ|x| riding the FIRST
+gradient aggregate (one pass, r9) and raises loudly past 2^62 before
+applying any update — at that point shard the gradient (sum per
 partition, then combine), which composes without changing semantics.
+The fused check stays sound: iteration 1 runs at w=0 where |r| = 2S
+exactly, so its sums are exact in any regime where the check could
+pass.
 
 Scale shape (100 TB): features are two bounded shuffles of (doc,
 slot, count) ints (the embedding module's ledger); each training
@@ -90,38 +94,30 @@ def qlr_train(
     dim: int = TE_DIM,
     iters: int = QLR_ITERS,
     lr_den: int = QLR_LR_DEN,
+    grad_budget: int = _GRAD_BUDGET,
 ) -> list[int]:
     """Train hard-sigmoid logistic regression on `docs` with binary
-    label expression `y` (evaluated against docs' columns; cast to
-    0/1). Returns the dim+1 int64 weight vector at scale S — replayed
-    bit-exactly by qlr_train_sql."""
+    label expression `y` (evaluated against docs' columns; a NULL
+    label — e.g. `lang == 'en'` on a NULL lang — coalesces to 0, the
+    same negative-example semantics the DuckDB twin's CASE gives, so
+    NULL-label rows cannot silently desynchronize the bit-identical-
+    weights guarantee; ADVICE r8). Returns the dim+1 int64 weight
+    vector at scale S — replayed bit-exactly by qlr_train_sql.
+
+    `grad_budget` is the int64 overflow ceiling for 4S·Σ|x|
+    (injectable so the guard's arithmetic is testable; ADVICE r8)."""
     feats = scoped_cache(
         qlr_features(docs, dim).join(
-            docs.select("doc_id", y.cast("long").alias("y")), "doc_id"
+            docs.select(
+                "doc_id", F.coalesce(y.cast("long"), F.lit(0)).alias("y")
+            ),
+            "doc_id",
         )
     )
-    stats = feats.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(
-            F.aggregate(
-                "x", F.lit(0).cast("long"), lambda a, v: a + F.abs(v)
-            )
-        ).alias("sx"),
-    ).collect()[0]
-    n = int(stats["n"])
-    if n == 0:
-        raise ValueError("qlr_train: empty training set")
-    if 4 * S * int(stats["sx"]) >= _GRAD_BUDGET:
-        raise ValueError(
-            "qlr_train: gradient accumulator would exceed the int64 "
-            "budget (4e9 * sum|x|); shard the gradient sum per "
-            "partition and combine (same semantics), or reduce the "
-            "training slice"
-        )
     w = [0] * (dim + 1)
-    step_den = 4 * n * lr_den
+    n = step_den = None
     spark = docs.sparkSession
-    for _ in range(iters):
+    for it in range(iters):
         # weights ride as a ONE-ROW broadcast array column, never as
         # plan literals (the kmeans/with_matrix lesson): literal
         # weights change the plan text every iteration, forcing a
@@ -138,17 +134,45 @@ def qlr_train(
         # hard sigmoid at scale 4S, residual against 4S·y
         u = F.least(F.greatest(m + F.lit(2 * S), F.lit(0).cast("long")), F.lit(4 * S))
         r = u - F.lit(4 * S) * F.col("y")
+        aggs = [
+            F.sum(F.col("r") * F.element_at("x", j + 1)).alias(f"g{j}")
+            for j in range(dim + 1)
+        ]
+        if it == 0:
+            # The n / Σ|x| stats ride the FIRST gradient pass instead
+            # of a separate full scan over the cached features (r9,
+            # VERDICT r8 next-round #8 — one fewer action). Guard
+            # soundness is preserved: at it=0 the weights are all
+            # zero, so |r| = 2S exactly and |g_j| ≤ 2S·Σ|x| — these
+            # sums are exact whenever 4S·Σ|x| < 2^63·2, i.e. anywhere
+            # the budget check below could possibly pass — and the
+            # check raises BEFORE any g is applied.
+            aggs += [
+                F.count(F.lit(1)).alias("__n"),
+                F.sum(
+                    F.aggregate(
+                        "x", F.lit(0).cast("long"), lambda a, v: a + F.abs(v)
+                    )
+                ).alias("__sx"),
+            ]
         row = (
             feats.crossJoin(F.broadcast(wdf))
             .select(r.alias("r"), "x")
-            .agg(
-                *[
-                    F.sum(F.col("r") * F.element_at("x", j + 1)).alias(f"g{j}")
-                    for j in range(dim + 1)
-                ]
-            )
+            .agg(*aggs)
             .collect()[0]
         )
+        if it == 0:
+            n = int(row["__n"])
+            if n == 0:
+                raise ValueError("qlr_train: empty training set")
+            if 4 * S * int(row["__sx"]) >= grad_budget:
+                raise ValueError(
+                    "qlr_train: gradient accumulator would exceed the int64 "
+                    "budget (4e9 * sum|x|); shard the gradient sum per "
+                    "partition and combine (same semantics), or reduce the "
+                    "training slice"
+                )
+            step_den = 4 * n * lr_den
         # integer division truncating toward zero — Spark DIV and
         # DuckDB // agree on this (probed: -7 DIV 2 == -3 on both)
         w = [
@@ -180,6 +204,194 @@ def qlr_score(docs: DataFrame, w: list[int], dim: int = TE_DIM) -> DataFrame:
     )
 
 
+# ------------------------------------------------ evaluation metrics
+
+# Threshold sweep over the hard-sigmoid activation u ∈ [0, 4S]:
+# θ_k = k·S/2 for k = 0..8 (probability 0, 1/8, …, 1) — all integer
+# comparisons, so the confusion counts are trivially cross-engine.
+QLR_EVAL_STEPS = 8
+
+
+def qlr_eval(
+    docs: DataFrame, w: list[int], y: Column, dim: int = TE_DIM
+) -> DataFrame:
+    """Classifier quality report over `docs` under frozen weights
+    (VERDICT r8 next-round #7 — the number a pipeline operator tunes
+    against): one row per (threshold k, outcome) with integer
+    confusion counts, plus one exact-AUC row.
+
+    (k, thr, outcome, cnt, auc_num, auc_den, auc):
+      * sweep rows: outcome ∈ tp/fp/fn/tn, cnt = docs where
+        pred_k = (u ≥ k·S/2) vs label y (NULL y → 0, the trainer's
+        convention); auc_* NULL.
+      * AUC row (k = −1): the exact Mann-Whitney statistic with
+        midrank tie handling, as an INTEGER rational — auc_num =
+        Σ_pos 2·midrank − P(P+1), auc_den = 2·P·N, auc = the display
+        double (NULL when a class is absent). Ranks come from the
+        3-phase _distributed_rank over (logit, doc_id) — no
+        single-partition window — and midranks per tie group are
+        (min+max)/2, carried doubled so everything stays integral.
+    """
+    from .lm import _distributed_rank  # runtime import: lm imports us
+
+    scored = scoped_cache(
+        qlr_features(docs, dim)
+        .join(
+            docs.select(
+                "doc_id", F.coalesce(y.cast("long"), F.lit(0)).alias("y")
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "y",
+            _margin_col(w).alias("m"),
+        )
+        .withColumn(
+            "u",
+            F.least(
+                F.greatest(F.col("m") + F.lit(2 * S), F.lit(0).cast("long")),
+                F.lit(4 * S),
+            ),
+        )
+    )
+    nb = F.lit(None).cast("long")
+    nd = F.lit(None).cast("double")
+    # --- threshold sweep: explode docs × 9 thresholds, count outcomes
+    ks = F.explode(
+        F.array(*[F.lit(k) for k in range(QLR_EVAL_STEPS + 1)])
+    ).alias("k")
+    sweep = (
+        scored.select("u", "y", ks)
+        .withColumn("thr", F.col("k").cast("long") * F.lit(S // 2))
+        .withColumn("pred", (F.col("u") >= F.col("thr")).cast("long"))
+        .groupBy("k", "thr")
+        .agg(
+            F.sum(F.col("pred") * F.col("y")).alias("tp"),
+            F.sum(F.col("pred") * (1 - F.col("y"))).alias("fp"),
+            F.sum((1 - F.col("pred")) * F.col("y")).alias("fn"),
+            F.sum((1 - F.col("pred")) * (1 - F.col("y"))).alias("tn"),
+        )
+    )
+    parts = []
+    for outcome in ("tp", "fp", "fn", "tn"):
+        parts.append(
+            sweep.select(
+                F.col("k").cast("long").alias("k"),
+                F.col("thr").cast("long").alias("thr"),
+                F.lit(outcome).alias("outcome"),
+                F.col(outcome).cast("long").alias("cnt"),
+                nb.alias("auc_num"),
+                nb.alias("auc_den"),
+                nd.alias("auc"),
+            )
+        )
+    # --- exact AUC
+    ranked, _ = _distributed_rank(scored.select("doc_id", "y", "m"), ["m", "doc_id"])
+    grp = ranked.groupBy("m").agg(
+        (F.min("rank") + F.max("rank")).alias("two_mid")
+    )
+    agg = (
+        ranked.join(grp, "m")
+        .agg(
+            F.sum(F.col("y")).alias("p"),
+            F.sum(1 - F.col("y")).alias("nn"),
+            F.sum(F.col("y") * F.col("two_mid")).alias("s2r"),
+        )
+        .select(
+            (F.col("s2r") - F.col("p") * (F.col("p") + 1)).alias("auc_num"),
+            (F.lit(2) * F.col("p") * F.col("nn")).alias("auc_den"),
+        )
+    )
+    auc_row = agg.select(
+        F.lit(-1).cast("long").alias("k"),
+        nb.alias("thr"),
+        F.lit("auc").alias("outcome"),
+        nb.alias("cnt"),
+        F.col("auc_num").cast("long").alias("auc_num"),
+        F.col("auc_den").cast("long").alias("auc_den"),
+        F.when(
+            F.col("auc_den") > 0,
+            F.col("auc_num").cast("double") / F.col("auc_den").cast("double"),
+        ).alias("auc"),
+    )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out.unionByName(auc_row)
+
+
+def qlr_eval_suite_sql(
+    src: str = "documents",
+    *,
+    dim: int = TE_DIM,
+    iters: int = QLR_ITERS,
+    lr_den: int = QLR_LR_DEN,
+    train_mod: int = QLR_TRAIN_MOD,
+    label_sql: str = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+) -> str:
+    """DuckDB twin of the registered eval part: replay training on the
+    doc_id %% train_mod == 0 slice (the shared CTE chain), then emit
+    the qlr_eval report over the HELD complement."""
+    eval_src = f"(SELECT * FROM {src} WHERE doc_id % {train_mod} <> 0)"
+    ctes = _qlr_train_ctes(src, dim, iters, lr_den, train_mod, label_sql)
+    body = ",\n    ".join(ctes)
+    steps = ", ".join(str(k) for k in range(QLR_EVAL_STEPS + 1))
+    return f"""
+    WITH {body},
+    efe AS ({_feats_sql(eval_src, dim)}),
+    esc AS (
+      SELECT f.doc_id, CAST(SUM(w.val * f.x) AS BIGINT) AS m
+      FROM efe f JOIN qw{iters} w USING (pos)
+      GROUP BY f.doc_id),
+    ebase AS (
+      SELECT s.doc_id, s.m,
+             LEAST(GREATEST(s.m + {2 * S}, 0), {4 * S}) AS u,
+             CAST(COALESCE(l.y, 0) AS BIGINT) AS y
+      FROM esc s JOIN (SELECT doc_id, {label_sql} AS y FROM {eval_src}) l
+        USING (doc_id)),
+    esweep AS (
+      SELECT k.k, CAST(k.k AS BIGINT) * {S // 2} AS thr,
+             CAST(SUM(CASE WHEN u >= CAST(k.k AS BIGINT) * {S // 2} THEN y ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN u >= CAST(k.k AS BIGINT) * {S // 2} THEN 1 - y ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN u < CAST(k.k AS BIGINT) * {S // 2} THEN y ELSE 0 END)
+                  AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN u < CAST(k.k AS BIGINT) * {S // 2} THEN 1 - y ELSE 0 END)
+                  AS BIGINT) AS tn
+      FROM ebase CROSS JOIN (SELECT UNNEST([{steps}]) AS k) k
+      GROUP BY 1, 2),
+    eranked AS (
+      SELECT doc_id, m, y,
+             CAST(ROW_NUMBER() OVER (ORDER BY m, doc_id) AS BIGINT) AS rank
+      FROM ebase),
+    egrp AS (SELECT m, MIN(rank) + MAX(rank) AS two_mid
+             FROM eranked GROUP BY m),
+    eauc AS (
+      SELECT CAST(SUM(r.y * g.two_mid) - SUM(r.y) * (SUM(r.y) + 1)
+                  AS BIGINT) AS auc_num,
+             CAST(2 * SUM(r.y) * SUM(1 - r.y) AS BIGINT) AS auc_den
+      FROM eranked r JOIN egrp g USING (m))
+    SELECT CAST(k AS BIGINT) AS k, thr, outcome, cnt,
+           CAST(NULL AS BIGINT) AS auc_num, CAST(NULL AS BIGINT) AS auc_den,
+           CAST(NULL AS DOUBLE) AS auc
+    FROM (
+      SELECT k, thr, 'tp' AS outcome, tp AS cnt FROM esweep
+      UNION ALL SELECT k, thr, 'fp', fp FROM esweep
+      UNION ALL SELECT k, thr, 'fn', fn FROM esweep
+      UNION ALL SELECT k, thr, 'tn', tn FROM esweep)
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS k, CAST(NULL AS BIGINT) AS thr,
+           'auc' AS outcome, CAST(NULL AS BIGINT) AS cnt,
+           auc_num, auc_den,
+           CASE WHEN auc_den > 0
+                THEN CAST(auc_num AS DOUBLE) / CAST(auc_den AS DOUBLE)
+                ELSE NULL END AS auc
+    FROM eauc
+    """
+
+
 # ------------------------------------------------------- DuckDB twins
 
 
@@ -198,19 +410,17 @@ def _feats_sql(src: str = "documents", dim: int = TE_DIM) -> str:
     """
 
 
-def qlr_suite_sql(
-    src: str = "documents",
-    *,
-    dim: int = TE_DIM,
-    iters: int = QLR_ITERS,
-    lr_den: int = QLR_LR_DEN,
-    train_mod: int = QLR_TRAIN_MOD,
-    label_sql: str = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
-) -> str:
-    """DuckDB twin of the registered part: replay training (chained
-    MATERIALIZED CTE iterations — integer margins, hard-sigmoid
-    residuals, truncating-division steps) on the train slice, then
-    score the whole corpus with the final weights."""
+def _qlr_train_ctes(
+    src: str,
+    dim: int,
+    iters: int,
+    lr_den: int,
+    train_mod: int,
+    label_sql: str,
+) -> list[str]:
+    """The shared training replay as a CTE list ending in
+    qw{iters}(pos, val) — composed by both the score twin
+    (qlr_suite_sql) and the eval twin (qlr_eval_suite_sql)."""
     ctes = [
         f"qfe AS MATERIALIZED ({_feats_sql(src, dim)})",
         f"""qtr AS MATERIALIZED (
@@ -244,6 +454,23 @@ def qlr_suite_sql(
         SELECT w.pos, CAST(w.val - g.g // (4 * qn.n * {lr_den}) AS BIGINT) AS val
         FROM {p} w JOIN qg{t} g USING (pos) CROSS JOIN qn)"""
         )
+    return ctes
+
+
+def qlr_suite_sql(
+    src: str = "documents",
+    *,
+    dim: int = TE_DIM,
+    iters: int = QLR_ITERS,
+    lr_den: int = QLR_LR_DEN,
+    train_mod: int = QLR_TRAIN_MOD,
+    label_sql: str = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+) -> str:
+    """DuckDB twin of the registered part: replay training (chained
+    MATERIALIZED CTE iterations — integer margins, hard-sigmoid
+    residuals, truncating-division steps) on the train slice, then
+    score the whole corpus with the final weights."""
+    ctes = _qlr_train_ctes(src, dim, iters, lr_den, train_mod, label_sql)
     body = ",\n    ".join(ctes)
     return f"""WITH {body},
     qsc AS (SELECT f.doc_id, CAST(SUM(w.val * f.x) AS BIGINT) AS m

@@ -106,16 +106,129 @@ def test_learns_planted_separable_corpus(spark):
 
 def test_gradient_budget_guard(spark):
     from mrbf_spark.functions.quality_classifier import qlr_train
+    from mrbf_spark.registry import release_scoped_caches
 
-    # one pathological doc whose repeated bigram drives sum|x| past
-    # the budget is impractical to build; instead shrink the budget
-    # via monkeypatching-free math: a doc with 2^40 identical bigrams
-    # is unbuildable, so simulate by checking the raise condition on
-    # an empty frame (n == 0) and rely on the arithmetic being a
-    # module constant for the budget itself.
     empty = spark.createDataFrame([], "doc_id long, text string, lang string")
     with pytest.raises(ValueError, match="empty training set"):
         qlr_train(empty, (F.col("lang") == "en"))
+    release_scoped_caches()
+
+    # ADVICE r8: actually FIRE the 4S·Σ|x| >= budget arithmetic — the
+    # budget is injectable, so a normal tiny corpus trips it with a
+    # small ceiling. Σ|x| here is ≥ 4 (bias 1 + ≥1 bigram count per
+    # doc), so 4e9·Σ|x| ≥ 1.6e10 > budget=1.
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "d e f", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    with pytest.raises(ValueError, match="int64 budget"):
+        qlr_train(docs, (F.col("lang") == "en"), grad_budget=1)
+    release_scoped_caches()
+
+
+def test_null_label_rows_match_twin(spark):
+    """ADVICE r8: a NULL lang makes `lang == 'en'` NULL on the Spark
+    side; the trainer must coalesce it to 0 (negative example — the
+    DuckDB CASE semantics) so the twins keep bit-identical weights.
+    Train on a corpus WITH a null-lang row and compare engines."""
+    import duckdb
+
+    from mrbf_spark.functions.quality_classifier import (
+        qlr_score,
+        qlr_suite_sql,
+        qlr_train,
+    )
+    from mrbf_spark.registry import release_scoped_caches
+
+    rows = [
+        (0, "the quick brown fox jumps high", "en"),
+        (5, "uno dos tres cuatro cinco seis", "fr"),
+        (10, "null lang words that must count as negative", None),
+        (15, "more english text with common words the and of", "en"),
+        (3, "held out doc one the quick fox", "en"),
+        (7, "held out doc two uno dos tres", None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w = qlr_train(
+        docs.filter(F.col("doc_id") % 5 == 0), (F.col("lang") == "en")
+    )
+    got = (
+        qlr_score(docs, w)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    release_scoped_caches()
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    want = con.sql(qlr_suite_sql()).df().sort_values("doc_id").reset_index(drop=True)
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    got, want = got[cols], want[cols]
+    want["pred"] = want["pred"].astype(got["pred"].dtype)
+    assert got.equals(want)
+
+
+def test_eval_metrics_match_python_ground_truth(spark):
+    """qlr_eval's confusion sweep and exact midrank-AUC vs a brute
+    Python computation over the same scored rows."""
+    from collections import Counter
+
+    from mrbf_spark.functions.quality_classifier import (
+        QLR_EVAL_STEPS,
+        qlr_eval,
+        qlr_score,
+        qlr_train,
+    )
+    from mrbf_spark.registry import release_scoped_caches
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 5 == 0)
+    held = docs.filter(F.col("doc_id") % 5 != 0)
+    w = qlr_train(train, (F.col("lang") == "en"))
+    scored = {
+        r["doc_id"]: r["logit_fx"] for r in qlr_score(held, w).collect()
+    }
+    labels = {
+        r["doc_id"]: 1 if r["lang"] == "en" else 0
+        for r in held.select("doc_id", "lang").collect()
+    }
+    got = qlr_eval(held, w, (F.col("lang") == "en")).collect()
+    release_scoped_caches()
+
+    u = {d: min(max(m + 2 * S, 0), 4 * S) for d, m in scored.items()}
+    sweep = {
+        (r["k"], r["outcome"]): r["cnt"] for r in got if r["outcome"] != "auc"
+    }
+    assert len(sweep) == 4 * (QLR_EVAL_STEPS + 1)
+    for k in range(QLR_EVAL_STEPS + 1):
+        thr = k * (S // 2)
+        want = Counter()
+        for d, ud in u.items():
+            pred = 1 if ud >= thr else 0
+            y = labels[d]
+            want["tp" if pred and y else "fp" if pred else "fn" if y else "tn"] += 1
+        for o in ("tp", "fp", "fn", "tn"):
+            assert sweep[(k, o)] == want[o], (k, o)
+
+    # exact AUC: midranks over (m, doc_id) order, ties grouped by m
+    ordered = sorted(scored.items(), key=lambda kv: (kv[1], kv[0]))
+    rank = {d: i + 1 for i, (d, _) in enumerate(ordered)}
+    bym = {}
+    for d, m in scored.items():
+        bym.setdefault(m, []).append(rank[d])
+    two_mid = {m: min(v) + max(v) for m, v in bym.items()}
+    P = sum(labels.values())
+    N = len(labels) - P
+    s2r = sum(two_mid[scored[d]] for d, y in labels.items() if y)
+    auc_row = next(r for r in got if r["outcome"] == "auc")
+    assert auc_row["auc_num"] == s2r - P * (P + 1)
+    assert auc_row["auc_den"] == 2 * P * N
+    assert auc_row["auc"] == (s2r - P * (P + 1)) / (2 * P * N)
+    # (no AUC > 0.5 claim here: the smoke corpus's lang label is not
+    # bigram-separable — LEARNING is pinned by the planted-corpus test)
+    assert 0.0 <= auc_row["auc"] <= 1.0
 
 
 def test_classifier_gate_in_curate_chain(spark):
@@ -215,6 +328,23 @@ def test_quality_cli_train_then_score(spark, tmp_path, capsys):
     res = spark.read.parquet(scored)
     assert res.count() == 500
     assert set(res.columns) == {"doc_id", "logit_fx", "prob", "pred"}
+
+    # r9: the eval report flag (VERDICT r8 next-round #7)
+    assert (
+        main(
+            [
+                "quality-score",
+                "--input", f"{SF_SMOKE}/documents.parquet",
+                "--model", model,
+                "--out", scored,
+                "--eval-label", "lang = 'en'",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "quality-eval: thr=0\ttp=" in out
+    assert "quality-eval: auc=" in out
 
 
 def test_spark_equals_duckdb_twin_smoke(spark):
