@@ -152,9 +152,14 @@ N_DISCARD = 1
 # Retry policy: after the base sweeps, any query whose (max−min)
 # spread exceeds RETRY_SPREAD_FRAC × median gets up to
 # MAX_RETRY_ROUNDS additional interleaved sweeps; each retry round
-# also discards one more worst (farthest-above-median) sample before
-# the stats, so a single burst can never dominate the recorded
-# number. All raw samples stay in bench_full.json for disclosure.
+# also trims one more sample off EACH end (lowest and highest) before
+# the stats — SYMMETRIC, so a burst cannot dominate the recorded
+# number but the trim itself cannot bias the median downward either
+# (r8 trimmed only the high end, which — combined with the retries
+# running in a quieter flagged-only context — could only LOWER the
+# recorded medians of exactly the unstable keys; ADVICE r8). Retried
+# keys are disclosed as reduced-comparability in the headline
+# artifact; all raw samples stay in bench_full.json.
 RETRY_SPREAD_FRAC = 0.5
 MAX_RETRY_ROUNDS = 3
 
@@ -522,8 +527,12 @@ def main() -> None:
 
     def _stats(v: list[float], n_drop: int) -> tuple[float, float]:
         s = sorted(v)
+        # symmetric trim (ADVICE r8): n_drop off EACH end, clamped so
+        # at least one sample survives
+        while n_drop and len(s) - 2 * n_drop < 1:
+            n_drop -= 1
         if n_drop:
-            s = s[: len(s) - n_drop]
+            s = s[n_drop : len(s) - n_drop]
         return round(s[len(s) // 2], 3), round(s[-1] - s[0], 3)
 
     dropped: dict[str, int] = {n: 0 for n in names}
@@ -584,6 +593,10 @@ def main() -> None:
         # r8: high-variance retry disclosure (stdout stays compact —
         # the full retry/parts maps ride in bench_full.json)
         "n_retried": len(retried),
+        # r9 (ADVICE r8): retried HEADLINE keys carry reduced
+        # round-over-round comparability (their medians come from a
+        # symmetric-trimmed, partly flagged-only-resampled series)
+        "retried_headline": sorted(n for n in retried if n in HEADLINE),
         # r8 (VERDICT r7 #8): total part-tagged ops behind the catalog
         # entries; the {entry: [part,...]} map is in bench_full.json
         "n_parts_total": sum(len(v) for v in catalog.parts().values()),
@@ -596,7 +609,7 @@ def main() -> None:
     full["samples_discarded_prefix"] = N_DISCARD
     full["contained_rows"] = CONTAINED
     full["retried"] = retried
-    full["samples_dropped_worst"] = {
+    full["samples_trimmed_each_end"] = {
         n: d for n, d in dropped.items() if d
     }
     full["parts"] = catalog.parts()

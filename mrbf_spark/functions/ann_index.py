@@ -181,20 +181,33 @@ def _write_stats(spark: SparkSession, path: str, gen: int, n: int, q: float):
 
 
 def _build_baseline(spark: SparkSession, path: str) -> tuple[int, float]:
-    """(n, mean_q) of generation 0 (the build). Indexes written before
-    r8 lack `stats`; raise with the one-line fix instead of guessing."""
+    """(n, mean_q) of generation 0 (the build). Only the two LEGACY
+    shapes get the rebuild advice — `stats` absent (pre-r8 index) or
+    present without a generation-0 row; transient IO / permission /
+    corruption errors propagate untouched so a healthy index is never
+    misdiagnosed as 'rebuild it' (ADVICE r8)."""
+    from pyspark.errors import AnalysisException
+
+    legacy = ValueError(
+        f"{path}/stats missing or has no generation-0 row — the index "
+        "predates incremental append; rebuild it with write_ann_index/"
+        "write_pq_index to record the build baseline"
+    )
     try:
-        row = (
+        rows = (
             spark.read.parquet(f"{path}/stats")
             .filter(F.col("generation") == 0)
-            .collect()[0]
+            .collect()
         )
-    except Exception as e:
-        raise ValueError(
-            f"{path}/stats missing or unreadable — the index predates "
-            "incremental append; rebuild it with write_ann_index/"
-            "write_pq_index to record the build baseline"
-        ) from e
+    except AnalysisException as e:
+        # AnalysisException == the path does not resolve to a readable
+        # parquet table (PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA) —
+        # the legacy-index signature. Executor-side IO failures raise
+        # Py4J/SparkException instead and propagate.
+        raise legacy from e
+    if not rows:
+        raise legacy
+    row = rows[0]
     return int(row["n"]), float(row["mean_q"])
 
 

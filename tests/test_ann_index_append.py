@@ -141,3 +141,30 @@ def test_append_updates_stats_generations(spark, tmp_path):
         r["generation"] for r in spark.read.parquet(f"{idx}/stats").collect()
     )
     assert gens == [0, 1, 2]
+
+
+def test_build_baseline_legacy_vs_real_errors(spark, tmp_path):
+    """ADVICE r8: only the legacy-index shapes (stats dir missing, or
+    present without a generation-0 row) get the rebuild advice; a
+    stats table that exists with generation 0 resolves normally even
+    when later generations are present."""
+    import pytest
+
+    from mrbf_spark.functions.ann_index import _build_baseline, _write_stats
+
+    # stats dir missing entirely → legacy advice
+    with pytest.raises(ValueError, match="predates incremental append"):
+        _build_baseline(spark, str(tmp_path / "nonexistent"))
+
+    # stats present but WITHOUT generation 0 → the same legacy advice
+    # (an IndexError previously leaked through the bare collect()[0])
+    p1 = str(tmp_path / "no_gen0")
+    _write_stats(spark, p1, 3, 10, 0.5)
+    with pytest.raises(ValueError, match="predates incremental append"):
+        _build_baseline(spark, p1)
+
+    # healthy stats → resolves
+    p2 = str(tmp_path / "ok")
+    _write_stats(spark, p2, 0, 42, 0.75)
+    _write_stats(spark, p2, 1, 50, 0.70)
+    assert _build_baseline(spark, p2) == (42, 0.75)
