@@ -90,10 +90,14 @@ PARTS: dict[str, list[str]] = {
     "temporal_joins": ["asof", "interval", "range", "trunc"],
     "topk_order_limit": ["order_limit", "topk"],
     "window_funcs": ["moving", "rank"],
-    # tpch_suite tags its shapes in a `q` column, not `part`
+    # tpch_suite tags its shapes in a `q` column, not `part`. q7/q21
+    # need cross-nation / multi-supplier-F-order coincidences that the
+    # sf0.001 smoke slice doesn't contain — they appear from sf0.01 up
+    # (r9: q2/q8/q11 joined the smoke-live set when the region-name
+    # constants were fixed and the q11 threshold became data-relative).
     "tpch_suite": [
-        "q3", "q4", "q5", "q6", "q9", "q10", "q12", "q13", "q14",
-        "q15", "q16", "q17", "q18", "q19", "q20", "q22",
+        "q2", "q3", "q4", "q5", "q6", "q8", "q9", "q10", "q11", "q12",
+        "q13", "q14", "q15", "q16", "q17", "q18", "q19", "q20", "q22",
     ],
 }
 

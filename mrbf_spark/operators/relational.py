@@ -15,6 +15,18 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from ..exprs import davg, davg_sql, dfix, dfix_sql, dsum, dsum_sql
 from ..registry import BUILDER_SQL, builder, register, scoped_cache
 from ..tables import load_table
+from .tpch_ext import (
+    CUSTOMER_EXT_SQL,
+    LINEITEM_EXT_SQL,
+    PART_EXT_SQL,
+    PARTSUPP_SQL,
+    SUPPLIER_EXT_SQL,
+    customer_ext,
+    lineitem_ext,
+    part_ext,
+    partsupp,
+    supplier_ext,
+)
 
 
 # --- A1+A3+M7: grouped aggregation, TPC-H Q1 shape. The reference's
@@ -1150,21 +1162,21 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- TPC-H Q4 shape (order priority checking): date-window scan +
-# correlated EXISTS compiled to a LEFT SEMI join with an extra
-# non-equi conjunct + grouped count. Adapted to the slimmed TESTDATA
-# schema (no l_commitdate/l_receiptdate): "late shipment" = any line
-# shipped > 60 days after the order date.
+# --- TPC-H Q4 (order priority checking), EXACT FORM (r9): date-window
+# scan + correlated EXISTS on the spec's own late-line predicate
+# l_commitdate < l_receiptdate, over the derived date columns
+# (operators/tpch_ext.py).
 @builder(
     "q4_order_priority",
-    """
+    f"""
+    WITH {LINEITEM_EXT_SQL}
     SELECT o_orderpriority, COUNT(*) AS n_orders
     FROM orders o
     WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
       AND o.o_orderdate < TIMESTAMP '1996-04-01'
-      AND EXISTS (SELECT 1 FROM lineitem l
+      AND EXISTS (SELECT 1 FROM lineitem_ext l
                   WHERE l.l_orderkey = o.o_orderkey
-                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+                    AND l.l_commitdate < l.l_receiptdate)
     GROUP BY o_orderpriority
     """,
 )
@@ -1173,44 +1185,51 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    li = load_table(spark, sf_dir, "lineitem")
-    late = (li["l_orderkey"] == o["o_orderkey"]) & (
-        li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+    li = lineitem_ext(spark, sf_dir).filter(
+        F.col("l_commitdate") < F.col("l_receiptdate")
     )
     return (
-        o.join(li, late, "left_semi")
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
 
 
-# --- TPC-H Q12 shape (shipmode priority census): fact-dim join +
-# dual conditional CASE-sums per group. Adapted: l_linestatus stands
-# in for the missing l_shipmode column.
+# --- TPC-H Q12 (shipmode priority census), EXACT FORM (r9): the
+# spec's shipmode grouping with its full three-date predicate chain
+# (commit < receipt, ship < commit, receipt in the year) over the
+# derived l_shipmode / l_commitdate / l_receiptdate columns.
 @builder(
     "q12_priority_by_status",
-    """
-    SELECT l_linestatus,
+    f"""
+    WITH {LINEITEM_EXT_SQL}
+    SELECT l_shipmode,
            CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                          THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
            CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
                          THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
-      AND l.l_shipdate < TIMESTAMP '1998-01-01'
-    GROUP BY l_linestatus
+    FROM orders o JOIN lineitem_ext l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipmode IN ('MAIL', 'SHIP')
+      AND l.l_commitdate < l.l_receiptdate
+      AND l.l_shipdate < l.l_commitdate
+      AND l.l_receiptdate >= TIMESTAMP '1997-01-01'
+      AND l.l_receiptdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_shipmode
     """,
 )
 def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = lineitem_ext(spark, sf_dir).filter(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate") < F.col("l_commitdate"))
+        & (F.col("l_receiptdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_receiptdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("l_linestatus")
+        .groupBy("l_shipmode")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
             F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
@@ -1218,40 +1237,56 @@ def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- TPC-H Q22 shape (global sales opportunity): scalar aggregate
-# subquery threshold + anti join + grouped count/sum. Adapted:
-# c_mktsegment stands in for the missing phone country code, and the
-# anti-join drops customers with any URGENT order (plain "no orders"
-# is empty at every TESTDATA SF). The average threshold compares in
-# EXACT decimal cross-multiplied form (acctbal·n > sum) so row
-# membership can't flip on float-average low bits between engines.
-@builder(
-    "q22_idle_rich_customers",
-    f"""
-    SELECT c_mktsegment,
+# --- TPC-H Q22 (global sales opportunity), EXACT FORM except one
+# documented predicate (r9): group by the phone COUNTRY CODE
+# (substring(c_phone, 1, 2) over the derived c_phone), restrict to
+# the spec's 7-code IN list, threshold on the average positive
+# balance WITHIN those codes (exact decimal cross-multiplied —
+# acctbal·n > sum ⇔ acctbal > avg — so membership can't flip on
+# float-average low bits). The ONE remaining substitution is
+# DATA-distribution, not schema: the spec's NOT EXISTS(orders) is
+# empty at every TESTDATA SF (order-less customers effectively don't
+# occur — 0 at sf0.001/sf0.01), so the anti-join drops customers with
+# any URGENT order instead; swap the predicate back on data that has
+# idle customers.
+_Q22_CODES = "'11', '14', '17', '20', '23', '26', '29'"
+
+
+def _q22_oracle() -> str:
+    in_codes = f"SUBSTRING(c_phone, 1, 2) IN ({_Q22_CODES})"
+    return f"""
+    WITH {CUSTOMER_EXT_SQL},
+    scoped AS (SELECT * FROM customer_ext WHERE {in_codes})
+    SELECT SUBSTRING(c_phone, 1, 2) AS cntrycode,
            COUNT(*) AS n_custs,
            {dsum_sql('c_acctbal', 6)} AS total_acctbal
-    FROM customer c
+    FROM scoped c
     WHERE {dfix_sql('c_acctbal', 6)}
-            * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+            * (SELECT COUNT(*) FROM scoped WHERE c_acctbal > 0.00)
           > (SELECT SUM({dfix_sql('c_acctbal', 6)})
-             FROM customer WHERE c_acctbal > 0)
+             FROM scoped WHERE c_acctbal > 0.00)
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderpriority = '1-URGENT')
-    GROUP BY c_mktsegment
-    """,
-)
+    GROUP BY cntrycode
+    """
+
+
+@builder("q22_idle_rich_customers", _q22_oracle())
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    pos = c.filter(F.col("c_acctbal") > 0).agg(
+    codes = [x.strip().strip("'") for x in _Q22_CODES.split(",")]
+    c = customer_ext(spark, sf_dir).withColumn(
+        "cntrycode", F.substring("c_phone", 1, 2)
+    )
+    scoped = scoped_cache(c.filter(F.col("cntrycode").isin(*codes)))
+    pos = scoped.filter(F.col("c_acctbal") > 0).agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(dfix("c_acctbal", 6).cast("decimal(38,0)")).alias("__sum"),
     )
     # fixed-point cross-multiplied threshold (exprs.py r7): exact
     # integers on both engines, so membership can't flip on a
     # double→decimal rounding-boundary row
-    rich = c.crossJoin(F.broadcast(pos)).filter(
+    rich = scoped.crossJoin(F.broadcast(pos)).filter(
         dfix("c_acctbal", 6).cast("decimal(38,0)") * F.col("__n")
         > F.col("__sum")
     )
@@ -1262,7 +1297,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         rich.join(urgent, rich.c_custkey == F.col("o_custkey"), "left_anti")
-        .groupBy("c_mktsegment")
+        .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("n_custs"),
             dsum("c_acctbal", 6).alias("total_acctbal"),
@@ -1932,61 +1967,69 @@ def temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(r).unionByName(i).unionByName(t)
 
 
-# --- TPC-H Q2 shape (minimum-cost supplier): correlated-min
-# subquery over a 5-way region-scoped join. Adapted to the slimmed
-# schema (no partsupp): a supplier "offers" a part at unit price
-# l_extendedprice/l_quantity via lineitem; pick, per STANDARD-type
-# part, the region's suppliers matching the per-part minimum offer.
-# The min is over per-row IEEE doubles (identical ops both engines)
-# and MIN is order-insensitive, so the equality match is exact.
+# --- TPC-H Q2 (minimum-cost supplier), EXACT FORM (r9, VERDICT r8
+# next-round #6): correlated-MIN subquery over the 5-way
+# part→partsupp→supplier→nation→region join, with partsupp the
+# derived deterministic relation (operators/tpch_ext.py). Constants
+# adapted to this data's domains (p_size = 13, p_type LIKE
+# '%STANDARD', region 'EUROPE' — the TPC-H text uses 15/%BRASS/
+# EUROPE). MIN over identical per-row doubles is order-insensitive,
+# so the equality match is exact on both engines.
 @builder(
     "q2_min_cost_supplier",
-    """
-    WITH offers AS (
-      SELECT l.l_partkey, l.l_suppkey,
-             CAST(l.l_extendedprice AS DOUBLE) / CAST(l.l_quantity AS DOUBLE) AS unit,
-             s.s_name, s.s_acctbal, n.n_name
-      FROM lineitem l
-      JOIN supplier s ON s.s_suppkey = l.l_suppkey
-      JOIN nation n ON n.n_nationkey = s.s_nationkey
-      JOIN region r ON r.r_regionkey = n.n_regionkey
-      WHERE r.r_name = 'REGION_0'),
-    best AS (SELECT l_partkey, MIN(unit) AS min_unit FROM offers GROUP BY l_partkey)
-    SELECT o.s_acctbal, o.s_name, o.n_name,
-           p.p_partkey, o.unit AS min_unit
-    FROM offers o
-    JOIN best b ON b.l_partkey = o.l_partkey AND o.unit = b.min_unit
-    JOIN part p ON p.p_partkey = o.l_partkey
-    WHERE p.p_type = 'STANDARD' AND p.p_size <= 25
-    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    f"""
+    WITH {PARTSUPP_SQL}
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey,
+           ps.ps_supplycost AS min_unit
+    FROM part p
+    JOIN partsupp ps ON ps.ps_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size = 13 AND p.p_type LIKE '%STANDARD'
+      AND r.r_name = 'EUROPE'
+      AND ps.ps_supplycost = (
+        SELECT MIN(ps2.ps_supplycost)
+        FROM partsupp ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey LIMIT 100
     """,
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    ps = partsupp(spark, sf_dir)
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_0")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     p = load_table(spark, sf_dir, "part").filter(
-        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 25)
+        (F.col("p_type").like("%STANDARD")) & (F.col("p_size") == 13)
     )
-    offers = (
-        li.join(s, li.l_suppkey == s.s_suppkey)
+    # region-scoped offers (the correlated subquery's domain), cached:
+    # both the main join and the per-part MIN consume it
+    offers = scoped_cache(
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
         .join(n, s.s_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
-        .select(
-            "l_partkey",
-            (F.col("l_extendedprice").cast("double") / F.col("l_quantity").cast("double")).alias("unit"),
-            "s_name",
-            "s_acctbal",
-            "n_name",
-        )
+        .select("ps_partkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
     )
-    best = offers.groupBy(F.col("l_partkey").alias("__pk")).agg(F.min("unit").alias("min_u"))
+    best = offers.groupBy(F.col("ps_partkey").alias("__pk")).agg(
+        F.min("ps_supplycost").alias("min_u")
+    )
     return (
-        offers.join(best, (offers.l_partkey == best.__pk) & (offers.unit == best.min_u))
-        .join(p, offers.l_partkey == p.p_partkey)
+        offers.join(
+            best,
+            (offers.ps_partkey == best.__pk)
+            & (offers.ps_supplycost == best.min_u),
+        )
+        .join(p, offers.ps_partkey == p.p_partkey)
         .select(
-            "s_acctbal", "s_name", "n_name", "p_partkey", F.col("unit").alias("min_unit")
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("ps_supplycost").alias("min_unit"),
         )
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -2012,7 +2055,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       JOIN nation sn ON sn.n_nationkey = s.s_nationkey
       JOIN part p ON p.p_partkey = l.l_partkey
-      WHERE r.r_name = 'REGION_1' AND p.p_type = 'ECONOMY'
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
         AND o.o_orderdate >= TIMESTAMP '1996-01-01'
         AND o.o_orderdate < TIMESTAMP '1998-01-01')
     SELECT CAST(o_year AS BIGINT) AS o_year,
@@ -2029,7 +2072,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_1")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     s = load_table(spark, sf_dir, "supplier")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     cn = n.select(
@@ -2060,22 +2103,27 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- TPC-H Q9 shape (product-type profit): 6-way join + LIKE filter
-# on p_name + profit expression grouped by (supplier nation, year).
-# Adapted (no ps_supplycost): cost proxy = 0.5·p_retailprice·l_quantity
-# — same per-row shape (revenue − cost·qty), computed in double then
-# exact-decimal-summed.
+# --- TPC-H Q9 (product-type profit), EXACT FORM (r9): the spec's
+# 6-way join INCLUDING partsupp on (partkey, suppkey), with profit =
+# revenue − ps_supplycost·l_quantity. The derived partsupp holds 4
+# suppliers per part by dbgen's stride, so the double-keyed join
+# keeps the ~4/|S| fraction of lines whose (partkey, suppkey) pair is
+# in the relation — sparser than real TPC-H referential integrity,
+# but non-empty at every SF and exercising the exact plan.
 @builder(
     "q9_product_profit",
     f"""
+    WITH {PARTSUPP_SQL}
     SELECT sn.n_name AS nation_name,
            CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
-           {dsum_sql('l.l_extendedprice * (1 - l.l_discount) - 0.5 * p.p_retailprice * l.l_quantity')}
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount) - ps.ps_supplycost * l.l_quantity')}
              AS profit
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN partsupp ps ON ps.ps_suppkey = l.l_suppkey
+                    AND ps.ps_partkey = l.l_partkey
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_name LIKE '%gear%'
     GROUP BY 1, 2
@@ -2086,14 +2134,19 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
+    ps = partsupp(spark, sf_dir)
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
-        "p_retailprice"
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
     ) * F.col("l_quantity")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(n, s.s_nationkey == n.n_nationkey)
+        .join(
+            ps,
+            (li.l_suppkey == ps.ps_suppkey) & (li.l_partkey == ps.ps_partkey),
+        )
         .join(p, li.l_partkey == p.p_partkey)
         .groupBy(
             F.col("n_name").alias("nation_name"),
@@ -2103,50 +2156,61 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- TPC-H Q11 shape (important stock): grouped value with HAVING
-# above a fraction of a scalar-subquery global total. Adapted (no
-# partsupp): value per part = Σ l_extendedprice over one nation's
-# suppliers' lines. The threshold compares cross-multiplied in exact
-# decimal (value·50 > total ⇔ value > total/50) so membership can't
-# flip on float low bits.
+# --- TPC-H Q11 (important stock), EXACT FORM (r9): per-part
+# ps_supplycost·ps_availqty value over one nation's partsupp rows,
+# HAVING above a fraction of the scalar-subquery global total. The
+# threshold compares cross-multiplied in exact decimal so membership
+# can't flip on float low bits. The spec's fraction is 0.0001/SF —
+# i.e. it SHRINKS with data size; a constant fraction would go empty
+# at 10× scale, so the threshold here is the equivalent data-relative
+# form "parts holding ≥ 2× the average per-part share"
+# (value·n_parts > 2·total — exact integers), which selects the
+# heavy tail at every SF.
 @builder(
     "q11_important_stock",
     f"""
-    WITH scoped AS (
-      SELECT l.l_partkey, {dfix_sql('l.l_extendedprice')} AS v
-      FROM lineitem l
-      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WITH {PARTSUPP_SQL},
+    scoped AS (
+      SELECT ps.ps_partkey, {dfix_sql('ps.ps_supplycost * ps.ps_availqty')} AS v
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
       JOIN nation n ON n.n_nationkey = s.s_nationkey
       WHERE n.n_name = 'NATION_3')
-    SELECT l_partkey, CAST(SUM(v) AS DOUBLE) / 10000.0 AS stock_value
+    SELECT ps_partkey, CAST(SUM(v) AS DOUBLE) / 10000.0 AS stock_value
     FROM scoped
-    GROUP BY l_partkey
-    HAVING SUM(v) * 50 > (SELECT SUM(v) FROM scoped)
+    GROUP BY ps_partkey
+    HAVING SUM(v) * (SELECT COUNT(DISTINCT ps_partkey) FROM scoped)
+           > 2 * (SELECT SUM(v) FROM scoped)
     """,
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    ps = partsupp(spark, sf_dir)
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     # per-row fixed point (exprs.py r7): the HAVING cross-multiply and
     # the reported value aggregate exact integers on both engines
     scoped = (
-        li.join(s, li.l_suppkey == s.s_suppkey)
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
         .join(n, s.s_nationkey == n.n_nationkey)
         .select(
-            "l_partkey",
-            dfix("l_extendedprice").cast("decimal(38,0)").alias("v"),
+            "ps_partkey",
+            dfix(F.col("ps_supplycost") * F.col("ps_availqty"))
+            .cast("decimal(38,0)")
+            .alias("v"),
         )
     )
     scoped = scoped_cache(scoped)
-    total = scoped.agg(F.sum("v").alias("__total"))
+    total = scoped.agg(
+        F.sum("v").alias("__total"),
+        F.countDistinct("ps_partkey").alias("__nparts"),
+    )
     return (
-        scoped.groupBy("l_partkey")
+        scoped.groupBy("ps_partkey")
         .agg(F.sum("v").alias("__value"))
         .crossJoin(F.broadcast(total))
-        .filter(F.col("__value") * 50 > F.col("__total"))
+        .filter(F.col("__value") * F.col("__nparts") > F.lit(2) * F.col("__total"))
         .select(
-            "l_partkey",
+            "ps_partkey",
             (F.col("__value").cast("double") / F.lit(10000.0)).alias(
                 "stock_value"
             ),
@@ -2233,39 +2297,43 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- TPC-H Q16 shape (part/supplier census): negated filters +
-# NOT-IN subquery (compiled to an anti join) + grouped COUNT DISTINCT.
-# Adapted: lineitem stands in for partsupp as the part↔supplier
-# relation; "complaint" suppliers = s_acctbal < 0.
+# --- TPC-H Q16 (part/supplier census), EXACT FORM (r9): partsupp is
+# the part↔supplier relation (derived, tpch_ext.py) and the excluded
+# suppliers are the spec's own s_comment LIKE '%Customer%Complaints%'
+# NOT-IN subquery (over the derived s_comment).
 @builder(
     "q16_part_supplier_census",
-    """
+    f"""
+    WITH {PARTSUPP_SQL},
+    {SUPPLIER_EXT_SQL}
     SELECT p.p_brand, p.p_type, p.p_size,
-           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
-    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+           COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM partsupp ps JOIN part p ON p.p_partkey = ps.ps_partkey
     WHERE p.p_brand <> 'Brand#1' AND p.p_type NOT LIKE 'PROMO%'
       AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
-      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      AND ps.ps_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier_ext
+           WHERE s_comment LIKE '%Customer%Complaints%')
     GROUP BY 1, 2, 3
     """,
 )
 def q16_part_supplier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    ps = partsupp(spark, sf_dir)
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
         & (~F.col("p_type").like("PROMO%"))
         & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
     )
     bad = (
-        load_table(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") < 0)
+        supplier_ext(spark, sf_dir)
+        .filter(F.col("s_comment").like("%Customer%Complaints%"))
         .select("s_suppkey")
     )
     return (
-        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(p, li.l_partkey == p.p_partkey)
+        ps.join(bad, ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, ps.ps_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
     )
 
 
@@ -2304,38 +2372,53 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- TPC-H Q19 shape (discounted revenue): three disjunctive
-# multi-column predicate brackets OR'd inside one join filter.
-# Adapted: p_size brackets stand in for the missing p_container.
+# --- TPC-H Q19 (discounted revenue), EXACT FORM (r9): the spec's
+# three disjunctive brackets over p_brand + p_container + l_quantity
+# + p_size, with the shared l_shipmode IN ('AIR','REG AIR') and
+# l_shipinstruct = 'DELIVER IN PERSON' conjuncts — container, mode
+# and instruct are the derived columns (tpch_ext.py).
 @builder(
     "q19_bracket_revenue",
     f"""
+    WITH {LINEITEM_EXT_SQL},
+    {PART_EXT_SQL}
     SELECT {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
            COUNT(*) AS n_lines
-    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
-           AND l.l_quantity BETWEEN 1 AND 11)
-       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
-           AND l.l_quantity BETWEEN 10 AND 20)
-       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
-           AND l.l_quantity BETWEEN 20 AND 30)
+    FROM lineitem_ext l JOIN part_ext p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipmode IN ('AIR', 'REG AIR')
+      AND l.l_shipinstruct = 'DELIVER IN PERSON'
+      AND ((p.p_brand = 'Brand#1'
+            AND p.p_container IN ('SM CASE', 'SM BOX', 'SM PACK', 'SM PKG')
+            AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
+        OR (p.p_brand = 'Brand#2'
+            AND p.p_container IN ('MED BAG', 'MED BOX', 'MED PKG', 'MED PACK')
+            AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
+        OR (p.p_brand = 'Brand#3'
+            AND p.p_container IN ('LG CASE', 'LG BOX', 'LG PACK', 'LG PKG')
+            AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15))
     """,
 )
 def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part")
+    li = lineitem_ext(spark, sf_dir).filter(
+        F.col("l_shipmode").isin("AIR", "REG AIR")
+        & (F.col("l_shipinstruct") == "DELIVER IN PERSON")
+    )
+    p = part_ext(spark, sf_dir)
     bracket = (
         (F.col("p_brand") == "Brand#1")
-        & F.col("p_size").between(1, 5)
+        & F.col("p_container").isin("SM CASE", "SM BOX", "SM PACK", "SM PKG")
         & F.col("l_quantity").between(1, 11)
+        & F.col("p_size").between(1, 5)
     ) | (
         (F.col("p_brand") == "Brand#2")
-        & F.col("p_size").between(1, 10)
+        & F.col("p_container").isin("MED BAG", "MED BOX", "MED PKG", "MED PACK")
         & F.col("l_quantity").between(10, 20)
+        & F.col("p_size").between(1, 10)
     ) | (
         (F.col("p_brand") == "Brand#3")
-        & F.col("p_size").between(1, 15)
+        & F.col("p_container").isin("LG CASE", "LG BOX", "LG PACK", "LG PKG")
         & F.col("l_quantity").between(20, 30)
+        & F.col("p_size").between(1, 15)
     )
     return (
         li.join(p, li.l_partkey == p.p_partkey)
@@ -2347,72 +2430,89 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- TPC-H Q20 shape (excess-stock suppliers): nested IN subqueries
-# — supplier IN (group-HAVING over the part↔supplier relation
-# restricted to a part subquery). Adapted (no ps_availqty): "excess"
-# = a supplier shipped more than half of a part's 1997-1998 volume in
-# 1997 alone; exact decimal cross-multiplied compare.
+# --- TPC-H Q20 (excess-stock suppliers), EXACT FORM (r9): supplier
+# IN (partsupp rows whose ps_availqty exceeds half the supplier's
+# 1997 shipped volume of that part), parts restricted by the spec's
+# p_name prefix LIKE ('small%' here; the TPC-H text uses 'forest%').
+# The 0.5·SUM compare is deterministic: l_quantity is integer-valued,
+# so the double SUM is exact and order-independent, and 0.5·x is an
+# exact IEEE op. Lines with no partsupp twin simply contribute a
+# zero-volume pair (availqty > 0 ⇒ kept), matching the spec's
+# semantics under the derived relation's sparser FK.
 @builder(
     "q20_excess_stock_suppliers",
     f"""
+    WITH {PARTSUPP_SQL}
     SELECT s.s_name, n.n_name
     FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
     WHERE s.s_suppkey IN (
-      SELECT l_suppkey
-      FROM lineitem
-      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'SMALL')
-        AND l_shipdate >= TIMESTAMP '1997-01-01'
-        AND l_shipdate < TIMESTAMP '1999-01-01'
-      GROUP BY l_suppkey, l_partkey
-      HAVING SUM(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
-                      THEN {dfix_sql('l_quantity')} ELSE 0 END) * 2
-             > SUM({dfix_sql('l_quantity')}))
+      SELECT ps.ps_suppkey
+      FROM partsupp ps
+      WHERE ps.ps_partkey IN
+            (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        AND ps.ps_availqty > (
+          SELECT 0.5 * COALESCE(SUM(l.l_quantity), 0)
+          FROM lineitem l
+          WHERE l.l_partkey = ps.ps_partkey
+            AND l.l_suppkey = ps.ps_suppkey
+            AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l.l_shipdate < TIMESTAMP '1998-01-01'))
     ORDER BY s_name
     """,
 )
 def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
-    )
+    ps = partsupp(spark, sf_dir)
     small = (
         load_table(spark, sf_dir, "part")
-        .filter(F.col("p_type") == "SMALL")
+        .filter(F.col("p_name").like("small%"))
         .select("p_partkey")
     )
-    # fixed-point HAVING cross-multiply (exprs.py r7)
-    qdec = dfix("l_quantity").cast("decimal(38,0)")
-    early = F.when(
-        F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"), qdec
-    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    shipped = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("__pk"), F.col("l_suppkey").alias("__sk")
+        )
+        .agg(F.sum("l_quantity").alias("__qty"))
+    )
     excess = (
-        li.join(small, li.l_partkey == small.p_partkey, "left_semi")
-        .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum(early).alias("__q97"), F.sum(qdec).alias("__qall"))
-        .filter(F.col("__q97") * 2 > F.col("__qall"))
-        .select("l_suppkey")
+        ps.join(small, ps.ps_partkey == small.p_partkey, "left_semi")
+        .join(
+            shipped,
+            (ps.ps_partkey == F.col("__pk")) & (ps.ps_suppkey == F.col("__sk")),
+            "left",
+        )
+        .filter(
+            F.col("ps_availqty").cast("double")
+            > F.lit(0.5) * F.coalesce(F.col("__qty"), F.lit(0.0))
+        )
+        .select("ps_suppkey")
     )
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     return (
-        s.join(excess, s.s_suppkey == excess.l_suppkey, "left_semi")
+        s.join(excess, s.s_suppkey == excess.ps_suppkey, "left_semi")
         .join(n, s.s_nationkey == n.n_nationkey)
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
 
 
-# --- TPC-H Q21 shape (suppliers who kept orders waiting): EXISTS +
-# NOT-EXISTS double correlation on the same fact table (semi + anti
-# join), grouped count, top-k. Adapted (no l_receiptdate/commitdate):
-# "late" = shipped > 90 days after the order date.
+# --- TPC-H Q21 (suppliers who kept orders waiting), EXACT FORM (r9):
+# EXISTS + NOT-EXISTS double correlation on the same fact table (semi
+# + anti join), grouped count, top-k — with the spec's own late-line
+# predicate l_receiptdate > l_commitdate over the derived dates.
 @builder(
     "q21_waiting_suppliers",
-    """
-    WITH lines AS (
+    f"""
+    WITH {LINEITEM_EXT_SQL},
+    lines AS (
       SELECT l.l_orderkey, l.l_suppkey,
-             l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS late
-      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+             l.l_receiptdate > l.l_commitdate AS late
+      FROM lineitem_ext l JOIN orders o ON o.o_orderkey = l.l_orderkey
       WHERE o.o_orderstatus = 'F')
     SELECT s.s_name, COUNT(*) AS numwait
     FROM lines l1
@@ -2431,15 +2531,13 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = lineitem_ext(spark, sf_dir)
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     lines = scoped_cache(
         li.join(o, li.l_orderkey == o.o_orderkey).select(
             "l_orderkey",
             "l_suppkey",
-            (
-                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-            ).alias("late"),
+            (F.col("l_receiptdate") > F.col("l_commitdate")).alias("late"),
         )
     )
     s = load_table(spark, sf_dir, "supplier")
@@ -2475,10 +2573,14 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # runs its full original join/agg/top-k plan; outputs are normalized
 # to (q, k1, k2, v1, v2, n). Dropped columns are functionally
 # dependent on kept keys (q3 order_date↦k2; q10 c_name↦c_custkey; q18
-# o_orderdate↦o_orderkey). Q2/Q4/Q9/Q11/Q12/Q16/Q20/Q21/Q22 are
-# shape-faithful adaptations to the slimmed TESTDATA schema (no
-# partsupp, no commit/receipt dates, no container/phone/comment
-# columns) — see each builder's header for the exact substitution.
+# o_orderdate↦o_orderkey). Since r9 (VERDICT r8 next-round #6) the
+# formerly-adapted Q2/Q4/Q9/Q11/Q12/Q16/Q19/Q20/Q21/Q22 run their
+# EXACT TPC-H forms over the deterministically DERIVED missing
+# attributes (partsupp, commit/receipt dates, shipmode/shipinstruct,
+# container, phone, s_comment — operators/tpch_ext.py; constants
+# adapted to this data's value domains). The one remaining predicate
+# substitution is Q22's no-URGENT-order anti join (order-less
+# customers don't occur in this data distribution — see its header).
 @register(
     "tpch_suite",
     f"""
@@ -2511,11 +2613,11 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'q4', o_orderpriority, {_NULL_S}, {_NULL_D}, {_NULL_D}, n_orders
     FROM ({BUILDER_SQL['q4_order_priority']})
     UNION ALL
-    SELECT 'q12', l_linestatus, CAST(high_line_count AS VARCHAR),
+    SELECT 'q12', l_shipmode, CAST(high_line_count AS VARCHAR),
            {_NULL_D}, {_NULL_D}, low_line_count
     FROM ({BUILDER_SQL['q12_priority_by_status']})
     UNION ALL
-    SELECT 'q22', c_mktsegment, {_NULL_S}, total_acctbal, {_NULL_D}, n_custs
+    SELECT 'q22', cntrycode, {_NULL_S}, total_acctbal, {_NULL_D}, n_custs
     FROM ({BUILDER_SQL['q22_idle_rich_customers']})
     UNION ALL
     SELECT 'q2', CAST(p_partkey AS VARCHAR), s_name || '/' || n_name,
@@ -2530,7 +2632,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_NULL_D}, {_NULL_L}
     FROM ({BUILDER_SQL['q9_product_profit']})
     UNION ALL
-    SELECT 'q11', CAST(l_partkey AS VARCHAR), {_NULL_S}, stock_value,
+    SELECT 'q11', CAST(ps_partkey AS VARCHAR), {_NULL_S}, stock_value,
            {_NULL_D}, {_NULL_L}
     FROM ({BUILDER_SQL['q11_important_stock']})
     UNION ALL
@@ -2600,13 +2702,13 @@ def tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").alias("n"),
     )
     q12 = q12_priority_by_status(spark, sf_dir).select(
-        F.lit("q12").alias("q"), F.col("l_linestatus").alias("k1"),
+        F.lit("q12").alias("q"), F.col("l_shipmode").alias("k1"),
         F.col("high_line_count").cast("string").alias("k2"),
         _nd().alias("v1"), _nd().alias("v2"),
         F.col("low_line_count").alias("n"),
     )
     q22 = q22_idle_rich_customers(spark, sf_dir).select(
-        F.lit("q22").alias("q"), F.col("c_mktsegment").alias("k1"),
+        F.lit("q22").alias("q"), F.col("cntrycode").alias("k1"),
         _ns().alias("k2"), F.col("total_acctbal").alias("v1"),
         _nd().alias("v2"), F.col("n_custs").alias("n"),
     )
@@ -2627,7 +2729,7 @@ def tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nd().alias("v2"), _nl().alias("n"),
     )
     q11 = q11_important_stock(spark, sf_dir).select(
-        F.lit("q11").alias("q"), F.col("l_partkey").cast("string").alias("k1"),
+        F.lit("q11").alias("q"), F.col("ps_partkey").cast("string").alias("k1"),
         _ns().alias("k2"), F.col("stock_value").alias("v1"), _nd().alias("v2"),
         _nl().alias("n"),
     )

@@ -186,6 +186,41 @@ def generate(sf: float, out_dir: str, vocab_size: int = VOCAB_SIZE) -> None:
         ),
     )
 
+    # partsupp (r9, VERDICT r8 next-round #6): the SAME deterministic
+    # derivation mrbf_spark.operators.tpch_ext computes in-query
+    # (dbgen-style stride over suppliers, availqty/supplycost as
+    # integer formulas of the keys) — materialized so local datasets
+    # carry the full TPC-H table set; equality with the in-query
+    # derivation is pinned in tests/test_tpch_ext.py. Integer division
+    # replicates Spark DIV / DuckDB // (truncate toward zero), not
+    # numpy's floor.
+    def _tdiv(a, b):
+        return np.sign(a) * (np.abs(a) // b)
+
+    ps_pk = np.repeat(np.arange(n_part, dtype="int64"), 4)
+    ps_i = np.tile(np.arange(4, dtype="int64"), n_part)
+    ps_sk = (
+        (ps_pk + ps_i * (n_supp // 4 + _tdiv(ps_pk - 1, n_supp))) % n_supp
+    ) + 1
+    ps_pairs = np.unique(np.stack([ps_pk, ps_sk], axis=1), axis=0)
+    ps_pk, ps_sk = ps_pairs[:, 0], ps_pairs[:, 1]
+    _write(
+        out_dir,
+        "partsupp",
+        pa.table(
+            {
+                "ps_partkey": pa.array(ps_pk),
+                "ps_suppkey": pa.array(ps_sk),
+                "ps_availqty": pa.array((ps_pk * 7 + ps_sk * 13) % 9999 + 1),
+                "ps_supplycost": (
+                    ((ps_pk * 31 + ps_sk * 17) % 100000).astype("float64")
+                    / 100.0
+                    + 1.0
+                ),
+            }
+        ),
+    )
+
     # orders: dates over 1995-01-01 .. 2001-08-01 at day granularity
     o_epoch = np.datetime64("1995-01-01").astype("datetime64[us]").astype("int64")
     o_days = rng.randint(0, 2405, n_orders).astype("int64")
