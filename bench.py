@@ -338,7 +338,63 @@ def legacy_builders() -> dict:
         "contiguous_sequences": _packing.contiguous_sequences_q,
         "ann_pq_topk": _similarity.ann_pq_topk,
         "temperature_mixture": _sampling.temperature_mixture,
+        # r9: incremental rollup maintenance (contained in
+        # data_ops_suite part=rollup) — the base rollup computes ONCE
+        # on the warm-up pass (cached frame, the persisted-artifact
+        # stand-in); the timed plan is one refresh: pk-digest diff +
+        # delta-sized merge + dirty-key min/max rescan.
+        "rollup_maintain": _rollup_maintain_builder(),
     }
+
+
+def _rollup_maintain_builder():
+    """Closure giving rollup_maintain a build-once base rollup (over
+    the data_ops snapshot derivation's OLD side, localCheckpointed on
+    the warm-up pass so the timed refresh never recomputes it)."""
+    cache: dict[str, object] = {}
+
+    def q(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from mrbf_spark import tables as _t
+        from mrbf_spark.functions import rollup as _ru
+        from mrbf_spark.functions.diffing import BUMP_NEW, DROP_NEW, DROP_OLD
+
+        vm = F.floor(F.col("value").cast("double") * F.lit(1e6)).cast("long")
+        bucket = F.pmod(F.col("user_id"), F.lit(101)).cast("string")
+        events = _t.load_table(spark, sf_dir, "events")
+        old = events.filter(
+            F.pmod(F.col("event_id"), F.lit(DROP_OLD[0])) != DROP_OLD[1]
+        ).select(
+            "event_id", "event_type", bucket.alias("k2"), vm.alias("v")
+        )
+        new = (
+            events.filter(
+                F.pmod(F.col("event_id"), F.lit(DROP_NEW[0])) != DROP_NEW[1]
+            )
+            .withColumn(
+                "value",
+                F.when(
+                    F.pmod(F.col("event_id"), F.lit(BUMP_NEW[0]))
+                    == BUMP_NEW[1],
+                    F.col("value") * 2,
+                ).otherwise(F.col("value")),
+            )
+            .select(
+                "event_id", "event_type", bucket.alias("k2"), vm.alias("v")
+            )
+        )
+        base = cache.get(sf_dir)
+        if base is None:
+            base = _ru.rollup_base(
+                old, ["event_type", "k2"], "v"
+            ).localCheckpoint()
+            cache[sf_dir] = base
+        return _ru.rollup_maintain(
+            old, new, "event_id", ["event_type", "k2"], "v", base=base
+        )
+
+    return q
 
 
 def _dense_indexed_builder():

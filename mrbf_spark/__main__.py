@@ -236,6 +236,41 @@ def cmd_diff(args) -> None:
         print(f"{r['status']}\t{r['count']}")
 
 
+def cmd_rollup_build(args) -> None:
+    """Materialize the per-key rollup once; `rollup-maintain` then
+    refreshes it from snapshot deltas without full recomputation."""
+    from .functions.rollup import rollup_base
+
+    spark = _spark(args)
+    base = rollup_base(
+        spark.read.parquet(args.input), args.keys.split(","), args.value
+    )
+    base.write.mode("overwrite").parquet(args.out)
+    print(f"rollup-build: {spark.read.parquet(args.out).count()} groups -> {args.out}")
+
+
+def cmd_rollup_maintain(args) -> None:
+    """Refresh a persisted rollup from an old->new snapshot pair:
+    pk-level diff -> per-key delta -> merge into the base (dirty-key
+    min/max rescan only); never recomputes clean groups."""
+    from .functions.rollup import rollup_maintain
+
+    spark = _spark(args)
+    keys = args.keys.split(",")
+    out = rollup_maintain(
+        spark.read.parquet(args.old),
+        spark.read.parquet(args.new),
+        args.pk,
+        keys,
+        args.value,
+        base=spark.read.parquet(args.base) if args.base else None,
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    print(
+        f"rollup-maintain: {spark.read.parquet(args.out).count()} groups -> {args.out}"
+    )
+
+
 def cmd_report(args) -> None:
     """One-command corpus quality report: composes the curation
     signals (size census, exact-dup rate, language mix, Gopher pass
@@ -1076,6 +1111,34 @@ def main(argv: list[str] | None = None) -> int:
     p_diff.add_argument("--pk", default="doc_id")
     p_diff.add_argument("--out", default=None)
 
+    p_rb = sub.add_parser(
+        "rollup-build",
+        help="materialize a per-key count/sum/min/max rollup "
+        "(build once; refresh with rollup-maintain)",
+    )
+    p_rb.add_argument("--input", required=True)
+    p_rb.add_argument("--keys", required=True, help="comma-separated key columns")
+    p_rb.add_argument("--value", required=True, help="numeric value column")
+    p_rb.add_argument("--out", required=True)
+
+    p_rm = sub.add_parser(
+        "rollup-maintain",
+        help="refresh a rollup from an old->new snapshot pair via "
+        "incremental view maintenance (delta-sized work + dirty-key "
+        "min/max rescan)",
+    )
+    p_rm.add_argument("--old", required=True)
+    p_rm.add_argument("--new", required=True)
+    p_rm.add_argument("--pk", required=True)
+    p_rm.add_argument("--keys", required=True)
+    p_rm.add_argument("--value", required=True)
+    p_rm.add_argument(
+        "--base", default=None,
+        help="persisted rollup from rollup-build (recomputed from "
+        "--old when omitted)",
+    )
+    p_rm.add_argument("--out", required=True)
+
     p_rp = sub.add_parser(
         "report",
         help="corpus quality report: size, dup rate, language mix, "
@@ -1503,6 +1566,8 @@ def main(argv: list[str] | None = None) -> int:
         "profile": cmd_profile,
         "validate": cmd_validate,
         "diff": cmd_diff,
+        "rollup-build": cmd_rollup_build,
+        "rollup-maintain": cmd_rollup_maintain,
         "report": cmd_report,
         "merge": cmd_merge,
         "split-safe": cmd_split_safe,

@@ -60,7 +60,8 @@ PARTS: dict[str, list[str]] = {
     "bpe_suite": ["encode", "merge", "vocab"],
     "curate_corpus": ["census", "doc"],
     "data_ops_suite": [
-        "diff_detail", "diff_summary", "merge", "profile", "validate",
+        "diff_detail", "diff_summary", "merge", "profile", "rollup",
+        "validate",
     ],
     "decontaminate": ["cut", "ngram", "semantic"],
     "dedup_simhash": ["degree", "hamming_census", "survivor"],

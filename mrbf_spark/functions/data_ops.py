@@ -34,6 +34,7 @@ from .diffing import (
     merge_upsert,
     merge_upsert_duckdb_sql,
 )
+from .rollup import rollup_maintain
 from .validation import (
     profile_duckdb_sql,
     profile_table,
@@ -99,6 +100,21 @@ def _oracle() -> str:
            {_NB} AS n4, {_NB} AS n5, {_NB} AS n6,
            CAST(NULL AS BIGINT) AS ok, props AS s1
     FROM ({merge})
+    UNION ALL
+    -- rollup part (r9): the oracle is a DIRECT RECOMPUTE over the new
+    -- snapshot, while the engine reaches the same rows by maintaining
+    -- the old snapshot's rollup through CDC deltas
+    -- (functions/rollup.py) — an independent-formulation check of the
+    -- incremental view-maintenance path.
+    SELECT 'rollup' AS part, event_type AS key,
+           CAST(user_id % 101 AS VARCHAR) AS k2, {_NB} AS id,
+           CAST(count(*) AS BIGINT) AS n1, CAST(sum(v) AS BIGINT) AS n2,
+           min(v) AS n3, max(v) AS n4, {_NB} AS n5, {_NB} AS n6,
+           CAST(NULL AS BIGINT) AS ok, {_NV} AS s1
+    FROM (SELECT event_type, user_id,
+                 CAST(floor(CAST(value AS DOUBLE) * 1000000.0) AS BIGINT) AS v
+          FROM {_MERGE_NEW} t)
+    GROUP BY event_type, user_id % 101
     """
 
 
@@ -182,4 +198,38 @@ def data_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         nok.alias("ok"),
         F.col("props").alias("s1"),
     )
-    return validate.unionByName(profile).unionByName(diff).unionByName(merged)
+    # rollup part (r9): maintain the old snapshot's per-(event_type,
+    # user-bucket) rollup through the CDC delta instead of recomputing
+    # it; the oracle IS the recompute, so incremental == full is the
+    # driver-checked contract. Values in exact micros (the merge
+    # part's convention).
+    vm = F.floor(F.col("value").cast("double") * F.lit(1000000.0)).cast("long")
+    bucket = F.pmod(F.col("user_id"), F.lit(101)).cast("string")
+    keyed = lambda df: df.select(  # noqa: E731
+        "event_id",
+        F.col("event_type"),
+        bucket.alias("k2"),
+        vm.alias("v"),
+    )
+    roll = rollup_maintain(
+        keyed(old), keyed(new), "event_id", ["event_type", "k2"], "v"
+    ).select(
+        F.lit("rollup").alias("part"),
+        F.col("event_type").alias("key"),
+        F.col("k2"),
+        nb.alias("id"),
+        F.col("cnt").alias("n1"),
+        F.col("vsum").alias("n2"),
+        F.col("vmin").alias("n3"),
+        F.col("vmax").alias("n4"),
+        nb.alias("n5"),
+        nb.alias("n6"),
+        nok.alias("ok"),
+        nv.alias("s1"),
+    )
+    return (
+        validate.unionByName(profile)
+        .unionByName(diff)
+        .unionByName(merged)
+        .unionByName(roll)
+    )
