@@ -159,6 +159,31 @@ def test_precomputed_base_is_equivalent(spark):
     assert a == b
 
 
+def test_rollup_maintain_random_snapshots(spark):
+    """Property check: random snapshot pairs (nullable keys AND
+    values, overlapping/disjoint pks, empty sides) — maintained ==
+    recompute. Examples are batched (one Spark round per example is
+    too slow to run hypothesis's full budget; see the bloom property
+    tests' pattern)."""
+    from hypothesis import strategies as st
+
+    snap = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.sampled_from(["a", "b", "c", None]),
+            st.one_of(st.none(), st.integers(min_value=-100, max_value=100)),
+        ),
+        min_size=0,
+        max_size=50,
+        unique_by=lambda t: t[0],  # pk unique within a snapshot
+    )
+    for _ in range(3):
+        old_rows, new_rows = st.tuples(snap, snap).example()
+        old = spark.createDataFrame(old_rows, "pk int, k string, v long")
+        new = spark.createDataFrame(new_rows, "pk int, k string, v long")
+        _assert_matches_recompute(old, new, "pk", ["k"], "v")
+
+
 def test_apply_with_external_delta(spark):
     """rollup_apply is the CDC face: a delta frame built by hand (as a
     change stream would supply it) refreshes the base identically to
