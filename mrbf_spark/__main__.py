@@ -255,8 +255,14 @@ def cmd_rollup_maintain(args) -> None:
     min/max rescan only); never recomputes clean groups."""
     from .functions.rollup import rollup_maintain
 
+    from pyspark.sql import functions as F
+
     spark = _spark(args)
     keys = args.keys.split(",")
+    rp = None
+    if args.rescan_partition:
+        pcol, pexpr = args.rescan_partition.split(":", 1)
+        rp = (pcol, F.expr(pexpr))
     out = rollup_maintain(
         spark.read.parquet(args.old),
         spark.read.parquet(args.new),
@@ -264,6 +270,7 @@ def cmd_rollup_maintain(args) -> None:
         keys,
         args.value,
         base=spark.read.parquet(args.base) if args.base else None,
+        rescan_partition=rp,
     )
     out.write.mode("overwrite").parquet(args.out)
     print(
@@ -1136,6 +1143,12 @@ def main(argv: list[str] | None = None) -> int:
         "--base", default=None,
         help="persisted rollup from rollup-build (recomputed from "
         "--old when omitted)",
+    )
+    p_rm.add_argument(
+        "--rescan-partition", default=None, metavar="PCOL:SQL_EXPR",
+        help="partition column of --new derived from the key columns "
+        "(e.g. 'kb:pmod(crc32(k),8)') — statically prunes the "
+        "dirty-key min/max rescan to touched partitions",
     )
     p_rm.add_argument("--out", required=True)
 

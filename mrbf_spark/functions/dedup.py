@@ -952,14 +952,21 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_census_oracle() -> str:
     """DuckDB twin of the census entry — composes the full-pair twin
-    and reduces it to the same three bounded parts."""
+    and reduces it to the same three bounded parts. The pair CTE is
+    referenced three times (and degall twice), so both carry the
+    MATERIALIZED hint: without it DuckDB may inline and recompute the
+    70.5M-pair join per reference, which is exactly what timed the
+    sf1 gate out (~4× the single-compute 262 s). The survivor
+    predicate is NOT EXISTS rather than NOT IN — same semantics
+    (doc_b is never NULL), planned as one hash anti-join."""
     return f"""
-    WITH pairs AS ({_simhash_oracle()}),
+    WITH pairs AS MATERIALIZED ({_simhash_oracle()}),
     deg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
             FROM (SELECT doc_a AS doc_id FROM pairs
                   UNION ALL SELECT doc_b AS doc_id FROM pairs)
             GROUP BY doc_id),
-    degall AS (SELECT d.doc_id, COALESCE(deg.degree, 0) AS degree
+    degall AS MATERIALIZED (
+               SELECT d.doc_id, COALESCE(deg.degree, 0) AS degree
                FROM (SELECT doc_id FROM documents) d
                LEFT JOIN deg USING (doc_id))
     SELECT 'hamming_census' AS part, CAST(hamming AS BIGINT) AS k,
@@ -971,11 +978,52 @@ def _simhash_census_oracle() -> str:
     UNION ALL
     SELECT 'survivor' AS part, doc_id AS k, degree AS n
     FROM degall
-    WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+    WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.doc_b = degall.doc_id)
     """
 
 
-@register("dedup_simhash", _simhash_census_oracle())
+def _simhash_census_scale_oracle() -> str:
+    """Cost-aware second formulation for the sf≥1 gate (the
+    SCALE_ORACLES pattern): three INDEPENDENT branches, each
+    recomputing the streaming pair join instead of sharing a
+    materialized CTE. At sf1 the single-pass pair join streams in
+    ~25 s, while the shared-CTE census — materialized or not — ran
+    6–20+ min in DuckDB 1.0 (un-materialized it re-plans the
+    composed query into out-of-core spills; materialized it paid a
+    slow buffered write + multi-read). Three cheap recomputes beat
+    one expensive share. The survivor branch folds per-doc degree
+    AND appeared-as-higher-id into ONE unpivot+aggregate pass, so no
+    branch touches the pair set twice. Equality with the naive
+    census oracle is pinned at sf0.01 (tests/test_scale_oracles.py)."""
+    degall = f"""
+        SELECT d.doc_id, COALESCE(u.degree, 0) AS degree,
+               COALESCE(u.as_b, 0) AS as_b
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree,
+                 CAST(SUM(is_b) AS BIGINT) AS as_b
+          FROM (SELECT unnest([p.doc_a, p.doc_b]) AS doc_id,
+                       unnest([0, 1]) AS is_b
+                FROM ({_simhash_oracle()}) p)
+          GROUP BY doc_id) u USING (doc_id)"""
+    return f"""
+    SELECT 'hamming_census' AS part, CAST(hamming AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ({_simhash_oracle()}) GROUP BY hamming
+    UNION ALL
+    SELECT 'degree' AS part, degree AS k, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ({degall}) GROUP BY degree
+    UNION ALL
+    SELECT 'survivor' AS part, doc_id AS k, degree AS n
+    FROM ({degall}) WHERE as_b = 0
+    """
+
+
+@register(
+    "dedup_simhash",
+    _simhash_census_oracle(),
+    scale_oracle=_simhash_census_scale_oracle(),
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup CENSUS (r9, VERDICT r8 next-round #2) — the
     bounded-output contract a 100 TB pipeline actually wants, replacing

@@ -151,6 +151,47 @@ def test_group_emptied_is_dropped(spark):
     assert [r["k"] for r in out] == ["stay"]
 
 
+def test_rescan_partition_prunes_and_matches(spark, tmp_path):
+    """With a key-derived partition column on the new snapshot, the
+    dirty rescan statically prunes to the touched partitions (visible
+    as a PartitionFilters IN-list in the physical plan) and the
+    maintained rollup still equals the recompute."""
+    from pyspark.sql import functions as F
+
+    from mrbf_spark.functions.rollup import rollup_maintain
+    from mrbf_spark.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id",
+        F.pmod(F.col("event_id"), F.lit(97)).cast("string").alias("k"),
+        F.floor(F.col("value").cast("double") * 1e6).cast("long").alias("v"),
+    )
+    pexpr = F.pmod(F.crc32(F.col("k")), F.lit(8)).cast("int")
+    old = ev.filter(F.col("event_id") < 900)
+    # deletes (id in [850,900) gone) + updates (id%10==0 bumped):
+    # only SOME keys go dirty, so pruning has partitions to skip
+    new_df = ev.filter(F.col("event_id") < 850).withColumn(
+        "v",
+        F.when(F.pmod(F.col("event_id"), F.lit(10)) == 0, F.col("v") * 2)
+        .otherwise(F.col("v")),
+    )
+    p = str(tmp_path / "newpart")
+    new_df.withColumn("kb", pexpr).write.partitionBy("kb").parquet(p)
+    new = spark.read.parquet(p)
+
+    maintained = rollup_maintain(
+        old, new, "event_id", ["k"], "v",
+        rescan_partition=("kb", pexpr),
+    )
+    import re
+
+    plan = maintained._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*kb[^\]]*IN", plan), plan[:2000]
+    got = _sorted_rows(maintained)
+    want = _sorted_rows(rollup_base(new.drop("kb"), ["k"], "v"))
+    assert got == want
+
+
 def test_precomputed_base_is_equivalent(spark):
     old, new = _frames(spark)
     base = rollup_base(old, ["k"], "v")
@@ -238,3 +279,18 @@ def test_cli_build_then_maintain(spark, tmp_path, capsys):
         rollup_base(spark.read.parquet(new_p), ["event_type"], "v")
     )
     assert got == want
+
+    # --rescan-partition: same refresh against a partitioned copy of
+    # the new snapshot, pruning the dirty rescan; identical output
+    newpart_p, out2_p = str(tmp_path / "newpart"), str(tmp_path / "out2")
+    spark.read.parquet(new_p).withColumn(
+        "kb", F.expr("pmod(crc32(event_type), 4)").cast("int")
+    ).write.partitionBy("kb").parquet(newpart_p)
+    assert main(
+        ["rollup-maintain", "--old", old_p, "--new", newpart_p,
+         "--pk", "event_id", "--keys", "event_type", "--value", "v",
+         "--rescan-partition", "kb:cast(pmod(crc32(event_type), 4) as int)",
+         "--out", out2_p]
+    ) == 0
+    got2 = _sorted_rows(spark.read.parquet(out2_p).drop("kb"))
+    assert got2 == got

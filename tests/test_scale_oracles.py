@@ -52,13 +52,15 @@ def test_every_scale_oracle_matches_naive(con):
 
 
 def test_scale_oracle_set_is_the_sf1_timeout_set():
-    """The set is exactly the three entries whose naive twins timed
-    out at sf1 in r7 (gate_scale_results.json) — new timeouts should
-    extend this set deliberately, not silently."""
+    """The set is exactly the entries whose naive twins timed out at
+    sf1 (the three r7 ones, plus dedup_simhash's r9 census whose
+    shared-CTE naive form is 6-20+ min in DuckDB at sf1) — new
+    timeouts should extend this set deliberately, not silently."""
     from mrbf_spark import catalog
 
     assert set(catalog.scale_oracle_sql()) == {
         "dedup_minhash_lsh",
         "dedup_clusters",
         "embedding_dedup_suite",
+        "dedup_simhash",
     }

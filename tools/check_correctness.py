@@ -115,20 +115,37 @@ def main() -> int:
         if ONLY and name not in ONLY:
             continue
         t0 = time.time()
+        # Oracle FIRST, Spark second: at sf≥1 a heavy DuckDB twin
+        # (dedup_simhash's census walks a 70.5M-pair intermediate)
+        # measured >3x slower — 21.5 min wall with 22 min SYSTEM time
+        # (allocator/page churn) — when run after the engine query had
+        # grown the in-process JVM to ~15 GiB, vs ~6 min in a lean
+        # process. Running the oracle before the entry's Spark work
+        # gives it the lean process in gate mode (one entry per
+        # subprocess); order is irrelevant to the comparison itself.
+        duck_pdf = None
+        if name in oracles:
+            try:
+                duck_pdf = con.sql(oracles[name]).df()
+            except Exception as e:
+                print(f"FAIL {name}: duckdb error: {e}")
+                n_fail += 1
+                continue
         try:
             spark_pdf = fn(spark, SF_DIR).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
-        if name not in oracles:
+        # result materialized — drop this query's scoped caches now
+        # rather than at the next query's start (keeps the sweep's
+        # executor storage flat; the wrapper's release still covers
+        # direct library callers).
+        from mrbf_spark.registry import release_scoped_caches
+
+        release_scoped_caches()
+        if duck_pdf is None:
             print(f"ok?  {name}: rows-only ({len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
-            continue
-        try:
-            duck_pdf = con.sql(oracles[name]).df()
-        except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}")
-            n_fail += 1
             continue
         problems = compare(name, spark_pdf, duck_pdf)
         if problems:
