@@ -66,6 +66,32 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return round(best, 3)
 
+    # (d) partition-pruned rescan: lay the new snapshot out by a
+    # key-derived bucket and refresh from a SMALL dirty set — the
+    # rescan's file set must shrink to the touched partitions (the
+    # inputFiles counts are the hard evidence; at this sf every
+    # timing is overhead-dominated).
+    pexpr = F.pmod(F.crc32(F.col("k")), F.lit(256)).cast("int")
+    pdir = os.path.join(REPO, ".tmp", "rollup_probe_part")
+    new_small = old.withColumn(
+        "v",
+        F.when(F.pmod(F.col("event_id"), F.lit(100003)) == 3, F.col("v") * 2)
+        .otherwise(F.col("v")),
+    )
+    new_small.withColumn("kb", pexpr).write.mode("overwrite").partitionBy(
+        "kb"
+    ).parquet(pdir)
+    newp = spark.read.parquet(pdir)
+    d_small = rollup_delta(
+        old, new_small, "event_id", ["k"], "v"
+    ).localCheckpoint()
+    dirty_vals = [
+        r["p"]
+        for r in d_small.filter(F.col("dirty") == 1)
+        .select(pexpr.alias("p"))
+        .distinct()
+        .collect()
+    ]
     out = {
         "sf_dir": SF_DIR,
         "rows": n,
@@ -79,6 +105,23 @@ def main() -> None:
         ),
         "dirty_keys_insert_only": n_dirty_ins,
         "dirty_keys_update_heavy": n_dirty_upd,
+        "pruned_dirty_keys": d_small.filter(F.col("dirty") == 1).count(),
+        "pruned_partitions": len(dirty_vals),
+        # runtime-true file sets (inputFiles() ignores filters):
+        # distinct input_file_name() executes WITH partition pruning
+        "files_full_table": newp.select(F.input_file_name())
+        .distinct()
+        .count(),
+        "files_pruned_rescan": newp.filter(F.col("kb").isin(dirty_vals))
+        .select(F.input_file_name())
+        .distinct()
+        .count(),
+        "apply_pruned_s": t(
+            lambda: rollup_apply(
+                base, d_small, newp, ["k"], "v",
+                rescan_partition=("kb", pexpr),
+            )
+        ),
     }
     print(json.dumps(out))
 
