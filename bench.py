@@ -533,8 +533,17 @@ def main() -> None:
 
     for name in names:
         try:
+            t0 = time.time()
             run_query(qs[name](spark, SF_DIR))
             release_scoped_caches()
+            # per-query warm-up progress (r9): a silent multi-minute
+            # warm-up gap is unattributable from the log; one stderr
+            # line per query makes a hung/slow warm-up diagnosable
+            print(
+                f"bench warmup {name} {time.time() - t0:.2f}s",
+                file=sys.stderr,
+                flush=True,
+            )
         except Exception as e:
             # a silent warm-up miss would leave that query's timed
             # run paying JIT cost — make it attributable

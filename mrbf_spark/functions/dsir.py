@@ -64,7 +64,10 @@ def _hashed_features(docs: DataFrame, target: Column, b: int) -> DataFrame:
     A NULL target predicate (e.g. `lang = 'en'` on a NULL lang) is
     coalesced to FALSE — the doc counts as raw and gets scored/ranked
     rather than silently vanishing from both sides (ADVICE r5)."""
-    toks = F.split(F.lower(F.col("text")), " ")
+    # token array projected once as its own column (r9): inlining the
+    # split() into the bigram lambda re-tokenized the doc per
+    # element_at reference — O(len²) per doc (see lm._doc_bigrams)
+    toks = F.col("__toks")
     bigrams = F.transform(
         # greatest(...) guards sequence() against the descending
         # [1, 0] a 1-token doc would produce; the when() below never
@@ -77,6 +80,11 @@ def _hashed_features(docs: DataFrame, target: Column, b: int) -> DataFrame:
         docs.select(
             "doc_id",
             F.coalesce(target, F.lit(False)).alias("is_t"),
+            F.split(F.lower(F.col("text")), " ").alias("__toks"),
+        )
+        .select(
+            "doc_id",
+            "is_t",
             F.explode(feats).alias("feat"),
         )
         .groupBy(
@@ -103,8 +111,12 @@ def dsir_select(
     from .lm import _distributed_rank
 
     spark = docs.sparkSession
-    feats = scoped_cache(_hashed_features(docs, target, b))
-    feats.count()  # materialize before the 3-consumer fan-out
+    # localCheckpoint (r9): one materialization pass (same as the old
+    # cache+count) AND a leaf plan — the model/log-ratio/rank
+    # machinery below makes many DataFrame calls over this frame, and
+    # re-analyzing the tokenize+explode lineage per call dominated
+    # driver time (~15 s at sf0.1, see intlog.with_l2q)
+    feats = _hashed_features(docs, target, b).localCheckpoint()
     totals = {
         bool(r["is_t"]): int(r["n"])
         for r in feats.groupBy("is_t").agg(F.sum("c").alias("n")).collect()

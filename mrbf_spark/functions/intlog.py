@@ -79,36 +79,59 @@ def l2q_int(n: int) -> int:
 def with_l2q(df: DataFrame, src: str, out: str) -> DataFrame:
     """df + column `out` = L2Q(src) (src must be a positive integral
     column; callers guarantee ≥ 1 — counts+1 always are). Pure unrolled
-    column expressions: no UDF, no shuffle, no driver traffic."""
+    column expressions: no UDF, no shuffle, no driver traffic.
+
+    DRIVER-TIME SHAPE (r9): the original form chained ~75 withColumn
+    calls, and EVERY DataFrame method eagerly re-analyzes the whole
+    accumulated plan — on a deep input tree (the LM model sits on a
+    tokenize→explode→2×groupBy lineage) that made *constructing* the
+    DataFrame cost ~15-18 s of driver time before a single row moved
+    (measured, lm_score/dsir_select at sf0.1). Now the chain rides six
+    chunked selectExpr calls whose in-chunk steps reference each other
+    through LATERAL column aliases (~6 analyses instead of ~75; a
+    single 80-level chain is out — the analyzer resolves one lateral
+    nesting level per Resolution iteration and trips its 100-iteration
+    cap, unraisable on the driver's VANILLA session). Callers keep the
+    other factor small by feeding SHALLOW inputs: truncate lineage
+    (localCheckpoint) at the multi-consumer frame the L2Q table
+    derives from. The analyzer still materializes each step as its
+    own nested Project, so CollapseProject cannot inline x into x·x
+    exponentially — the same linear-plan guarantee the withColumn
+    chain had (pinned in tests/test_intlog.py); the physical plan is
+    the identical projection pipeline, same codegen."""
     p = f"__l2q_{out}"
-    d = df.withColumn(f"{p}v", F.col(src).cast("long"))
+    steps = [f"cast({src} as bigint) AS {p}v"]
     # bit_length via smear + bit_count: 6 OR-shift steps saturate every
     # bit below the MSB, then popcount == bit_length
-    d = d.withColumn(f"{p}s", F.expr(f"{p}v | shiftright({p}v, 1)"))
-    for sh in (2, 4, 8, 16, 32):
-        d = d.withColumn(f"{p}s", F.expr(f"{p}s | shiftright({p}s, {sh})"))
-    d = d.withColumn(f"{p}b", F.expr(f"cast(bit_count({p}s) - 1 as bigint)"))
-    d = d.withColumn(
-        f"{p}x",
-        F.expr(
-            f"CASE WHEN {p}b <= {W}"
-            f" THEN shiftleft({p}v, cast({W} - {p}b as int))"
-            f" ELSE shiftright({p}v, cast({p}b - {W} as int)) END"
-        ),
+    steps.append(f"{p}v | shiftright({p}v, 1) AS {p}s1")
+    prev = f"{p}s1"
+    for i, sh in enumerate((2, 4, 8, 16, 32), start=2):
+        steps.append(f"{prev} | shiftright({prev}, {sh}) AS {p}s{i}")
+        prev = f"{p}s{i}"
+    steps.append(f"cast(bit_count({prev}) - 1 as bigint) AS {p}b")
+    steps.append(
+        f"CASE WHEN {p}b <= {W}"
+        f" THEN shiftleft({p}v, cast({W} - {p}b as int))"
+        f" ELSE shiftright({p}v, cast({p}b - {W} as int)) END AS {p}x0"
     )
-    d = d.withColumn(f"{p}f", F.lit(0).cast("long"))
-    for _ in range(FBITS):
-        d = d.withColumn(f"{p}y", F.expr(f"shiftright({p}x * {p}x, {W})"))
-        d = d.withColumn(
-            f"{p}x",
-            F.expr(f"CASE WHEN {p}y >= {_LIM} THEN shiftright({p}y, 1) ELSE {p}y END"),
+    fprev = None
+    for i in range(1, FBITS + 1):
+        steps.append(f"shiftright({p}x{i - 1} * {p}x{i - 1}, {W}) AS {p}y{i}")
+        steps.append(
+            f"CASE WHEN {p}y{i} >= {_LIM} THEN shiftright({p}y{i}, 1)"
+            f" ELSE {p}y{i} END AS {p}x{i}"
         )
-        d = d.withColumn(
-            f"{p}f",
-            F.expr(f"{p}f * 2 + CASE WHEN {p}y >= {_LIM} THEN 1 ELSE 0 END"),
+        base = f"{fprev} * 2 + " if fprev else ""
+        steps.append(
+            f"{base}CASE WHEN {p}y{i} >= {_LIM} THEN 1 ELSE 0 END AS {p}f{i}"
         )
-    d = d.withColumn(out, F.expr(f"shiftleft({p}b, {FBITS}) + {p}f"))
-    return d.drop(f"{p}v", f"{p}s", f"{p}b", f"{p}x", f"{p}f", f"{p}y")
+        fprev = f"{p}f{i}"
+    steps.append(f"shiftleft({p}b, {FBITS}) + cast({fprev} as bigint) AS {out}")
+    d = df
+    chunk = 16
+    for i in range(0, len(steps), chunk):
+        d = d.selectExpr("*", *steps[i : i + chunk])
+    return d.select(*df.columns, out)
 
 
 def l2q_sql_ctes(vals_select: str, prefix: str = "l2") -> str:

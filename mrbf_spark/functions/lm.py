@@ -46,8 +46,16 @@ LM_SCALE = 1 << FBITS  # 2^24 fixed-point log2 units (intlog.py, r9)
 def _doc_bigrams(docs: DataFrame) -> DataFrame:
     """(doc_id, prev, cur, cnt) — bigram multiplicities per doc, from
     the token array in one projection (no per-doc window sort):
-    positions i → (t[i], t[i+1]). Docs with <2 tokens emit none."""
-    toks = F.split(F.lower(F.col("text")), " ")
+    positions i → (t[i], t[i+1]). Docs with <2 tokens emit none.
+
+    The token array is projected ONCE as its own column (r9): inlining
+    the split() expression into the transform lambda re-tokenized the
+    whole document at every element_at reference — O(len²) work per
+    doc (interpreted HOF lambdas get no subexpression elimination;
+    measured 8.2 s for the sf0.1 bigram pass, ~3× the factored form).
+    A multi-referenced alias is not inlined by CollapseProject, so the
+    factoring is stable under optimization."""
+    toks = F.col("__toks")
     pairs = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
         lambda i: F.struct(
@@ -55,7 +63,10 @@ def _doc_bigrams(docs: DataFrame) -> DataFrame:
         ),
     )
     return (
-        docs.select("doc_id", F.size(toks).alias("__nt"), F.explode_outer(pairs).alias("bg"))
+        docs.select(
+            "doc_id", F.split(F.lower(F.col("text")), " ").alias("__toks")
+        )
+        .select("doc_id", F.size(toks).alias("__nt"), F.explode_outer(pairs).alias("bg"))
         # a 1-token doc still yields one sequence element with cur=NULL
         # (element_at past the end) — drop it, matching the oracle's
         # generate_series(1, len-1) which yields nothing
@@ -65,7 +76,9 @@ def _doc_bigrams(docs: DataFrame) -> DataFrame:
     )
 
 
-def lm_score(docs: DataFrame) -> DataFrame:
+def lm_score(
+    docs: DataFrame, *, bg: DataFrame | None = None, vocab: int | None = None
+) -> DataFrame:
     """(doc_id, n_bigrams, nll_q, cross_entropy) under the
     corpus-trained add-one bigram model.
 
@@ -73,26 +86,38 @@ def lm_score(docs: DataFrame) -> DataFrame:
     −log2 p ≈ (L2Q(c_prev+V) − L2Q(c_bg+1)) / 2^24 with L2Q the
     integer-exact intlog kernel; nll_q = Σ cnt·(L2Q(den) − L2Q(num))
     (exact BIGINT, ≥ 0); cross_entropy = nll_q/2^24/n_bigrams·LN2
-    (IEEE-exact ops only — deterministic given the longs)."""
-    # Cache + materialize the doc-bigram table before fan-out: it
-    # feeds THREE consumers (the scored main side, the model
-    # broadcast, and ctx via model), and the model/ctx sides sit
-    # behind broadcast exchanges, so without the cache the corpus
-    # tokenize+explode+group replays once per consumer — measured 3
-    # corpus scans at sf0.1 (the simhash self-join lesson). A lazy
-    # cache is raced by the concurrent broadcast builds; count() wins
-    # the slot first.
-    bg = scoped_cache(_doc_bigrams(docs))
-    bg.count()
+    (IEEE-exact ops only — deterministic given the longs).
+
+    `bg` / `vocab` (r9): a caller that already holds the cached
+    doc-bigram table / the corpus vocab count (lm_suite shares ONE
+    bigram pass across its score and frozen parts) passes them here so
+    this function adds no extra corpus scan; bg must be the exact
+    _doc_bigrams(docs) frame, already cache-materialized."""
+    if bg is None:
+        # Materialize the doc-bigram table with TRUNCATED LINEAGE
+        # before fan-out: it feeds THREE consumers (the scored main
+        # side, the model broadcast, and ctx via model), so without
+        # materialization the corpus tokenize+explode+group replays
+        # once per consumer — measured 3 corpus scans at sf0.1 (the
+        # simhash self-join lesson). localCheckpoint (not cache+count,
+        # r9): same single materialization pass, but downstream plans
+        # see a LEAF — every later DataFrame call (and the ~160-step
+        # L2Q projection chains below) re-analyzes a tiny tree instead
+        # of the full tokenize lineage; plan-construction was the
+        # dominant driver-side cost here (~15-18 s at sf0.1).
+        bg = _doc_bigrams(docs).localCheckpoint()
     model = bg.groupBy("prev", "cur").agg(F.sum("cnt").alias("c_bg"))
     ctx = model.groupBy("prev").agg(F.sum("c_bg").alias("c_prev"))
     # V = corpus vocab (distinct tokens anywhere, including docs with
     # one token — count from the token explode, not the bigram table)
-    vocab = (
-        docs.select(F.explode_outer(F.split(F.lower(F.col("text")), " ")).alias("t"))
-        .agg(F.countDistinct("t").alias("v"))
-        .collect()[0]["v"]
-    )
+    if vocab is None:
+        vocab = (
+            docs.select(
+                F.explode_outer(F.split(F.lower(F.col("text")), " ")).alias("t")
+            )
+            .agg(F.countDistinct("t").alias("v"))
+            .collect()[0]["v"]
+        )
     # L2Q rides the model/ctx relations directly — ~100 int ops per
     # row inside the existing projection, no extra shuffle or join
     model = with_l2q(
@@ -199,15 +224,20 @@ def train_bigram_lm(docs: DataFrame) -> tuple[DataFrame, int]:
 
 
 def score_with_model(
-    docs: DataFrame, model: DataFrame, vocab_size: int
+    docs: DataFrame, model: DataFrame, vocab_size: int, *, bg: DataFrame | None = None
 ) -> DataFrame:
     """(doc_id, n_bigrams, nll_q, cross_entropy) for NEW documents
     under a frozen (model, V) from train_bigram_lm — same fixed-point
     integer pipeline as lm_score, with left-join zero-count smoothing
     for bigrams/contexts the training corpus never saw. The model
     join is a shuffle equi-join (training-corpus-sized in the worst
-    case — never broadcast); ctx is a ≤|model| groupBy."""
-    bg = _doc_bigrams(docs)
+    case — never broadcast); ctx is a ≤|model| groupBy.
+
+    `bg` (r9): optional precomputed _doc_bigrams(docs) frame (lm_suite
+    slices its one cached corpus-wide bigram table instead of
+    re-tokenizing the score split)."""
+    if bg is None:
+        bg = _doc_bigrams(docs)
     ctx = model.groupBy("prev").agg(F.sum("c_bg").cast("long").alias("c_prev"))
     # L2Q attaches to the model/ctx sides BEFORE the left joins; the
     # zero-count smoothing coalesces to the constant L2Q values an
@@ -368,7 +398,7 @@ def perplexity_buckets(docs: DataFrame, k: int = PPL_BUCKETS) -> DataFrame:
     stage. The score table is scoped-cached: the rank pass and the
     returned plan both consume it, and without the cache each action
     replays the whole LM pipeline (VERDICT r4)."""
-    scores = scoped_cache(lm_score(docs).select("doc_id", "cross_entropy"))
+    scores = lm_score(docs).select("doc_id", "cross_entropy").localCheckpoint()
     return _bucketize(scores, k)
 
 
@@ -482,7 +512,29 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     target-vs-raw importance selection ('dsir' part, its own hashed
     n-gram pipeline — functions/dsir.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    scores = scoped_cache(lm_score(docs))
+    # ONE corpus bigram pass + ONE token pass shared by the score and
+    # frozen parts (r9): _doc_bigrams is per-doc, so the frozen part's
+    # train/score splits are doc_id filters of the same cached table
+    # (bit-identical to re-deriving them), and both vocab counts ride
+    # a single aggregate over one token explode. Previously the corpus
+    # was tokenized three times (score, frozen-train, frozen-score)
+    # and token-exploded twice more for the two vocab counts.
+    bg_all = _doc_bigrams(docs).localCheckpoint()
+    vrow = (
+        docs.select(
+            F.explode_outer(F.split(F.lower(F.col("text")), " ")).alias("t"),
+            (F.col("doc_id") % FROZEN_TRAIN_MOD == 0).alias("__tr"),
+        )
+        .agg(
+            F.countDistinct("t").alias("v_all"),
+            F.countDistinct(F.when(F.col("__tr"), F.col("t"))).alias("v_train"),
+        )
+        .collect()[0]
+    )
+    # localCheckpoint, not scoped_cache (r9): scores carries the
+    # ~160-level L2Q projection chain — the bucket part's rank
+    # machinery would otherwise re-analyze it on every DataFrame call
+    scores = lm_score(docs, bg=bg_all, vocab=int(vrow["v_all"])).localCheckpoint()
     part_score = scores.select(
         F.lit("score").alias("part"),
         "doc_id",
@@ -519,10 +571,19 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 'frozen' part (r6): train-once / score-new-crawl deployment —
     # the model is trained on the % MOD == 0 slice and applied frozen
     # to the complement (left-join smoothing over unseen bigrams).
-    train = docs.filter(F.col("doc_id") % FROZEN_TRAIN_MOD == 0)
-    score = docs.filter(F.col("doc_id") % FROZEN_TRAIN_MOD != 0)
-    model, vocab = train_bigram_lm(train)
-    part_frozen = score_with_model(score, model, vocab).select(
+    # Model/score bigrams slice the shared cached table; the train
+    # vocab came from the combined aggregate above (r9).
+    model = (
+        bg_all.filter(F.col("doc_id") % FROZEN_TRAIN_MOD == 0)
+        .groupBy("prev", "cur")
+        .agg(F.sum("cnt").cast("long").alias("c_bg"))
+    )
+    part_frozen = score_with_model(
+        docs.filter(F.col("doc_id") % FROZEN_TRAIN_MOD != 0),
+        model,
+        int(vrow["v_train"]),
+        bg=bg_all.filter(F.col("doc_id") % FROZEN_TRAIN_MOD != 0),
+    ).select(
         F.lit("frozen").alias("part"),
         "doc_id",
         F.col("n_bigrams").alias("n1"),
@@ -542,13 +603,23 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # report over the HELD slice under the SAME trained weights —
     # integer confusion counts across a 9-point threshold sweep plus
     # the exact midrank-AUC rational.
-    from .quality_classifier import QLR_TRAIN_MOD, qlr_eval, qlr_score, qlr_train
-
-    qlr_w = qlr_train(
-        docs.filter(F.col("doc_id") % QLR_TRAIN_MOD == 0),
-        (F.col("lang") == "en"),
+    from .quality_classifier import (
+        QLR_TRAIN_MOD,
+        qlr_eval,
+        qlr_labeled_features,
+        qlr_score,
+        qlr_train,
     )
-    part_qlr = qlr_score(docs, qlr_w).select(
+
+    # ONE corpus-wide hashed-feature frame shared by train / score /
+    # eval (r9): per-doc features commute with the doc_id slices, so
+    # the filtered frames are bit-identical to the three separate
+    # derivations this previously ran.
+    qfeats = qlr_labeled_features(docs, (F.col("lang") == "en")).localCheckpoint()
+    qlr_w = qlr_train(
+        None, feats=qfeats.filter(F.col("doc_id") % QLR_TRAIN_MOD == 0)
+    )
+    part_qlr = qlr_score(None, qlr_w, feats=qfeats).select(
         F.lit("qlr").alias("part"),
         "doc_id",
         F.col("logit_fx").alias("n1"),
@@ -561,9 +632,9 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("avg_log_ratio"),
     )
     part_qlr_eval = qlr_eval(
-        docs.filter(F.col("doc_id") % QLR_TRAIN_MOD != 0),
+        None,
         qlr_w,
-        (F.col("lang") == "en"),
+        feats=qfeats.filter(F.col("doc_id") % QLR_TRAIN_MOD != 0),
     ).select(
         F.lit("qlr_eval").alias("part"),
         F.col("k").alias("doc_id"),

@@ -79,22 +79,42 @@ def qlr_features(docs: DataFrame, dim: int = TE_DIM) -> DataFrame:
 
 def _margin_col(w: list[int]) -> Column:
     """Σ_j w_j·x_j as one int64 expression (w are plan literals —
-    dim+1 of them, the broadcast-weights deployment shape)."""
-    m = F.lit(0).cast("long")
-    for j, wj in enumerate(w):
-        if wj:
-            m = m + F.lit(int(wj)).cast("long") * F.element_at("x", j + 1)
-    return m
+    dim+1 of them, the broadcast-weights deployment shape). Built as
+    ONE SQL string (r9): the per-term Column-object form cost ~4 py4j
+    roundtrips per dimension of pure driver chatter."""
+    terms = [
+        f"{int(wj)}L * element_at(x, {j + 1})"
+        for j, wj in enumerate(w)
+        if wj
+    ]
+    if not terms:
+        return F.expr("CAST(0 AS BIGINT)")
+    return F.expr(" + ".join(terms)).cast("long")
+
+
+def qlr_labeled_features(
+    docs: DataFrame, y: Column, dim: int = TE_DIM
+) -> DataFrame:
+    """(doc_id, x, y): the hashed feature vector joined with the
+    binary label (NULL label coalesced to 0 — the trainer's
+    convention). The shared frame train/score/eval all slice (r9):
+    computing it ONCE over the full corpus and filtering per consumer
+    replaces three separate explode+groupBy feature derivations."""
+    return qlr_features(docs, dim).join(
+        docs.select("doc_id", F.coalesce(y.cast("long"), F.lit(0)).alias("y")),
+        "doc_id",
+    )
 
 
 def qlr_train(
     docs: DataFrame,
-    y: Column,
+    y: Column | None = None,
     *,
     dim: int = TE_DIM,
     iters: int = QLR_ITERS,
     lr_den: int = QLR_LR_DEN,
     grad_budget: int = _GRAD_BUDGET,
+    feats: DataFrame | None = None,
 ) -> list[int]:
     """Train hard-sigmoid logistic regression on `docs` with binary
     label expression `y` (evaluated against docs' columns; a NULL
@@ -105,18 +125,37 @@ def qlr_train(
     vector at scale S — replayed bit-exactly by qlr_train_sql.
 
     `grad_budget` is the int64 overflow ceiling for 4S·Σ|x|
-    (injectable so the guard's arithmetic is testable; ADVICE r8)."""
-    feats = scoped_cache(
-        qlr_features(docs, dim).join(
-            docs.select(
-                "doc_id", F.coalesce(y.cast("long"), F.lit(0)).alias("y")
-            ),
-            "doc_id",
-        )
-    )
+    (injectable so the guard's arithmetic is testable; ADVICE r8).
+
+    `feats` (r9): optional precomputed qlr_labeled_features slice (the
+    TRAINING rows), already cache-materialized by the caller — skips
+    this function's own feature build so a suite sharing one corpus-
+    wide feature frame pays the derivation once."""
+    if feats is None:
+        # localCheckpoint (r9): the 8 training iterations each build a
+        # fresh aggregate plan over this frame — a leaf keeps those
+        # per-iteration plan constructions O(1) instead of re-analyzing
+        # the feature-derivation lineage every time
+        feats = qlr_labeled_features(docs, y, dim).localCheckpoint()
     w = [0] * (dim + 1)
     n = step_den = None
-    spark = docs.sparkSession
+    spark = feats.sparkSession
+    # Expressions ride as TWO F.expr SQL strings (r9): the per-column
+    # Column-object form (65 sums × ~4 py4j calls each, rebuilt every
+    # iteration) cost ~0.7 s/iteration of pure driver-side expression
+    # construction; one string parses JVM-side in milliseconds. The
+    # gradient lands as ONE array<long> so the driver still collects
+    # exactly dim+1 sums.
+    rexpr = (
+        f"least(greatest(aggregate(zip_with(w, x, (a, b) -> a * b),"
+        f" CAST(0 AS BIGINT), (acc, v) -> acc + v) + {2 * S}L,"
+        f" CAST(0 AS BIGINT)), {4 * S}L) - {4 * S}L * y AS r"
+    )
+    gexpr = (
+        "array("
+        + ", ".join(f"sum(r * element_at(x, {j + 1}))" for j in range(dim + 1))
+        + ") AS g"
+    )
     for it in range(iters):
         # weights ride as a ONE-ROW broadcast array column, never as
         # plan literals (the kmeans/with_matrix lesson): literal
@@ -126,18 +165,7 @@ def qlr_train(
         # column the 8 iterations share ONE compiled plan. Integer
         # mults/sums are order-exact, so the margin is unchanged.
         wdf = spark.createDataFrame([([int(x) for x in w],)], "w array<bigint>")
-        m = F.aggregate(
-            F.zip_with("w", "x", lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        # hard sigmoid at scale 4S, residual against 4S·y
-        u = F.least(F.greatest(m + F.lit(2 * S), F.lit(0).cast("long")), F.lit(4 * S))
-        r = u - F.lit(4 * S) * F.col("y")
-        aggs = [
-            F.sum(F.col("r") * F.element_at("x", j + 1)).alias(f"g{j}")
-            for j in range(dim + 1)
-        ]
+        aggs = [F.expr(gexpr)]
         if it == 0:
             # The n / Σ|x| stats ride the FIRST gradient pass instead
             # of a separate full scan over the cached features (r9,
@@ -148,16 +176,15 @@ def qlr_train(
             # the budget check below could possibly pass — and the
             # check raises BEFORE any g is applied.
             aggs += [
-                F.count(F.lit(1)).alias("__n"),
-                F.sum(
-                    F.aggregate(
-                        "x", F.lit(0).cast("long"), lambda a, v: a + F.abs(v)
-                    )
-                ).alias("__sx"),
+                F.expr("count(1) AS __n"),
+                F.expr(
+                    "sum(aggregate(x, CAST(0 AS BIGINT),"
+                    " (a, v) -> a + abs(v))) AS __sx"
+                ),
             ]
         row = (
             feats.crossJoin(F.broadcast(wdf))
-            .select(r.alias("r"), "x")
+            .selectExpr(rexpr, "x")
             .agg(*aggs)
             .collect()[0]
         )
@@ -175,9 +202,9 @@ def qlr_train(
             step_den = 4 * n * lr_den
         # integer division truncating toward zero — Spark DIV and
         # DuckDB // agree on this (probed: -7 DIV 2 == -3 on both)
+        g = row["g"]
         w = [
-            wj - _trunc_div(int(row[f"g{j}"]), step_den)
-            for j, wj in enumerate(w)
+            wj - _trunc_div(int(g[j]), step_den) for j, wj in enumerate(w)
         ]
     return w
 
@@ -189,11 +216,21 @@ def _trunc_div(a: int, b: int) -> int:
     return q if (a >= 0) == (b >= 0) else -q
 
 
-def qlr_score(docs: DataFrame, w: list[int], dim: int = TE_DIM) -> DataFrame:
+def qlr_score(
+    docs: DataFrame,
+    w: list[int],
+    dim: int = TE_DIM,
+    *,
+    feats: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, logit_fx, prob, pred): logit_fx = Σ w·x (int64, scale
     S), prob = the hard-sigmoid value as a display double (exact:
-    integer/4e9), pred = prob ≥ 1/2 (integer comparison)."""
-    feats = qlr_features(docs, dim)
+    integer/4e9), pred = prob ≥ 1/2 (integer comparison).
+
+    `feats` (r9): optional precomputed (doc_id, x) frame — scoring is
+    then a pure map over it (no feature re-derivation)."""
+    if feats is None:
+        feats = qlr_features(docs, dim)
     m = _margin_col(w)
     u = F.least(F.greatest(m + F.lit(2 * S), F.lit(0).cast("long")), F.lit(4 * S))
     return feats.select(
@@ -213,7 +250,12 @@ QLR_EVAL_STEPS = 8
 
 
 def qlr_eval(
-    docs: DataFrame, w: list[int], y: Column, dim: int = TE_DIM
+    docs: DataFrame,
+    w: list[int],
+    y: Column | None = None,
+    dim: int = TE_DIM,
+    *,
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Classifier quality report over `docs` under frozen weights
     (VERDICT r8 next-round #7 — the number a pipeline operator tunes
@@ -231,18 +273,16 @@ def qlr_eval(
         3-phase _distributed_rank over (logit, doc_id) — no
         single-partition window — and midranks per tie group are
         (min+max)/2, carried doubled so everything stays integral.
+
+    `feats` (r9): optional precomputed qlr_labeled_features slice (the
+    EVAL rows) — skips this function's own feature build.
     """
     from .lm import _distributed_rank  # runtime import: lm imports us
 
-    scored = scoped_cache(
-        qlr_features(docs, dim)
-        .join(
-            docs.select(
-                "doc_id", F.coalesce(y.cast("long"), F.lit(0)).alias("y")
-            ),
-            "doc_id",
-        )
-        .select(
+    if feats is None:
+        feats = qlr_labeled_features(docs, y, dim)
+    scored = (
+        feats.select(
             "doc_id",
             "y",
             _margin_col(w).alias("m"),
@@ -254,6 +294,7 @@ def qlr_eval(
                 F.lit(4 * S),
             ),
         )
+        .localCheckpoint()
     )
     nb = F.lit(None).cast("long")
     nd = F.lit(None).cast("double")
@@ -487,9 +528,14 @@ def qlr_suite_sql(
 def lm_qlr_part(docs: DataFrame) -> DataFrame:
     """The registered lm_suite part=qlr frame: train on the
     doc_id % QLR_TRAIN_MOD == 0 slice against the lang=='en'
-    reference label, score everything with the frozen weights."""
+    reference label, score everything with the frozen weights.
+
+    One corpus-wide feature frame serves both the training slice and
+    the frozen scoring pass (r9 — previously each derived its own
+    explode+groupBy feature pipeline; per-doc features commute with
+    the doc_id filter, so the sliced frame is bit-identical)."""
+    feats = qlr_labeled_features(docs, (F.col("lang") == "en")).localCheckpoint()
     w = qlr_train(
-        docs.filter(F.col("doc_id") % QLR_TRAIN_MOD == 0),
-        (F.col("lang") == "en"),
+        None, feats=feats.filter(F.col("doc_id") % QLR_TRAIN_MOD == 0)
     )
-    return qlr_score(docs, w)
+    return qlr_score(None, w, feats=feats)

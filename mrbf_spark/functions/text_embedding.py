@@ -125,10 +125,26 @@ def row_text_embedding_col(text: Column, dim: int = TE_DIM) -> Column:
 
 def text_hash_embeddings(docs: DataFrame, dim: int = TE_DIM) -> DataFrame:
     """(vec_id, embedding array<double>): signed hashed shingle
-    counts. Integer values cast to double ⇒ exact everywhere."""
-    toks = docs.select(
-        F.col("doc_id").alias("vec_id"), _shingle_col(F.col("text")).alias("tok")
+    counts. Integer values cast to double ⇒ exact everywhere.
+
+    The token array is projected once as its own column before the
+    shingle explode (r9): inlining split() into the bigram lambda
+    re-tokenized the doc at every element_at reference — O(len²) per
+    doc (see lm._doc_bigrams)."""
+    t = F.col("__toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1)
+        ),
     )
+    shingle = F.explode(
+        F.when(F.size(t) >= 2, bigrams).otherwise(F.array(F.element_at(t, 1)))
+    )
+    toks = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.split(F.lower(F.col("text")), " ").alias("__toks"),
+    ).select("vec_id", shingle.alias("tok"))
     slot = _slot_col(F.col("tok"), dim)
     sign = _sign_col(F.col("tok"))
     sparse = (
