@@ -548,11 +548,20 @@ def pq_fit_codebooks(
         )
         with_mat = with_matrix(emb, emb.sparkSession, cb)
         s_col = F.floor(F.col("pos") / F.lit(sub_dim)).cast("int")
+        # The encode MUST land in its own projection BELOW the
+        # posexplode (r9): sharing one select with the generator made
+        # Spark re-evaluate the interpreted M_SUB×K_CODES argmax per
+        # EXPLODED row — 64× the work, measured 209 s vs 8.9 s per
+        # iteration at sf0.1 (this was the whole 20-minute PQ build).
+        coded = with_mat.select(
+            "embedding",
+            pq_codes_col(F.col("embedding"), F.col("mat"), cnorm, sub_dim).alias(
+                "codes"
+            ),
+        )
         rows = (
-            with_mat.select(
-                pq_codes_col(
-                    F.col("embedding"), F.col("mat"), cnorm, sub_dim
-                ).alias("codes"),
+            coded.select(
+                "codes",
                 F.posexplode("embedding").alias("pos", "x"),
             )
             .select(
