@@ -85,22 +85,34 @@ def decontaminate_docs(
     n: int = NGRAM_N,
     p: float = P,
     threshold: float = FLAG_THRESHOLD,
+    eval_grams: DataFrame | None = None,
+    filters: DataFrame | None = None,
 ) -> DataFrame:
     """Library API: per-corpus-document eval-overlap report.
 
     Returns (doc_id, n_grams, n_contaminated, contamination_rate,
     flagged) — exact n-gram intersection counts (bloom prune + exact
     verify; FP-free by construction).
+
+    `eval_grams` / `filters` (r9): the distinct eval-gram table and
+    its bloom filter, when the caller already built them — the
+    registered `decontaminate` entry shares ONE filter build between
+    this channel and decontaminate_cut (identical inputs, identical
+    filter) instead of building it twice.
     """
     corpus_grams = doc_ngrams(corpus, n)
-    eval_grams = doc_ngrams(eval_docs, n).select("g").distinct()
-
-    # scoped_cache, not .cache(): released when the next catalog query
-    # starts instead of pinning executor storage for the session
-    # (the r3 ADVICE leak pattern, fixed here as in bloom_queries).
-    filters = scoped_cache(
-        build_bloom_filters(eval_grams.withColumn("__g", F.lit("eval")), "__g", "g", p)
-    )
+    if eval_grams is None:
+        eval_grams = doc_ngrams(eval_docs, n).select("g").distinct()
+    if filters is None:
+        # scoped_cache, not .cache(): released when the next catalog
+        # query starts instead of pinning executor storage for the
+        # session (the r3 ADVICE leak pattern, fixed as in
+        # bloom_queries).
+        filters = scoped_cache(
+            build_bloom_filters(
+                eval_grams.withColumn("__g", F.lit("eval")), "__g", "g", p
+            )
+        )
     survivors = probe_bloom_filters(
         corpus_grams.withColumn("__g", F.lit("eval")),
         "__g",
@@ -144,6 +156,8 @@ def decontaminate_cut(
     *,
     n: int = NGRAM_N,
     p: float = P,
+    eval_grams: DataFrame | None = None,
+    filters: DataFrame | None = None,
 ) -> DataFrame:
     """Span-level decontamination — the surgical alternative to
     dropping whole documents (what production pipelines do when a doc
@@ -162,13 +176,16 @@ def decontaminate_cut(
     twice (gram probe; token reassembly), shuffles carry
     (doc_id, position) int pairs for the survivor set and the per-doc
     reassembly groupBy — the same bounds as substring_dedup's CUT,
-    whose reassembly pattern this reuses."""
-    eval_grams = doc_ngrams(eval_docs, n).select("g").distinct()
-    filters = scoped_cache(
-        build_bloom_filters(
-            eval_grams.withColumn("__g", F.lit("eval")), "__g", "g", p
+    whose reassembly pattern this reuses. `eval_grams` / `filters`:
+    see decontaminate_docs (one shared filter build, r9)."""
+    if eval_grams is None:
+        eval_grams = doc_ngrams(eval_docs, n).select("g").distinct()
+    if filters is None:
+        filters = scoped_cache(
+            build_bloom_filters(
+                eval_grams.withColumn("__g", F.lit("eval")), "__g", "g", p
+            )
         )
-    )
     toks_arr = F.split(F.col("text"), " ")
     pos_grams = corpus.select(
         "doc_id", F.posexplode(ngrams_col(toks_arr, n)).alias("pos", "g")
@@ -566,7 +583,22 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.col("doc_id") % EVAL_MOD != 0)
     nb = F.lit(None).cast("long")
     ns = F.lit(None).cast("string")
-    ng = decontaminate_docs(corpus, eval_docs).select(
+    # ONE eval-gram table + ONE bloom filter shared by the ngram and
+    # cut channels (r9): both previously derived the same distinct
+    # gram set and built the same filter independently — a duplicate
+    # eval scan and a duplicate build (collect + hash + merge + two
+    # Arrow stages) per query.
+    eval_grams = (
+        doc_ngrams(eval_docs, NGRAM_N).select("g").distinct().localCheckpoint()
+    )
+    shared_filters = scoped_cache(
+        build_bloom_filters(
+            eval_grams.withColumn("__g", F.lit("eval")), "__g", "g", P
+        )
+    )
+    ng = decontaminate_docs(
+        corpus, eval_docs, eval_grams=eval_grams, filters=shared_filters
+    ).select(
         F.lit("ngram").alias("part"),
         "doc_id",
         F.col("n_grams").alias("n1"),
@@ -584,7 +616,9 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flagged",
         ns.alias("txt"),
     )
-    cut = decontaminate_cut(corpus, eval_docs).select(
+    cut = decontaminate_cut(
+        corpus, eval_docs, eval_grams=eval_grams, filters=shared_filters
+    ).select(
         F.lit("cut").alias("part"),
         "doc_id",
         F.col("n_tokens").alias("n1"),

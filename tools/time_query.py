@@ -30,7 +30,11 @@ def main() -> None:
 
     spark = get_spark("time-query")
     spark.range(10_000).mapInPandas(lambda it: it, "id long").count()
-    qs = catalog.queries()
+    qs = dict(catalog.queries())
+    import bench
+
+    for n_, fn_ in bench.legacy_builders().items():
+        qs.setdefault(n_, fn_)
     for name in names:
         fn = qs[name]
         t0 = time.time()
