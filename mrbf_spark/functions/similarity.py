@@ -1133,29 +1133,32 @@ def kmeans_fit(
         ],
         dtype=np.float64,
     )
+    # Per-dimension sums ride ONE array-valued aggregate per cell (r9)
+    # instead of posexplode + groupBy(cell, pos): the explode shuffled
+    # n×dim rows per iteration where k×(dim+1) sums suffice, and the
+    # array expression is one F.expr string (no per-column py4j
+    # chatter). Same per-element trunc, same exact integer sums.
+    sums_expr = F.expr(
+        "array("
+        + ", ".join(
+            f"sum(CAST(element_at(embedding, {p + 1})"
+            f" * CAST({float(FIXED_SCALE)!r} AS DOUBLE) AS BIGINT))"
+            for p in range(dim)
+        )
+        + ") AS s"
+    )
     for _ in range(iters):
         assigned = kmeans_assign(emb.select("embedding"), cent)
         rows = (
-            assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(
-                F.sum(
-                    (F.col("x").cast("double") * F.lit(float(FIXED_SCALE))).cast(
-                        "long"
-                    )
-                ).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
+            assigned.groupBy("cell")
+            .agg(sums_expr, F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
-        for r in rows:
-            by_cell.setdefault(r["cell"], {})[r["pos"]] = (int(r["s"]), int(r["n"]))
         nxt = cent.copy()
-        for c, posmap in by_cell.items():
-            n = posmap[0][1]
-            nxt[c] = np.array(
-                [posmap[p][0] for p in range(dim)], dtype=np.float64
+        for r in rows:
+            n = int(r["n"])
+            nxt[r["cell"]] = np.array(
+                [int(v) for v in r["s"]], dtype=np.float64
             ) / (FIXED_SCALE * n)
         cent = nxt
     return cent
