@@ -99,6 +99,16 @@ def decontaminate_docs(
     registered `decontaminate` entry shares ONE filter build between
     this channel and decontaminate_cut (identical inputs, identical
     filter) instead of building it twice.
+
+    CONSISTENCY CONTRACT (ADVICE r9): the two must come from the SAME
+    (eval_docs, n, p) build — eval_grams exactly the distinct grams of
+    eval_docs at this n, filters exactly build_bloom_filters over that
+    gram set at this p. A filter built from a different gram set
+    silently UNDERCOUNTS contamination (bloom false negatives for
+    grams outside its build set), defeating the FP-free guarantee; a
+    mismatched p changes num_hashes and breaks every probe. There is
+    no cheap runtime check (verifying would cost the build being
+    shared), so the pair travels together or not at all.
     """
     corpus_grams = doc_ngrams(corpus, n)
     if eval_grams is None:

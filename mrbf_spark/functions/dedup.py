@@ -1044,6 +1044,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever collected (the r8 sf1 gate needed a 24g driver.maxResultSize
     purely to COMPARE the old pair dump)."""
     pairs = scoped_cache(simhash_pairs(load_table(spark, sf_dir, "documents")))
+    # Materialize before fan-out (r10, VERDICT r9 next-round #8): the
+    # census unions FOUR consumers of `pairs` (deg reads it twice,
+    # ham_census once, survivors once) into ONE action — a lazy cache
+    # is raced by all of them and the quarter-band verify join can
+    # execute up to 4× concurrently (the exact hazard simhash_pairs
+    # documents for its signature cache). One count() pins the pair
+    # table; every branch then reads cached rows.
+    pairs.count()
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     deg = (
         pairs.select(F.col("doc_a").alias("doc_id"))

@@ -99,6 +99,18 @@ def with_l2q(df: DataFrame, src: str, out: str) -> DataFrame:
     exponentially — the same linear-plan guarantee the withColumn
     chain had (pinned in tests/test_intlog.py); the physical plan is
     the identical projection pipeline, same codegen."""
+    # Guard the selectExpr contract (ADVICE r9): `src` is interpolated
+    # raw into SQL and `out` is appended to df.columns, so both must be
+    # fresh plain identifiers — a non-identifier src would fail to
+    # parse, and a pre-existing `out` would silently duplicate instead
+    # of replacing (the old withColumn semantics).
+    ident = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+    if not ident.match(src) or not ident.match(out):
+        raise ValueError(
+            f"with_l2q needs plain identifiers, got src={src!r} out={out!r}"
+        )
+    if out in df.columns:
+        raise ValueError(f"with_l2q: output column {out!r} already exists")
     p = f"__l2q_{out}"
     steps = [f"cast({src} as bigint) AS {p}v"]
     # bit_length via smear + bit_count: 6 OR-shift steps saturate every

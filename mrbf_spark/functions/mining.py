@@ -158,7 +158,11 @@ def contrastive_triplets(
     if method == "exact":
         from .similarity import cosine_pairs
 
-        scored = cosine_pairs(anchors, emb)
+        # dot="arrow" (r10): the negative scan is |anchors| × corpus
+        # fixed-point dots — the vectorized Arrow kernel computes the
+        # same integer sums ~10× faster than the interpreted HOF fold
+        # (bit-identical; see similarity._pair_dot_batches).
+        scored = cosine_pairs(anchors, emb, dot="arrow")
     elif method == "ivf":
         scored = _ivf_scored(anchors, emb, n_cells, n_probe)
     else:

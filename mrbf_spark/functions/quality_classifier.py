@@ -107,7 +107,7 @@ def qlr_labeled_features(
 
 
 def qlr_train(
-    docs: DataFrame,
+    docs: DataFrame | None,
     y: Column | None = None,
     *,
     dim: int = TE_DIM,
@@ -132,6 +132,11 @@ def qlr_train(
     this function's own feature build so a suite sharing one corpus-
     wide feature frame pays the derivation once."""
     if feats is None:
+        if docs is None or y is None:
+            raise ValueError(
+                "qlr_train: pass either feats= (precomputed labeled "
+                "features) or both docs and y"
+            )
         # localCheckpoint (r9): the 8 training iterations each build a
         # fresh aggregate plan over this frame — a leaf keeps those
         # per-iteration plan constructions O(1) instead of re-analyzing
@@ -217,7 +222,7 @@ def _trunc_div(a: int, b: int) -> int:
 
 
 def qlr_score(
-    docs: DataFrame,
+    docs: DataFrame | None,
     w: list[int],
     dim: int = TE_DIM,
     *,
@@ -230,6 +235,8 @@ def qlr_score(
     `feats` (r9): optional precomputed (doc_id, x) frame — scoring is
     then a pure map over it (no feature re-derivation)."""
     if feats is None:
+        if docs is None:
+            raise ValueError("qlr_score: pass either feats= or docs")
         feats = qlr_features(docs, dim)
     m = _margin_col(w)
     u = F.least(F.greatest(m + F.lit(2 * S), F.lit(0).cast("long")), F.lit(4 * S))
@@ -250,7 +257,7 @@ QLR_EVAL_STEPS = 8
 
 
 def qlr_eval(
-    docs: DataFrame,
+    docs: DataFrame | None,
     w: list[int],
     y: Column | None = None,
     dim: int = TE_DIM,
@@ -280,6 +287,11 @@ def qlr_eval(
     from .lm import _distributed_rank  # runtime import: lm imports us
 
     if feats is None:
+        if docs is None or y is None:
+            raise ValueError(
+                "qlr_eval: pass either feats= (precomputed labeled "
+                "features) or both docs and y"
+            )
         feats = qlr_labeled_features(docs, y, dim)
     scored = (
         feats.select(

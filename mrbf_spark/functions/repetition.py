@@ -199,6 +199,13 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     # would otherwise each re-derive every unit kind. Scoped — the
     # caller (driver harness / stream step) releases.
     ex = scoped_cache(_exploded_units(base))
+    # ... and MATERIALIZE it (r10, VERDICT r9 next-round #4): the
+    # consumers all sit under ONE action, so a lazy cache is raced —
+    # each branch independently re-runs the tokenize+window explode
+    # until some task's partition lands in storage (the measured ~2×
+    # cost simhash_pairs documents for the same shape). One count()
+    # makes every branch read cached units.
+    ex.count()
     units = ex.filter(F.col("kind") != "tk")
     cnts = units.groupBy("doc_id", "kind", "n", "key").agg(
         F.count("*").alias("c"), F.min("wlen").alias("wlen")

@@ -91,11 +91,20 @@ def norms_df(emb: DataFrame) -> DataFrame:
     )
 
 
-def cosine_pairs(queries: DataFrame, corpus: DataFrame) -> DataFrame:
+def cosine_pairs(
+    queries: DataFrame, corpus: DataFrame, dot: str = "jvm"
+) -> DataFrame:
     """(query_id, vec_id, cosine) for every query × corpus pair.
     Queries are broadcast (the small side by construction); the corpus
     is scanned once — at 100 TB this is one pass, no shuffle of the
-    corpus."""
+    corpus.
+
+    dot="arrow" (r10) evaluates the per-pair fixed-point dot through
+    the vectorized Arrow kernel (_pair_dot_batches — bit-identical
+    integer sums; see neardup_pairs). The default stays "jvm": the
+    headline ann_bruteforce_topk path is 8 queries × corpus and
+    test-pinned JVM-codegen-only; the arrow path is for bulk callers
+    (contrastive mining scans |anchors| × corpus)."""
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -107,6 +116,25 @@ def cosine_pairs(queries: DataFrame, corpus: DataFrame) -> DataFrame:
         _decimal_dot(F.col("embedding"), F.col("embedding")).alias("c_nrm"),
     )
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    if dot == "arrow":
+        dots = pairs.select(
+            F.col("query_id").alias("vec_a"),
+            F.col("vec_id").alias("vec_b"),
+            F.col("q_emb").alias("emb_a"),
+            F.col("embedding").alias("emb_b"),
+            F.col("q_nrm").alias("nrm_a"),
+            F.col("c_nrm").alias("nrm_b"),
+        ).mapInArrow(_pair_dot_batches, _PAIR_DOT_SCHEMA)
+        cosine = (
+            F.col("dot").cast("double") / F.lit(float(FIXED_SCALE))
+        ) / (F.sqrt(F.col("nrm_a")) * F.sqrt(F.col("nrm_b")))
+        return dots.select(
+            F.col("vec_a").alias("query_id"),
+            F.col("vec_b").alias("vec_id"),
+            cosine.alias("cosine"),
+        )
+    if dot != "jvm":
+        raise ValueError(f"dot must be jvm|arrow, got {dot!r}")
     cosine = _decimal_dot(F.col("q_emb"), F.col("embedding")) / (
         F.sqrt(F.col("q_nrm")) * F.sqrt(F.col("c_nrm"))
     )
@@ -215,6 +243,54 @@ def _fixed_dot_long(a: Column, b: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+
+
+def _pair_dot_batches(it):
+    """mapInArrow kernel for the candidate-pair cosine stage: per
+    batch, the fixed-point dot Σ trunc(aᵢ·bᵢ·1e9) of emb_a·emb_b as
+    one vectorized numpy pass. BIT-IDENTICAL to _fixed_dot_long's JVM
+    fold: (a*b)*1e9 is the same left-associated IEEE-double product
+    chain, numpy's astype(int64) truncates toward zero exactly like
+    Spark's non-ANSI double→long cast (embedding products are ≪ 2^63
+    by construction, so the casts' out-of-range clamps never differ),
+    and the int64 sum is exact, order-insensitive integer math —
+    equality with the HOF fold is test-pinned on both vector corpora
+    (tests/test_extensions.py::test_pair_dot_arrow_matches_jvm).
+
+    Why Arrow here (guide §4.2): the per-pair interpreted
+    zip_with/aggregate fold was the #1 cost of the semantic-dedup
+    family (~20 µs/pair × ~780k within-cell pairs at sf0.1); the
+    rejected codegen unroll measured 2.6× WORSE (r9 report). One
+    numpy multiply per batch replaces both. Only the six needed
+    columns cross the boundary (project-before-opaque, guide §4.1).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in it:
+        n = batch.num_rows
+        if n == 0:
+            continue
+        a = np.asarray(batch.column("emb_a").flatten(), dtype=np.float64)
+        b = np.asarray(batch.column("emb_b").flatten(), dtype=np.float64)
+        a = a.reshape(n, -1)
+        b = b.reshape(n, -1)
+        dot = ((a * b) * float(FIXED_SCALE)).astype(np.int64).sum(axis=1)
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("vec_a"),
+                batch.column("vec_b"),
+                batch.column("nrm_a"),
+                batch.column("nrm_b"),
+                pa.array(dot, type=pa.int64()),
+            ],
+            names=["vec_a", "vec_b", "nrm_a", "nrm_b", "dot"],
+        )
+
+
+_PAIR_DOT_SCHEMA = (
+    "vec_a long, vec_b long, nrm_a double, nrm_b double, dot long"
+)
 
 
 def lsh_bucket_col(emb: Column, mat: Column) -> Column:
@@ -885,6 +961,7 @@ def neardup_pairs(
     tau: float = NEARDUP_TAU,
     exact_cap: int = NEARDUP_EXACT_CAP,
     salt_b: int = NEARDUP_SALT_B,
+    pair_dot: str = "arrow",
 ) -> DataFrame:
     """Pair-generation core of `embedding_neardup`, parameterized so
     tests can drive the cap/salt boundaries on synthetic groups.
@@ -900,14 +977,34 @@ def neardup_pairs(
 
     LSH path (oversized groups): shared random-hyperplane signature
     with single-bit-flip multi-probe on the lower-id side; probe
-    values are distinct, so a pair matches at most one probe row."""
+    values are distinct, so a pair matches at most one probe row.
+
+    pair_dot selects the per-pair fixed-point dot implementation:
+    "arrow" (default, r10) evaluates it as one vectorized numpy pass
+    per Arrow batch (_pair_dot_batches — bit-identical integer sums,
+    ~10× the interpreted HOF fold that dominated the semantic-dedup
+    family); "jvm" keeps the pure zip_with/aggregate expression (the
+    bit-equality reference, and the escape hatch for a deployment
+    that must stay Python-worker-free)."""
     a, b = _neardup_sides(emb, exact_cap, salt_b)
     pairs = a.join(b, ["label", "bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
-    cosine = _decimal_dot(F.col("emb_a"), F.col("emb_b")) / (
-        F.sqrt(F.col("nrm_a")) * F.sqrt(F.col("nrm_b"))
-    )
+    if pair_dot == "arrow":
+        dots = pairs.select(
+            "vec_a", "vec_b", "emb_a", "emb_b", "nrm_a", "nrm_b"
+        ).mapInArrow(_pair_dot_batches, _PAIR_DOT_SCHEMA)
+        cosine = (
+            F.col("dot").cast("double") / F.lit(float(FIXED_SCALE))
+        ) / (F.sqrt(F.col("nrm_a")) * F.sqrt(F.col("nrm_b")))
+        scored = dots
+    elif pair_dot == "jvm":
+        cosine = _decimal_dot(F.col("emb_a"), F.col("emb_b")) / (
+            F.sqrt(F.col("nrm_a")) * F.sqrt(F.col("nrm_b"))
+        )
+        scored = pairs
+    else:
+        raise ValueError(f"pair_dot must be arrow|jvm, got {pair_dot!r}")
     return (
-        pairs.select("vec_a", "vec_b", cosine.alias("cosine"))
+        scored.select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= tau)
     )
 
@@ -1054,27 +1151,39 @@ def semdedup_verdicts(
         exact_cap=exact_cap,
         salt_b=salt_b,
     )
-    sym = pairs.select(
-        F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("other")
-    ).unionAll(
-        pairs.select(F.col("vec_b").alias("vec_id"), F.col("vec_a").alias("other"))
-    )
+    # One pass over the pair table (r10, VERDICT r9 next-round #1):
+    # the old form symmetrized pairs into a 2×-row union, and the two
+    # union branches RE-EXECUTED the within-cell cosine join — the
+    # family's most expensive stage — once each. But the keeper rule
+    # yields EXACTLY ONE loser per surviving pair (vec_a < vec_b
+    # always): "v loses iff some neighbor o has (cos_o < cos_v) or
+    # (cos_o = cos_v and o < v)", so for the pair (a, b):
+    #   cos_a < cos_b → b loses (a is its lower-cos neighbor),
+    #   cos_a > cos_b → a loses,
+    #   cos_a = cos_b → b loses (a is the lower-id neighbor; a does
+    #                   not lose from this pair since b > a).
+    # Folding that CASE into the single directed pair scan computes
+    # the identical loser set with ONE execution of the pair join and
+    # no union (oracle hash unchanged — the sym/union formulation
+    # stays in the DuckDB twin, which materializes its pair CTE).
     rank = scored.select("vec_id", "cent_cosine")
-    j = sym.join(
+    j = pairs.join(
         rank.select(
-            F.col("vec_id").alias("other"), F.col("cent_cosine").alias("other_cos")
+            F.col("vec_id").alias("vec_a"), F.col("cent_cosine").alias("cos_a")
         ),
-        "other",
-    ).join(rank, "vec_id")
+        "vec_a",
+    ).join(
+        rank.select(
+            F.col("vec_id").alias("vec_b"), F.col("cent_cosine").alias("cos_b")
+        ),
+        "vec_b",
+    )
     losers = (
-        j.filter(
-            (F.col("other_cos") < F.col("cent_cosine"))
-            | (
-                (F.col("other_cos") == F.col("cent_cosine"))
-                & (F.col("other") < F.col("vec_id"))
-            )
+        j.select(
+            F.when(F.col("cos_a") > F.col("cos_b"), F.col("vec_a"))
+            .otherwise(F.col("vec_b"))
+            .alias("vec_id")
         )
-        .select("vec_id")
         .distinct()
         .withColumn("__dup", F.lit(True))
     )

@@ -3027,3 +3027,26 @@ def test_cli_merge_bucketed(spark, tmp_path, capsys):
         for r in merge_upsert(d, spark.read.parquet(src), "doc_id").collect()
     }
     assert got == want
+
+
+def test_pair_dot_arrow_matches_jvm(spark):
+    """The r10 vectorized Arrow pair dot must be BIT-identical to the
+    interpreted JVM zip_with/aggregate fold it replaced — same
+    per-element trunc(a·b·1e9), same exact int64 sums, so the cosine
+    doubles compare with == (no tolerance). Pinned on BOTH vector
+    corpora: the embeddings table (neardup_pairs, the semantic-dedup
+    pair stage) and the query×corpus cross (cosine_pairs, the mining
+    negative scan)."""
+    from mrbf_spark.functions.similarity import neardup_pairs
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    arrow = neardup_pairs(emb, tau=0.3, pair_dot="arrow")
+    jvm = neardup_pairs(emb, tau=0.3, pair_dot="jvm")
+    a_rows = sorted(map(tuple, arrow.collect()))
+    j_rows = sorted(map(tuple, jvm.collect()))
+    assert a_rows == j_rows and len(a_rows) > 0
+
+    q = emb.filter(F.col("vec_id") < 8)
+    ca = sorted(map(tuple, cosine_pairs(q, emb, dot="arrow").collect()))
+    cj = sorted(map(tuple, cosine_pairs(q, emb, dot="jvm").collect()))
+    assert ca == cj and len(ca) > 0

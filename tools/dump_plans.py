@@ -26,7 +26,15 @@ def main() -> None:
     from mrbf_spark.registry import release_scoped_caches
 
     spark = get_spark("plan-dump")
-    for name, fn in sorted(catalog.queries().items()):
+    qs = dict(catalog.queries())
+    # builder-tier keys (r10): plan evidence for bench-only entries
+    # (text_semdedup, contrastive_triplets, …) rides the same tool
+    import bench
+
+    for n_, fn_ in bench.legacy_builders().items():
+        if fn_ is not None:
+            qs.setdefault(n_, fn_)
+    for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
         try:

@@ -34,7 +34,11 @@ def main() -> None:
     import bench
 
     for n_, fn_ in bench.legacy_builders().items():
-        qs.setdefault(n_, fn_)
+        # retired legacy names carry fn=None in bench's map (ADVICE
+        # r9): skip them so a stale name fails the qs[name] lookup
+        # with a KeyError instead of a TypeError on None
+        if fn_ is not None:
+            qs.setdefault(n_, fn_)
     for name in names:
         fn = qs[name]
         t0 = time.time()
