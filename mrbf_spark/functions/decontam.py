@@ -277,16 +277,18 @@ def semantic_decontaminate(
         F.col("embedding").alias("e_emb"),
         _decimal_dot(F.col("embedding"), F.col("embedding")).alias("e_nrm"),
     )
-    cosine = _decimal_dot(F.col("c_emb"), F.col("e_emb")) / (
-        F.sqrt(F.col("c_nrm")) * F.sqrt(F.col("e_nrm"))
-    )
-    # cached: consumed twice (the max pass and the argmax tie-break
-    # join) — without it the embedding derivation replays
+    # |corpus|×|evals| fixed-point dots through the vectorized Arrow
+    # kernel (r10 — bit-identical to the interpreted HOF fold, see
+    # similarity._pair_dot_batches)...
     pairs = scoped_cache(
-        c.crossJoin(F.broadcast(e)).select(
-            "doc_id", "eval_id", cosine.alias("cosine")
+        _arrow_cross_cosine(
+            c.crossJoin(F.broadcast(e)),
+            "doc_id", "c_emb", "c_nrm", "eval_id", "e_emb", "e_nrm",
         )
     )
+    # ...and MATERIALIZED: the max pass and the argmax tie-break join
+    # raced the previously-lazy cache, re-running the cross per branch
+    pairs.count()
     mx = pairs.groupBy("doc_id").agg(F.max("cosine").alias("max_eval_cosine"))
     closest = (
         pairs.join(mx, "doc_id")
@@ -299,6 +301,34 @@ def semantic_decontaminate(
         "closest_eval_id",
         "max_eval_cosine",
         (F.col("max_eval_cosine") >= tau).cast("int").alias("flagged"),
+    )
+
+
+def _arrow_cross_cosine(
+    crossed: DataFrame,
+    a_id: str, a_emb: str, a_nrm: str,
+    b_id: str, b_emb: str, b_nrm: str,
+) -> DataFrame:
+    """(a_id, b_id, cosine) over an already-joined pair frame, the
+    per-pair fixed-point dot evaluated by the shared Arrow kernel
+    (similarity._pair_dot_batches — bit-identical integer sums)."""
+    from .similarity import FIXED_SCALE, _PAIR_DOT_SCHEMA, _pair_dot_batches
+
+    dots = crossed.select(
+        F.col(a_id).alias("vec_a"),
+        F.col(b_id).alias("vec_b"),
+        F.col(a_emb).alias("emb_a"),
+        F.col(b_emb).alias("emb_b"),
+        F.col(a_nrm).alias("nrm_a"),
+        F.col(b_nrm).alias("nrm_b"),
+    ).mapInArrow(_pair_dot_batches, _PAIR_DOT_SCHEMA)
+    cosine = (F.col("dot").cast("double") / F.lit(float(FIXED_SCALE))) / (
+        F.sqrt(F.col("nrm_a")) * F.sqrt(F.col("nrm_b"))
+    )
+    return dots.select(
+        F.col("vec_a").alias(a_id),
+        F.col("vec_b").alias(b_id),
+        cosine.alias("cosine"),
     )
 
 
@@ -392,21 +422,24 @@ def semantic_decontaminate_pruned(
         "c_nrm",
         F.explode(probes).alias("cell"),
     )
-    cosine = _decimal_dot(F.col("c_emb"), F.col("e_emb")) / (
-        F.sqrt(F.col("c_nrm")) * F.sqrt(F.col("e_nrm"))
-    )
+    # Arrow kernel for the candidate dots (r10, bit-identical — see
+    # _arrow_cross_cosine), and the cache MATERIALIZED before
+    # _argmax_report's two scans race it.
     cands = scoped_cache(
-        c_probed.join(F.broadcast(e_cells), "cell").select(
-            "doc_id", "eval_id", cosine.alias("cosine")
+        _arrow_cross_cosine(
+            c_probed.join(F.broadcast(e_cells), "cell"),
+            "doc_id", "c_emb", "c_nrm", "eval_id", "e_emb", "e_nrm",
         )
     )
+    cands.count()
     report = _argmax_report(cands, tau)
 
     # totality fallback: the (normally empty) residue of corpus docs
     # whose probed cells were all eval-empty meets the whole eval side
     missing = c.join(report.select("doc_id"), "doc_id", "left_anti")
-    fb_pairs = missing.crossJoin(F.broadcast(e)).select(
-        "doc_id", "eval_id", cosine.alias("cosine")
+    fb_pairs = _arrow_cross_cosine(
+        missing.crossJoin(F.broadcast(e)),
+        "doc_id", "c_emb", "c_nrm", "eval_id", "e_emb", "e_nrm",
     )
     return report.unionByName(_argmax_report(fb_pairs, tau))
 

@@ -702,7 +702,13 @@ def minhash_candidates(
         # allocates ~3× the corpus text; the cert is two scalars).
         return exact_jaccard_pairs(docs, threshold, hashed=True)
     shingled = shingled_docs(docs)
-    banded = _banded(scoped_cache(minhash_signatures(shingled)))
+    sigs = scoped_cache(minhash_signatures(shingled))
+    # count() (r10): the cache alone stops subplan re-execution only
+    # AFTER it is populated — the two bucket-join sides race a LAZY
+    # cache and can both run the explode+min-agg signature scan
+    # concurrently (the simhash census defect). Materialize first.
+    sigs.count()
+    banded = _banded(sigs)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

@@ -1145,6 +1145,12 @@ def semdedup_verdicts(
     salt_b tune the within-cell pair stage (see neardup_pairs) — a
     hot cell spreads over the salted grid or falls back to LSH."""
     scored = scoped_cache(semdedup_scored(emb, centroids=centroids))
+    # Materialize before fan-out (r10, same defect as the simhash
+    # census): the verdict action scans `scored` from FIVE subtrees
+    # (both pair-join sides, the two rank joins, the final left join)
+    # — a lazy cache lets each concurrently re-run the whole
+    # assign+cosine corpus pass until its partitions land in storage.
+    scored.count()
     pairs = neardup_pairs(
         scored.select("vec_id", F.col("cell").alias("label"), "embedding"),
         tau=tau,

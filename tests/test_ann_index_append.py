@@ -6,6 +6,8 @@ quantizer no longer fits."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from conftest import SF_SMOKE
@@ -21,6 +23,7 @@ def _emb(spark):
     return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
 
 
+@pytest.mark.slow
 def test_ivf_append_probe_equals_rebuild_probe(spark, tmp_path):
     from mrbf_spark.functions.ann_index import (
         ann_index_append,
@@ -50,6 +53,7 @@ def test_ivf_append_probe_equals_rebuild_probe(spark, tmp_path):
     assert not rep["rebuild_recommended"]
 
 
+@pytest.mark.slow
 def test_pq_append_probe_equals_rebuild_probe(spark, tmp_path):
     from mrbf_spark.functions.ann_index import (
         pq_index_append,

@@ -96,6 +96,7 @@ def test_bpe_min_pair_count_stops_early(spark):
     assert [(a, b) for _, a, b, _ in merges] == [("a", "b"), ("ab", EOW)]
 
 
+@pytest.mark.slow
 def test_bpe_partition_invariant_on_testdata(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     m1 = bpe_train(docs.coalesce(1), num_merges=12)

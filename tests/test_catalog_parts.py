@@ -6,9 +6,12 @@ the declaration follows."""
 
 from __future__ import annotations
 
+import pytest
+
 from conftest import SF_SMOKE
 
 
+@pytest.mark.slow
 def test_declared_parts_match_live_frames(spark):
     from mrbf_spark import catalog
     from mrbf_spark.registry import release_scoped_caches

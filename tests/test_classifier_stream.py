@@ -4,11 +4,14 @@ equality is structural, checked here value-for-value."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from conftest import SF_SMOKE
 
 
+@pytest.mark.slow
 def test_streaming_qlr_matches_batch(spark):
     from mrbf_spark.functions.quality_classifier import (
         QLR_TRAIN_MOD,

@@ -5,6 +5,8 @@ equivalence with the batch chain, and the CLI."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from conftest import SF_SMOKE
@@ -82,6 +84,7 @@ def test_empty_history_equals_batch_chain(spark):
     assert inc_ids == batch_ids and len(inc_ids) > 0
 
 
+@pytest.mark.slow
 def test_history_index_equals_recompute(spark, tmp_path):
     """curate_increment(history_index=path) must be BYTE-IDENTICAL to
     curate_increment(history=docs) — survivors (all columns) and the
@@ -116,6 +119,7 @@ def test_history_index_equals_recompute(spark, tmp_path):
         curate_increment(new, history, history_index=path)
 
 
+@pytest.mark.slow
 def test_curate_inc_cli(spark, tmp_path, capsys):
     from mrbf_spark.__main__ import main
 

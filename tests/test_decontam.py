@@ -3,6 +3,8 @@ verify equivalence to the plain intersection, and threshold flagging."""
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from mrbf_spark.functions.decontam import (
@@ -179,6 +181,7 @@ def test_semantic_pruned_full_probe_equals_exact(spark):
     assert pruned == exact
 
 
+@pytest.mark.slow
 def test_semantic_pruned_is_one_sided_and_flags_planted(spark):
     """Narrow probing (n_probe=2 of 16 cells): per doc the pruned max
     cosine never exceeds the exact one (candidates ⊆ all pairs ⇒ no
@@ -259,6 +262,7 @@ def test_cut_overlapping_hits_union_not_double_cut(spark):
     assert (r["text"], r["n_tokens"], r["n_removed"]) == ("z z", 2, 4)
 
 
+@pytest.mark.slow
 def test_curate_decontam_cut_mode(spark):
     """curate_corpus(decontam_action='cut'): the contaminated doc
     SURVIVES with its span removed; drop mode removes it."""

@@ -5,11 +5,14 @@ to the batch grouped embedding."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from conftest import SF_SMOKE
 
 
+@pytest.mark.slow
 def test_row_embedding_fold_equals_batch_embedding(spark):
     from mrbf_spark.functions.text_embedding import (
         row_text_embedding_col,
@@ -33,6 +36,7 @@ def test_row_embedding_fold_equals_batch_embedding(spark):
         assert row[k] == batch[k], k  # integer-valued doubles: exact
 
 
+@pytest.mark.slow
 def test_streaming_semantic_decontam_matches_batch(spark):
     from mrbf_spark.functions.decontam import EVAL_MOD, semantic_decontaminate
     from mrbf_spark.streaming.decontam_stream import (

@@ -1351,6 +1351,7 @@ def test_pq_index_persists_and_probe_matches_inmemory(spark, tmp_path):
     assert n_ids <= N_QUERIES * PQ_CAND, n_ids
 
 
+@pytest.mark.slow
 def test_dense_topk_indexed_equals_exact_dense_topk(spark, tmp_path):
     """r7 (VERDICT r6 next-round #1): the dense retrieval branch served
     from the persisted PQ index must reproduce the exact corpus-embed
@@ -1387,6 +1388,7 @@ def test_dense_topk_indexed_equals_exact_dense_topk(spark, tmp_path):
     assert got == want and len(got) == 10
 
 
+@pytest.mark.slow
 def test_dense_topk_indexed_embeds_only_the_query(spark, tmp_path):
     """The probe plan must not contain the corpus text-embedding
     derivation — per-query cost is independent of corpus embedding.
@@ -1407,6 +1409,7 @@ def test_dense_topk_indexed_embeds_only_the_query(spark, tmp_path):
     assert probe.count() == 5
 
 
+@pytest.mark.slow
 def test_streaming_semdedup_matches_exact_reference(spark):
     """The stateless semi/anti stream-static classification must agree
     with an exact numpy replay: every streamed vector appears exactly
@@ -2061,6 +2064,7 @@ def test_repetition_stats_exact(spark):
     assert r["top_bigram_frac"] == pytest.approx(2 / 5)
 
 
+@pytest.mark.slow
 def test_stream_stream_join_equals_batch(spark):
     """Stream-stream interval join (watermarked click→purchase
     attribution) must produce exactly the batch twin's pairs, and the
@@ -2577,6 +2581,7 @@ def test_cli_zorder_and_compact(spark, tmp_path, capsys):
     assert spark.read.parquet(cout).count() == spark.read.parquet(src).count()
 
 
+@pytest.mark.slow
 def test_cli_pq_pack_tempmix(spark, tmp_path, capsys):
     """The late-r6 CLI jobs run end-to-end: `pq-index`/`pq-query`
     reproduce the in-memory pq_topk for the standard query batch,
@@ -2721,6 +2726,7 @@ def test_leakage_safe_split_no_neardup_straddles(spark):
     assert frac["val"] + frac["test"] > 0
 
 
+@pytest.mark.slow
 def test_leakage_safe_split_matches_duckdb(spark):
     """Engine parity for the full split pipeline (clusters via the
     recursive-CTE oracle + md5 split hash)."""

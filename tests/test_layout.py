@@ -69,6 +69,7 @@ def test_zorder_key_is_total_and_deterministic(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_zorder_prunes_2d_boxes_where_linear_sort_cannot(spark, tmp_path):
     df = _grid_df(spark)
     p_unsorted = str(tmp_path / "unsorted")
@@ -193,6 +194,7 @@ def test_zorder_key_three_columns(spark):
     assert a == b and len(a) == 2000
 
 
+@pytest.mark.slow
 def test_hilbert_prunes_at_least_as_well_as_morton(spark, tmp_path):
     """Hilbert's tighter locality: on the same box predicates, the
     hilbert layout must beat unsorted everywhere and be within a

@@ -160,6 +160,7 @@ def test_frozen_model_unseen_tokens_hand_truth(spark):
     assert row["nll_q"] == 2 * term
 
 
+@pytest.mark.slow
 def test_streaming_lm_score_matches_batch(spark, tmp_path):
     """Per-batch foreachBatch scoring under the frozen model must
     equal the batch scorer row-for-row (scores are per-doc

@@ -9,6 +9,10 @@ import sys
 
 import pytest
 
+# slow (r10): duplicates the driver's own DuckDB t2 gate, which
+# re-runs every entry each round (tools/check_correctness.py).
+pytestmark = __import__('pytest').mark.slow
+
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
 from check_correctness import compare, duck_con  # noqa: E402

@@ -215,6 +215,7 @@ _BNLJ_ALLOWED = {
 }
 
 
+@pytest.mark.slow
 def test_catalog_outputs_are_scalar_only(spark):
     """Driver-canonicalizer contract: the correctness harness sorts
     result cells with pandas, and array/map/struct cells are unhashable
@@ -274,6 +275,7 @@ def test_ann_candidate_path_is_jvm_only(spark):
         assert marker not in plan, f"ann_approx_topk plan contains {marker}"
 
 
+@pytest.mark.slow
 def test_library_tier_plan_hygiene(spark):
     """The same scale-anti-pattern sweep over the library/builder tier
     (bench.legacy_builders): ops outside the 50-entry driver window

@@ -5,6 +5,8 @@ the indexed temperature re-keying invariants."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from conftest import SF_SMOKE
@@ -14,6 +16,7 @@ def _n_docs(spark, path):
     return spark.read.parquet(path).count()
 
 
+@pytest.mark.slow
 def test_pretrain_build_end_to_end(spark, tmp_path, capsys):
     from mrbf_spark.__main__ import main
 

@@ -3,6 +3,8 @@ pinned against their reference definitions over generated inputs."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from hypothesis import given, settings, strategies as st
@@ -350,6 +352,7 @@ def test_cms_counts_match_python_reference(spark):
     st.integers(min_value=2, max_value=7),
 )
 @settings(max_examples=12, deadline=None)
+@pytest.mark.slow
 def test_contiguous_sequences_match_python_reference(spark, token_lists, seq_len):
     """contiguous_sequences against a pure-Python stream builder on
     random corpora and sequence lengths: identical sequence set,

@@ -3,6 +3,8 @@ idempotent-restart (replayed batch overwrites identically)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from conftest import SF_SMOKE
@@ -14,6 +16,7 @@ def _canon(df):
     }
 
 
+@pytest.mark.slow
 def test_streaming_repetition_matches_batch(spark, tmp_path):
     from mrbf_spark.functions.repetition import repetition_signals
     from mrbf_spark.streaming.repetition_stream import (
@@ -45,6 +48,7 @@ def test_streaming_repetition_matches_batch(spark, tmp_path):
     assert len(glob.glob(f"{store}/v=*")) >= 2
 
 
+@pytest.mark.slow
 def test_repetition_batch_replay_is_idempotent(spark, tmp_path):
     from mrbf_spark.streaming.repetition_stream import (
         process_repetition_batch,

@@ -192,6 +192,7 @@ def test_rescan_partition_prunes_and_matches(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_precomputed_base_is_equivalent(spark):
     old, new = _frames(spark)
     base = rollup_base(old, ["k"], "v")
@@ -200,6 +201,7 @@ def test_precomputed_base_is_equivalent(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_rollup_maintain_random_snapshots(spark):
     """Property check: random snapshot pairs (nullable keys AND
     values, overlapping/disjoint pks, empty sides) — maintained ==

@@ -13,6 +13,10 @@ from __future__ import annotations
 import duckdb
 import pytest
 
+# slow (r10): sf0.1 scale-oracle equivalence sweep — the same
+# equivalence the sf1 gate exercises; outran the driver window.
+pytestmark = __import__('pytest').mark.slow
+
 SF = "/root/testdata/sf0.01"
 TABLES = (
     "region nation customer supplier part orders lineitem events "
