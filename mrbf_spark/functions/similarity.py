@@ -293,6 +293,120 @@ _PAIR_DOT_SCHEMA = (
 )
 
 
+def _np_fixed_dots(e, cent):
+    """(n, k) int64 fixed-point dots of n embedding rows against k
+    centroid rows — Σ trunc(eᵢ·cᵢ·1e9) per (row, centroid), the numpy
+    twin of transform(mat, c -> _fixed_dot_long(emb, c)). Loops over
+    the k centroids (k is small) so peak memory stays n×dim."""
+    import numpy as np
+
+    k = cent.shape[0]
+    out = np.empty((e.shape[0], k), dtype=np.int64)
+    for j in range(k):
+        out[:, j] = ((e * cent[j]) * float(FIXED_SCALE)).astype(np.int64).sum(axis=1)
+    return out
+
+
+def _assign_score_batches(cent):
+    """mapInArrow kernel factory for semdedup_scored: per batch of
+    (vec_id, embedding), emit (vec_id, embedding, cell, cent_cosine)
+    where cell = first-max argmax over the fixed-point centroid dots
+    (np.argmax == the JVM array_position(first max) rule) and
+    cent_cosine replays _decimal_dot's exact arithmetic: every dot is
+    the same per-element trunc + int64 sum, the /1e9 rescale, sqrt and
+    the single divide are the same correctly-rounded IEEE ops in the
+    same order — bit-identical to the JVM projection it replaces
+    (pinned in tests/test_extensions.py::test_assign_score_arrow_
+    matches_jvm). Why: the assignment is a FULL-CORPUS map pass whose
+    k×dim interpreted HOF fold per row was the remaining per-row cost
+    of the semantic family (guide §4.2)."""
+    import numpy as np
+
+    cent = np.asarray(cent, dtype=np.float64)
+    c_nrm = ((cent * cent) * float(FIXED_SCALE)).astype(np.int64).sum(axis=1)
+    c_sqrt = np.sqrt(c_nrm.astype(np.float64) / float(FIXED_SCALE))
+
+    def fn(it):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            e = np.asarray(
+                batch.column("embedding").flatten(), dtype=np.float64
+            ).reshape(n, -1)
+            dots = _np_fixed_dots(e, cent)
+            cell = dots.argmax(axis=1)
+            best = dots[np.arange(n), cell]
+            e_nrm = ((e * e) * float(FIXED_SCALE)).astype(np.int64).sum(axis=1)
+            cos = (best.astype(np.float64) / float(FIXED_SCALE)) / (
+                np.sqrt(e_nrm.astype(np.float64) / float(FIXED_SCALE))
+                * c_sqrt[cell]
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("vec_id"),
+                    _double_list(e, pa, np),
+                    pa.array(cell.astype(np.int32), type=pa.int32()),
+                    pa.array(cos, type=pa.float64()),
+                ],
+                names=["vec_id", "embedding", "cell", "cent_cosine"],
+            )
+
+    return fn
+
+
+def _double_list(e, pa, np):
+    """n×dim float64 matrix → Arrow list<double> column. The source
+    table may store array<float> (the embeddings parquet does); the
+    float→double widening is exact, and every downstream consumer
+    already cast to double before computing, so values are unchanged —
+    this just makes the kernel's output type self-consistent."""
+    n, d = e.shape
+    return pa.ListArray.from_arrays(
+        pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32), type=pa.int32()),
+        pa.array(e.ravel(), type=pa.float64()),
+    )
+
+
+_ASSIGN_SCORE_SCHEMA = (
+    "vec_id long, embedding array<double>, cell int, cent_cosine double"
+)
+
+
+def _assign_batches(cent):
+    """mapInArrow kernel factory for the Lloyd assignment pass: per
+    batch of (embedding), emit (cell, embedding) — the same first-max
+    fixed-point argmax as _assign_score_batches, without the cosine."""
+    import numpy as np
+
+    cent = np.asarray(cent, dtype=np.float64)
+
+    def fn(it):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            e = np.asarray(
+                batch.column("embedding").flatten(), dtype=np.float64
+            ).reshape(n, -1)
+            cell = _np_fixed_dots(e, cent).argmax(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cell.astype(np.int32), type=pa.int32()),
+                    _double_list(e, pa, np),
+                ],
+                names=["cell", "embedding"],
+            )
+
+    return fn
+
+
 def lsh_bucket_col(emb: Column, mat: Column) -> Column:
     """Hyperplane signature: bit j = fixed_dot(emb, mat[j]) > 0,
     packed into a long — all JVM expressions against the matrix
@@ -1116,7 +1230,17 @@ def semdedup_scored(emb: DataFrame, centroids=None) -> DataFrame:
     default — pass kmeans_fit(emb) for the quality path (better cell
     balance; still deterministic, but its Lloyd iterations have no
     one-shot SQL twin, so the driver-checked entry keeps the flat
-    quantizer)."""
+    quantizer).
+
+    Measured and kept JVM (r10): an Arrow-kernel variant of this pass
+    (_assign_score_batches — bit-identical, test-pinned) showed NO
+    standalone win (semdedup 2.91 → 3.00 s; the k×dim fold on a
+    cached bounded vector table is not this operator's cost) and made
+    embedding_dedup_suite BIMODAL (20-37 s vs a stable ~24 s): the
+    suite's final action overlaps several branches, and adding two
+    more Python stages to the overlap oversubscribes the Python
+    worker pool on local[32]. The kernel stays in use where it is
+    sequential-job-isolated and measured 2.1× (kmeans_fit)."""
     cent = _flat_centroids(emb) if centroids is None else centroids
     with_mat = with_matrix(emb, emb.sparkSession, cent)
     cell = kmeans_assign_col(F.col("embedding"), F.col("mat"))
@@ -1263,7 +1387,13 @@ def kmeans_fit(
         + ") AS s"
     )
     for _ in range(iters):
-        assigned = kmeans_assign(emb.select("embedding"), cent)
+        # Arrow assignment (r10): same first-max fixed-point argmax as
+        # kmeans_assign, vectorized (_assign_batches) — each Lloyd
+        # iteration's corpus pass drops the k×dim interpreted HOF fold
+        # per row. The per-cell integer sums stay in the JVM aggregate.
+        assigned = emb.select("embedding").mapInArrow(
+            _assign_batches(cent), "cell int, embedding array<double>"
+        )
         rows = (
             assigned.groupBy("cell")
             .agg(sums_expr, F.count(F.lit(1)).alias("n"))

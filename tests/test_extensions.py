@@ -3056,3 +3056,46 @@ def test_pair_dot_arrow_matches_jvm(spark):
     ca = sorted(map(tuple, cosine_pairs(q, emb, dot="arrow").collect()))
     cj = sorted(map(tuple, cosine_pairs(q, emb, dot="jvm").collect()))
     assert ca == cj and len(ca) > 0
+
+
+def test_assign_score_arrow_matches_jvm(spark):
+    """The r10 Arrow assignment kernels (kmeans_fit's Lloyd pass, and
+    the scored variant kept as the bit-equality reference) must match
+    the JVM projection exactly: same first-max argmax over the
+    fixed-point centroid dots, same cent_cosine doubles, and the
+    embedding column round-trips float→double exactly."""
+    from mrbf_spark.functions.similarity import (
+        _ASSIGN_SCORE_SCHEMA,
+        _assign_batches,
+        _assign_score_batches,
+        _flat_centroids,
+        kmeans_assign,
+        semdedup_scored,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cent = _flat_centroids(emb)
+    got = sorted(
+        (r["vec_id"], r["cell"], r["cent_cosine"], tuple(r["embedding"]))
+        for r in emb.select("vec_id", "embedding")
+        .mapInArrow(_assign_score_batches(cent), _ASSIGN_SCORE_SCHEMA)
+        .collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["cell"], r["cent_cosine"], tuple(map(float, r["embedding"])))
+        for r in semdedup_scored(emb).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # the Lloyd-pass kernel: same assignment as the JVM kmeans_assign
+    ka = sorted(
+        (tuple(map(float, r["embedding"])), r["cell"])
+        for r in kmeans_assign(emb.select("embedding"), cent).collect()
+    )
+    kb = sorted(
+        (tuple(r["embedding"]), r["cell"])
+        for r in emb.select("embedding")
+        .mapInArrow(_assign_batches(cent), "cell int, embedding array<double>")
+        .collect()
+    )
+    assert ka == kb and len(ka) > 0
